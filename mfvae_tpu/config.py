@@ -1,0 +1,233 @@
+"""Config system: one dataclass tree, YAML-loadable.
+
+The reference hardcodes every hyperparameter as module-level constants
+(reference jax_ver/main.py:37-52, torch_ver/main.py:20-34) and loss weights as
+module globals (jax_ver/trainer.py:42-43, torch_ver/model.py:5-6). Here the
+same names map 1:1 onto dataclass fields so existing experiment configs
+translate mechanically, and everything can be overridden from YAML or CLI
+dotted-path flags (``train.lr=3e-4``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    """MAVAE architecture.  Widths mirror the reference exactly:
+    encoder [64, 64, 256] (jax_ver/model.py:15), action encoder [64]
+    (model.py:40), decoder [1024, 256, 64, 256, 1024] (model.py:68),
+    64-d idx/obs/act features (jax_ver/main.py:47-49)."""
+
+    idx_features: int = 64
+    obs_features: int = 64
+    action_features: int = 64
+    discrete_act: bool = True  # reference spells it DESCRETE_ACT (main.py:50)
+    encoder_hidden: Tuple[int, ...] = (64, 64, 256)
+    action_encoder_hidden: Tuple[int, ...] = (64,)
+    decoder_hidden: Tuple[int, ...] = (1024, 256, 64, 256, 1024)
+    # 'lecun' = flax default (jax_ver parity: model.py:136 nn.Dense default);
+    # 'popart' = all-ones weight / zero bias like torch_ver/model.py:131-132.
+    reward_head_init: str = "lecun"
+    # Compute dtype for matmuls; params always f32. bf16 feeds the MXU at
+    # full rate; reductions stay f32.
+    compute_dtype: str = "bfloat16"
+    # 'vectorized' draws eps for all agents from one key;
+    # 'reference' replays the reference's sequential per-agent key splits
+    # (jax_ver/model.py:161) for parity runs.
+    rng_mode: str = "vectorized"
+    remat: bool = False  # jax.checkpoint the decoders (memory vs FLOPs)
+
+
+@dataclass
+class LossConfig:
+    """Two divergent loss families exist in the reference (SURVEY §2.2):
+
+    - family='jax':   loss = s*(1-r_weight) + r*r_weight + kl*kl_weight with
+      r_weight=0.5, kl_weight=0.1 (jax_ver/trainer.py:42-43,64-70)
+    - family='torch': loss = s + r*r_weight + kl*kl_weight with
+      r_weight=0.005, kl_weight=0.0025 (torch_ver/model.py:5-6,34-39)
+
+    Both use KL = mean over batch of the summed-over-all-latent-dims KL
+    (the torch per-agent sum and the jax concatenated sum are numerically
+    identical).  Huber delta = 1.0 (jax_ver/trainer.py:48).
+    """
+
+    family: str = "jax"
+    use_huber: bool = True
+    huber_delta: float = 1.0
+    kl_weight: Optional[float] = None  # None -> family default
+    r_weight: Optional[float] = None  # None -> family default
+    # beta-VAE extensions (BASELINE.json config 4); 0/None disables.
+    kl_anneal_steps: int = 0  # linear KL warmup over this many steps
+    free_bits: float = 0.0  # per-dim KL floor (nats)
+
+    def resolved_weights(self) -> Tuple[float, float]:
+        if self.family == "jax":
+            kw = 0.1 if self.kl_weight is None else self.kl_weight
+            rw = 0.5 if self.r_weight is None else self.r_weight
+        elif self.family == "torch":
+            kw = 0.0025 if self.kl_weight is None else self.kl_weight
+            rw = 0.005 if self.r_weight is None else self.r_weight
+        else:
+            raise ValueError(f"unknown loss family {self.family!r}")
+        return kw, rw
+
+
+@dataclass
+class BufferConfig:
+    """Replay buffer (reference: jax_ver/main.py:41-44, jax_buffer.py:80-91)."""
+
+    max_size: int = 10_000
+    min_size: int = 64
+    batch_size: int = 128
+    # 'item' = flashbax make_item_buffer equivalent; 'trajectory' for VDN.
+    kind: str = "item"
+
+
+@dataclass
+class TrainConfig:
+    """Training loop (reference jax_ver/main.py:37-45)."""
+
+    epoch_num: int = 256
+    sample_num: int = 128  # env steps collected per epoch
+    batch_size: int = 128
+    train_num: int = 10  # train steps per epoch
+    test_num: int = 64  # eval steps per epoch
+    lr: float = 1e-3
+    # 'Adam' | 'ART' | 'POPART' (torch_ver/trainer.py:50); POPART applies
+    # reward-target normalization with output-preserving head rescale.
+    mode: str = "Adam"
+    popart_beta: float = 3e-4
+    grad_clip: float = 0.0  # 0 disables (vdn.py uses 10.0)
+    seed: int = 0
+    # replicate the reference's never-resplit key bug for curve parity
+    # (jax_ver/main.py:154-158,169,210)
+    bug_compat_rng: bool = False
+    log_dir: str = "results"
+    run_name: str = ""
+    checkpoint_dir: str = "model_save"
+    checkpoint_every: int = 0  # epochs; 0 = only at end
+    resume: bool = False
+
+
+@dataclass
+class EnvConfig:
+    """MPE simple_tag_v3 (reference jax_ver/main.py:59-62)."""
+
+    name: str = "MPE_simple_tag_v3"
+    num_good_agents: int = 10
+    num_adversaries: int = 30
+    num_obs: int = 20  # obstacles
+    max_steps: int = 1000  # torch_ver/src/env.py:27 max_cycles
+    backend: str = "jax"  # 'jax' (on-device) | 'host' (PettingZoo adapter)
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh: ('data', 'model') axes. data -> DP via shard_map+psum
+    over ICI; model -> TP for the joint decoders + stacked agent params."""
+
+    data_axis: int = -1  # -1 = all devices on data axis
+    model_axis: int = 1
+    enable: bool = False
+
+
+@dataclass
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    buffer: BufferConfig = field(default_factory=BufferConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    env: EnvConfig = field(default_factory=EnvConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def _to_dict(obj: Any) -> Any:
+    if is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+def _from_dict(cls, data: Dict[str, Any]):
+    kwargs = {}
+    for f in fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif f.name in _NESTED.get(cls, {}):
+            kwargs[f.name] = _from_dict(_NESTED[cls][f.name], v)
+        else:
+            # restore tuples for Tuple-typed fields
+            default = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default  # type: ignore
+            if isinstance(default, tuple) and isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    ExperimentConfig: {
+        "model": ModelConfig,
+        "loss": LossConfig,
+        "buffer": BufferConfig,
+        "train": TrainConfig,
+        "env": EnvConfig,
+        "mesh": MeshConfig,
+    }
+}
+
+
+def save_config(cfg: Any, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> ExperimentConfig:
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    cfg = _from_dict(ExperimentConfig, data)
+    if overrides:
+        apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg: Any, overrides: List[str]) -> None:
+    """Apply ``a.b.c=value`` dotted-path overrides in place."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must look like path.to.field=value")
+        path, raw = ov.split("=", 1)
+        parts = path.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        name = parts[-1]
+        cur = getattr(obj, name)
+        setattr(obj, name, _coerce(raw, cur))
+
+
+def _coerce(raw: str, like: Any) -> Any:
+    if isinstance(like, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(like, int) and not isinstance(like, bool):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    if isinstance(like, tuple):
+        return tuple(int(x) for x in raw.strip("()[] ").split(",") if x)
+    if like is None:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+    return raw

@@ -1,0 +1,106 @@
+"""ELBO loss families.
+
+Two divergent weighting schemes exist in the reference (SURVEY §2.2); both are
+supported and selected by ``LossConfig.family``:
+
+- 'jax'   (jax_ver/trainer.py:42-71):  ``s*(1-rw) + r*rw + kl*kw`` with
+  rw=0.5, kw=0.1.
+- 'torch' (torch_ver/model.py:19-40):  ``s + r*rw + kl*kw`` with rw=0.005,
+  kw=0.0025.
+
+KL is identical between the two: the torch version sums per-agent
+``mean_B(sum_dims(...))`` terms over the agent list (torch_ver/model.py:36-37)
+and the jax version takes ``mean_B`` of the sum over the concatenated
+[B, A*F] dims (jax_ver/trainer.py:54-55,68) — same number.
+
+All reductions are float32 even when activations are bf16.
+
+beta-VAE extensions (BASELINE.json config 4): linear KL annealing and
+free-bits (per-dim KL floor), both off by default.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from mfvae_tpu.config import LossConfig
+
+
+def mse(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error (jax_ver/trainer.py:45-46)."""
+    d = (x - y).astype(jnp.float32)
+    return jnp.mean(d * d)
+
+
+def huber(x: jnp.ndarray, y: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
+    """Huber loss, delta=1.0 (jax_ver/trainer.py:48-52; matches
+    torch F.huber_loss semantics used at torch_ver/model.py:26,31)."""
+    abs_err = jnp.abs((x - y).astype(jnp.float32))
+    quadratic = jnp.minimum(abs_err, delta)
+    linear = abs_err - quadratic
+    return jnp.mean(0.5 * quadratic * quadratic + delta * linear)
+
+
+def kl_gaussian(
+    mu: jnp.ndarray,
+    logvar: jnp.ndarray,
+    free_bits: float = 0.0,
+) -> jnp.ndarray:
+    """KL(q(z|x) || N(0, I)) = mean over batch of the sum over latent dims
+    (jax_ver/trainer.py:54-55).  ``mu``/``logvar`` may be [B, D] or [B, A, F];
+    all non-batch axes are summed.
+
+    free_bits clamps the *per-dim* KL at a floor before the sum
+    (prevents posterior collapse; standard beta-VAE trick)."""
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    per_dim = -0.5 * (1.0 + logvar - mu * mu - jnp.exp(logvar))
+    if free_bits > 0.0:
+        per_dim = jnp.maximum(per_dim, free_bits)
+    axes = tuple(range(1, per_dim.ndim))
+    return jnp.mean(jnp.sum(per_dim, axis=axes))
+
+
+class LossOutputs(NamedTuple):
+    loss: jnp.ndarray
+    s_loss: jnp.ndarray
+    r_loss: jnp.ndarray
+    kl_loss: jnp.ndarray
+
+
+def elbo_losses(
+    recon_state: jnp.ndarray,
+    recon_reward: jnp.ndarray,
+    next_state: jnp.ndarray,
+    rewards: jnp.ndarray,
+    mu: jnp.ndarray,
+    logvar: jnp.ndarray,
+    cfg: LossConfig,
+    kl_scale: Optional[jnp.ndarray] = None,
+) -> LossOutputs:
+    """Total training loss.  ``kl_scale`` (in [0,1]) is the annealing factor
+    supplied by the trainer when ``cfg.kl_anneal_steps > 0``.
+
+    Matches loss_s_r_vae_fn in both reference versions; argument order there
+    is (recon, target) but both huber/mse are symmetric."""
+    kw, rw = cfg.resolved_weights()
+    if cfg.use_huber:
+        s_loss = huber(next_state, recon_state, cfg.huber_delta)
+        r_loss = huber(rewards, recon_reward, cfg.huber_delta)
+    else:
+        s_loss = mse(next_state, recon_state)
+        r_loss = mse(rewards, recon_reward)
+    kl_loss = kl_gaussian(mu, logvar, cfg.free_bits)
+
+    if cfg.family == "jax":
+        recons = s_loss * (1.0 - rw) + r_loss * rw
+    else:  # 'torch'
+        recons = s_loss + r_loss * rw
+
+    kl_term = kl_loss * kw
+    if kl_scale is not None:
+        kl_term = kl_term * kl_scale
+    loss = recons + kl_term
+    return LossOutputs(loss=loss, s_loss=s_loss, r_loss=r_loss, kl_loss=kl_loss)

@@ -1,0 +1,348 @@
+"""MAVAE — multi-agent factorized VAE world model, TPU-native.
+
+Capability parity with the reference MAVAE (jax_ver/model.py:100-199,
+torch_ver/model.py:101-173): per-agent Gaussian encoders over
+(agent-index-embedding ‖ observation), per-agent action embeddings, joint
+state decoder predicting the concatenated next global state, and a joint
+reward decoder + linear PopArt head predicting the per-agent reward vector.
+
+TPU-first re-design (NOT a translation):
+
+- The reference unrolls a 40-agent Python loop of tiny [B,·]×[·,64] matmuls
+  into the jit trace (jax_ver/model.py:149-181).  Here agents with identical
+  (obs_dim, act_dim) are *grouped* and their parameters stacked on a leading
+  agent axis, so each encoder layer is ONE batched contraction
+  [B,A,i]×[A,i,o] -> [B,A,o] — MXU-shaped, and shardable along A.
+- Activations run in bf16 (configurable); reductions and params are f32.
+- eps-sampling for the reparameterization is one fused draw [B, A, F]
+  (``rng_mode='vectorized'``); ``rng_mode='reference'`` replays the
+  reference's sequential per-agent key splits (jax_ver/model.py:161) for
+  parity runs.
+
+The public call contract is the reference's exactly: dict inputs keyed by
+agent name, returns (recon_state [B, Σobs], recon_reward [B, A],
+mu_all [B, A·F], logvar_all [B, A·F]) in agent order.  A tensorized
+``GroupedBatch`` input path skips dict assembly for fully-scanned training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mfvae_tpu.config import ModelConfig
+from mfvae_tpu.models.layers import (
+    Embedding,
+    MLP,
+    StackedEmbedding,
+    StackedMLP,
+)
+
+
+@dataclass(frozen=True)
+class AgentSpec:
+    """Static description of the agent population.
+
+    ``groups`` partitions agents by (obs_dim, act_dim) preserving first-seen
+    order; heterogeneous populations (MPE adversaries vs good agents have
+    different obs widths — dims derived at runtime in the reference,
+    jax_ver/main.py:101-107) become one stacked-parameter module per group."""
+
+    agents: Tuple[str, ...]
+    obs_dims: Tuple[int, ...]
+    act_dims: Tuple[int, ...]
+
+    @classmethod
+    def from_dicts(
+        cls, agents: Sequence[str], obs_dim: Dict[str, int], act_dim: Dict[str, int]
+    ) -> "AgentSpec":
+        agents = tuple(agents)
+        return cls(
+            agents=agents,
+            obs_dims=tuple(int(obs_dim[a]) for a in agents),
+            act_dims=tuple(int(act_dim[a]) for a in agents),
+        )
+
+    @property
+    def n_agents(self) -> int:
+        return len(self.agents)
+
+    @property
+    def obs_dim_map(self) -> Dict[str, int]:
+        return dict(zip(self.agents, self.obs_dims))
+
+    @property
+    def act_dim_map(self) -> Dict[str, int]:
+        return dict(zip(self.agents, self.act_dims))
+
+    @cached_property
+    def groups(self) -> Tuple[Tuple[Tuple[int, int], Tuple[int, ...]], ...]:
+        """((obs_dim, act_dim), member agent indices) per group."""
+        order: List[Tuple[int, int]] = []
+        members: Dict[Tuple[int, int], List[int]] = {}
+        for i, (od, ad) in enumerate(zip(self.obs_dims, self.act_dims)):
+            key = (od, ad)
+            if key not in members:
+                members[key] = []
+                order.append(key)
+            members[key].append(i)
+        return tuple((k, tuple(members[k])) for k in order)
+
+    @cached_property
+    def perm_from_grouped(self) -> Tuple[int, ...]:
+        """perm[i] = position of original agent i in the grouped concat."""
+        grouped_order = [i for _, idxs in self.groups for i in idxs]
+        inv = [0] * len(grouped_order)
+        for pos, orig in enumerate(grouped_order):
+            inv[orig] = pos
+        return tuple(inv)
+
+    @property
+    def grouped_is_identity(self) -> bool:
+        return self.perm_from_grouped == tuple(range(self.n_agents))
+
+
+class GroupedBatch(NamedTuple):
+    """Tensorized model input, one entry per AgentSpec group (in group order).
+
+    obs[g]:     [B, A_g, obs_dim_g] float
+    actions[g]: [B, A_g] int (discrete) or [B, A_g, act_dim_g] float
+    """
+
+    obs: Tuple[jnp.ndarray, ...]
+    actions: Tuple[jnp.ndarray, ...]
+
+
+def group_dict_batch(
+    spec: AgentSpec,
+    idx_state: Dict[str, jnp.ndarray],
+    actions: Dict[str, jnp.ndarray],
+) -> Tuple[GroupedBatch, Tuple[jnp.ndarray, ...]]:
+    """Stack the reference's per-agent dicts into grouped tensors.
+
+    ``idx_state[agent]`` is [B, 1+obs_dim] with the agent index as column 0
+    (the reference's create_dataset contract, jax_ver/trainer.py:23).
+    Returns the grouped batch plus per-group [B, A_g] integer agent indices
+    read from the data (reference reads them via floor+int cast,
+    jax_ver/model.py:152-153)."""
+    obs_g, act_g, ids_g = [], [], []
+    for (_, _), idxs in spec.groups:
+        names = [spec.agents[i] for i in idxs]
+        obs_g.append(jnp.stack([idx_state[a][:, 1:] for a in names], axis=1))
+        ids_g.append(
+            jnp.stack(
+                [jnp.floor(idx_state[a][:, 0]).astype(jnp.int32) for a in names],
+                axis=1,
+            )
+        )
+        act_g.append(jnp.stack([actions[a] for a in names], axis=1))
+    return GroupedBatch(obs=tuple(obs_g), actions=tuple(act_g)), tuple(ids_g)
+
+
+class MAVAE(nn.Module):
+    spec: AgentSpec
+    idx_features: int = 64
+    obs_features: int = 64
+    action_features: int = 64
+    discrete_act: bool = True
+    encoder_hidden: Tuple[int, ...] = (64, 64, 256)
+    action_encoder_hidden: Tuple[int, ...] = (64,)
+    decoder_hidden: Tuple[int, ...] = (1024, 256, 64, 256, 1024)
+    reward_head_init: str = "lecun"
+    dtype: jnp.dtype = jnp.float32
+    rng_mode: str = "vectorized"
+    remat: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
+        return cls(
+            spec=spec,
+            idx_features=cfg.idx_features,
+            obs_features=cfg.obs_features,
+            action_features=cfg.action_features,
+            discrete_act=cfg.discrete_act,
+            encoder_hidden=tuple(cfg.encoder_hidden),
+            action_encoder_hidden=tuple(cfg.action_encoder_hidden),
+            decoder_hidden=tuple(cfg.decoder_hidden),
+            reward_head_init=cfg.reward_head_init,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            rng_mode=cfg.rng_mode,
+            remat=cfg.remat,
+        )
+
+    def setup(self):
+        spec = self.spec
+        n = spec.n_agents
+        self.idx_emb = Embedding(n, self.idx_features, dtype=self.dtype)
+        encoders = []
+        action_encoders = []
+        for (obs_dim, act_dim), idxs in spec.groups:
+            a_g = len(idxs)
+            encoders.append(
+                StackedMLP(
+                    stack=a_g,
+                    hidden=self.encoder_hidden,
+                    out_dim=2 * self.obs_features,
+                    dtype=self.dtype,
+                    remat=self.remat,
+                )
+            )
+            if self.discrete_act:
+                action_encoders.append(
+                    StackedEmbedding(
+                        stack=a_g,
+                        num_embeddings=act_dim,
+                        features=self.action_features,
+                        dtype=self.dtype,
+                    )
+                )
+            else:
+                action_encoders.append(
+                    StackedMLP(
+                        stack=a_g,
+                        hidden=self.action_encoder_hidden,
+                        out_dim=self.action_features,
+                        dtype=self.dtype,
+                        remat=self.remat,
+                    )
+                )
+        self.encoders = encoders
+        self.action_encoders = action_encoders
+
+        joint_in = (self.obs_features + self.action_features) * n
+        self.state_decoder = MLP(
+            hidden=self.decoder_hidden,
+            out_dim=sum(spec.obs_dims),
+            dtype=self.dtype,
+            remat=self.remat,
+            name="state_decoder",
+        )
+        self.reward_decoder = MLP(
+            hidden=self.decoder_hidden,
+            out_dim=n,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="reward_decoder",
+        )
+        # PopArt output head.  torch parity uses all-ones weight / zero bias
+        # (torch_ver/model.py:131-132); jax parity keeps the flax default
+        # (jax_ver/model.py:136).
+        if self.reward_head_init == "popart":
+            kernel_init = nn.initializers.ones
+        else:
+            kernel_init = nn.initializers.lecun_normal()
+        self.reward_linear = nn.Dense(
+            n, dtype=self.dtype, kernel_init=kernel_init, name="reward_linear"
+        )
+
+    # ---------------------------------------------------------------- encode
+    def encode(
+        self,
+        batch: GroupedBatch,
+        agent_ids: Optional[Tuple[jnp.ndarray, ...]] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (mu, logvar, action_emb), each [B, A, ·] in *grouped*
+        agent order (use spec.perm_from_grouped to recover agent order)."""
+        spec = self.spec
+        mus, logvars, aembs = [], [], []
+        for g, ((_, _), idxs) in enumerate(spec.groups):
+            obs = batch.obs[g]
+            if agent_ids is None:
+                ids = jnp.asarray(idxs, dtype=jnp.int32)[None, :]
+                ids = jnp.broadcast_to(ids, (obs.shape[0], len(idxs)))
+            else:
+                ids = agent_ids[g]
+            id_emb = self.idx_emb(ids)  # [B, A_g, idx_features]
+            enc_in = jnp.concatenate([id_emb, obs.astype(self.dtype)], axis=-1)
+            latent = self.encoders[g](enc_in)  # [B, A_g, 2F]
+            mus.append(latent[..., : self.obs_features])
+            logvars.append(latent[..., self.obs_features :])
+            act = batch.actions[g]
+            if self.discrete_act:
+                aembs.append(self.action_encoders[g](act.astype(jnp.int32)))
+            else:
+                aembs.append(self.action_encoders[g](act.astype(self.dtype)))
+        mu = jnp.concatenate(mus, axis=1)
+        logvar = jnp.concatenate(logvars, axis=1)
+        aemb = jnp.concatenate(aembs, axis=1)
+        return mu, logvar, aemb
+
+    # ---------------------------------------------------------- reparam/eps
+    def _eps(self, rng_key, shape) -> jnp.ndarray:
+        b, a, f = shape
+        if self.rng_mode == "reference":
+            # Replay the reference's sequential per-agent split order
+            # (jax_ver/model.py:161: rng, sub = split(rng) per agent in dict
+            # order == agent order here), then draw [B, F] per agent.
+            keys = []
+            k = rng_key
+            for _ in range(a):
+                k, sub = jax.random.split(k)
+                keys.append(sub)
+            eps = jax.vmap(lambda kk: jax.random.normal(kk, (b, f)))(
+                jnp.stack(keys)
+            )  # [A, B, F]
+            return jnp.transpose(eps, (1, 0, 2))
+        return jax.random.normal(rng_key, (b, a, f))
+
+    def reparameterize(self, mu, logvar, rng_key):
+        """z = mu + eps * exp(0.5*logvar) (jax_ver/model.py:53-57).
+        Computed in f32 regardless of activation dtype."""
+        mu32 = mu.astype(jnp.float32)
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        eps = self._eps(rng_key, mu.shape)
+        return mu32 + eps * std
+
+    # ---------------------------------------------------------------- decode
+    def decode(self, z: jnp.ndarray, aemb: jnp.ndarray):
+        """z, aemb: [B, A, F] in *agent* order.  Joint decode of next global
+        state and per-agent reward (jax_ver/model.py:184-192)."""
+        b = z.shape[0]
+        flat = jnp.concatenate(
+            [z.reshape(b, -1), aemb.reshape(b, -1)], axis=-1
+        ).astype(self.dtype)
+        recon_state = self.state_decoder(flat)
+        recon_reward = self.reward_linear(self.reward_decoder(flat))
+        return recon_state.astype(jnp.float32), recon_reward.astype(jnp.float32)
+
+    # ------------------------------------------------------------------ call
+    def __call__(
+        self,
+        idx_state: Union[Dict[str, jnp.ndarray], GroupedBatch],
+        actions: Optional[Dict[str, jnp.ndarray]] = None,
+        rng_key: Optional[jax.Array] = None,
+    ):
+        spec = self.spec
+        if isinstance(idx_state, GroupedBatch):
+            batch, agent_ids = idx_state, None
+        else:
+            batch, agent_ids = group_dict_batch(spec, idx_state, actions)
+
+        mu_g, logvar_g, aemb_g = self.encode(batch, agent_ids)
+        z_g = self.reparameterize(mu_g, logvar_g, rng_key)
+
+        if spec.grouped_is_identity:
+            mu, logvar, aemb, z = mu_g, logvar_g, aemb_g, z_g
+        else:
+            perm = jnp.asarray(spec.perm_from_grouped)
+            mu = jnp.take(mu_g, perm, axis=1)
+            logvar = jnp.take(logvar_g, perm, axis=1)
+            aemb = jnp.take(aemb_g, perm, axis=1)
+            z = jnp.take(z_g, perm, axis=1)
+
+        recon_state, recon_reward = self.decode(z, aemb)
+        b = mu.shape[0]
+        # Reference contract: concatenated [B, A*F] in agent order
+        # (jax_ver/model.py:195-197).
+        return (
+            recon_state,
+            recon_reward,
+            mu.astype(jnp.float32).reshape(b, -1),
+            logvar.astype(jnp.float32).reshape(b, -1),
+        )

@@ -1,0 +1,168 @@
+"""MAVAE model tests: shapes, grouping, parity of stacked vs per-agent math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfvae_tpu.config import ModelConfig
+from mfvae_tpu.models.layers import StackedDense, StackedMLP
+from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE, group_dict_batch
+
+
+def tiny_spec(n_adv=3, n_good=2, obs_adv=10, obs_good=8, n_act=5):
+    agents = tuple(f"adversary_{i}" for i in range(n_adv)) + tuple(
+        f"agent_{i}" for i in range(n_good)
+    )
+    obs = {a: (obs_adv if a.startswith("adv") else obs_good) for a in agents}
+    act = {a: n_act for a in agents}
+    return AgentSpec.from_dicts(agents, obs, act)
+
+
+def make_dict_batch(spec, batch=4, seed=0):
+    rng = np.random.default_rng(seed)
+    idx_state = {}
+    actions = {}
+    for i, a in enumerate(spec.agents):
+        od = spec.obs_dim_map[a]
+        obs = rng.normal(size=(batch, od)).astype(np.float32)
+        idx_state[a] = jnp.concatenate(
+            [jnp.full((batch, 1), float(i)), jnp.array(obs)], axis=1
+        )
+        actions[a] = jnp.array(rng.integers(0, spec.act_dim_map[a], size=(batch,)))
+    return idx_state, actions
+
+
+class TestAgentSpec:
+    def test_grouping(self):
+        spec = tiny_spec()
+        assert len(spec.groups) == 2
+        (dims0, idxs0), (dims1, idxs1) = spec.groups
+        assert dims0 == (10, 5) and idxs0 == (0, 1, 2)
+        assert dims1 == (8, 5) and idxs1 == (3, 4)
+        assert spec.grouped_is_identity
+
+    def test_interleaved_permutation(self):
+        agents = ("a0", "b0", "a1", "b1")
+        obs = {"a0": 4, "a1": 4, "b0": 6, "b1": 6}
+        act = {k: 5 for k in agents}
+        spec = AgentSpec.from_dicts(agents, obs, act)
+        assert not spec.grouped_is_identity
+        # grouped order: a0, a1, b0, b1 -> positions of originals
+        assert spec.perm_from_grouped == (0, 2, 1, 3)
+
+
+class TestStackedLayers:
+    def test_stacked_dense_equals_independent(self):
+        """One batched einsum == A independent Dense applications."""
+        B, A, I, O = 3, 4, 6, 5
+        x = jnp.array(np.random.default_rng(0).normal(size=(B, A, I)), jnp.float32)
+        layer = StackedDense(stack=A, features=O)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        y = layer.apply(params, x)
+        assert y.shape == (B, A, O)
+        kernel = params["params"]["kernel"]
+        bias = params["params"]["bias"]
+        for a in range(A):
+            ref = x[:, a, :] @ kernel[a] + bias[a]
+            np.testing.assert_allclose(np.asarray(y[:, a]), np.asarray(ref), rtol=1e-5)
+
+    def test_stacked_mlp_shapes(self):
+        x = jnp.ones((2, 3, 7))
+        m = StackedMLP(stack=3, hidden=(8, 8), out_dim=4)
+        params = m.init(jax.random.PRNGKey(1), x)
+        assert m.apply(params, x).shape == (2, 3, 4)
+
+
+class TestMAVAE:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        spec = tiny_spec()
+        model = MAVAE.from_config(ModelConfig(compute_dtype="float32"), spec)
+        idx_state, actions = make_dict_batch(spec)
+        params = model.init(
+            jax.random.PRNGKey(0), idx_state, actions, jax.random.PRNGKey(1)
+        )
+        return spec, model, idx_state, actions, params
+
+    def test_output_shapes(self, setup):
+        spec, model, idx_state, actions, params = setup
+        rs, rr, mu, lv = model.apply(params, idx_state, actions, jax.random.PRNGKey(2))
+        B = 4
+        assert rs.shape == (B, sum(spec.obs_dims))
+        assert rr.shape == (B, spec.n_agents)
+        assert mu.shape == (B, spec.n_agents * 64)
+        assert lv.shape == (B, spec.n_agents * 64)
+
+    def test_dict_and_grouped_paths_agree(self, setup):
+        spec, model, idx_state, actions, params = setup
+        batch, _ = group_dict_batch(spec, idx_state, actions)
+        out_d = model.apply(params, idx_state, actions, jax.random.PRNGKey(2))
+        out_g = model.apply(params, batch, None, jax.random.PRNGKey(2))
+        for a, b in zip(out_d, out_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_deterministic_given_key(self, setup):
+        spec, model, idx_state, actions, params = setup
+        o1 = model.apply(params, idx_state, actions, jax.random.PRNGKey(3))
+        o2 = model.apply(params, idx_state, actions, jax.random.PRNGKey(3))
+        for a, b in zip(o1, o2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        o3 = model.apply(params, idx_state, actions, jax.random.PRNGKey(4))
+        assert not np.allclose(np.asarray(o1[0]), np.asarray(o3[0]))
+
+    def test_mu_is_agent_major_order(self, setup):
+        """mu_all must be the agent-order concat (reference jax_ver/model.py:195)."""
+        spec, model, idx_state, actions, params = setup
+        batch, ids = group_dict_batch(spec, idx_state, actions)
+        mu_g, lv_g, _ = model.apply(
+            params, batch, ids, method=lambda m, b, i: m.encode(b, i)
+        )
+        _, _, mu_flat, _ = model.apply(
+            params, idx_state, actions, jax.random.PRNGKey(2)
+        )
+        # grouped order == agent order for this spec
+        np.testing.assert_allclose(
+            np.asarray(mu_flat),
+            np.asarray(mu_g.astype(jnp.float32).reshape(4, -1)),
+            rtol=1e-5,
+        )
+
+    def test_reference_rng_mode_runs(self):
+        spec = tiny_spec(n_adv=2, n_good=1)
+        model = MAVAE.from_config(
+            ModelConfig(compute_dtype="float32", rng_mode="reference"), spec
+        )
+        idx_state, actions = make_dict_batch(spec, batch=2)
+        params = model.init(
+            jax.random.PRNGKey(0), idx_state, actions, jax.random.PRNGKey(1)
+        )
+        rs, rr, mu, lv = model.apply(params, idx_state, actions, jax.random.PRNGKey(2))
+        assert rs.shape == (2, sum(spec.obs_dims))
+
+    def test_continuous_actions(self):
+        agents = ("x0", "x1")
+        spec = AgentSpec.from_dicts(agents, {"x0": 4, "x1": 4}, {"x0": 3, "x1": 3})
+        model = MAVAE.from_config(
+            ModelConfig(compute_dtype="float32", discrete_act=False), spec
+        )
+        B = 2
+        batch = GroupedBatch(
+            obs=(jnp.ones((B, 2, 4)),), actions=(jnp.ones((B, 2, 3)),)
+        )
+        params = model.init(jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1))
+        rs, rr, mu, lv = model.apply(params, batch, None, jax.random.PRNGKey(2))
+        assert rs.shape == (B, 8) and rr.shape == (B, 2)
+
+    def test_jit_single_trace(self, setup):
+        spec, model, idx_state, actions, params = setup
+        import chex
+
+        @jax.jit
+        @chex.assert_max_traces(n=1)
+        def fwd(p, s, a, k):
+            return model.apply(p, s, a, k)
+
+        chex.clear_trace_counter()
+        fwd(params, idx_state, actions, jax.random.PRNGKey(0))
+        fwd(params, idx_state, actions, jax.random.PRNGKey(1))
