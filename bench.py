@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark: train samples/sec/chip at batch 256 on the flagship model.
+
+Metric per BASELINE.json: "train samples/sec/chip at batch 256"; the
+reference's only quantitative record is ~19 end-to-end trained samples/s on
+its host (BASELINE.md throughput table), which `vs_baseline` is measured
+against.
+
+Runs on whatever jax.devices() provides (the real TPU chip under the driver;
+CPU elsewhere).  Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+
+    from mfvae_tpu.config import LossConfig, TrainConfig
+    from mfvae_tpu.data.transitions import VaeBatch
+    from mfvae_tpu.training.trainer import create_train_state, make_train_step
+    from __graft_entry__ import _flagship
+
+    BATCH = 256
+    spec, model, inputs = _flagship(batch_size=BATCH)
+    rng = np.random.default_rng(0)
+    batch = VaeBatch(
+        inputs=inputs,
+        next_state=jnp.asarray(rng.normal(size=(BATCH, sum(spec.obs_dims))), jnp.float32),
+        rewards=jnp.asarray(rng.normal(size=(BATCH, spec.n_agents)), jnp.float32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), inputs, None, jax.random.PRNGKey(1))
+    state = create_train_state(model, variables, TrainConfig())
+    step = jax.jit(make_train_step(LossConfig()), donate_argnums=0)
+
+    # warmup/compile
+    state, outs = step(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(outs.loss)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, outs = step(state, batch, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(outs.loss)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = BATCH * n_iters / dt
+    baseline = 19.0  # reference end-to-end trained samples/s (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip_batch256",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

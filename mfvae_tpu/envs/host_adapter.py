@@ -1,0 +1,221 @@
+"""Host (PettingZoo) environment path.
+
+Capability parity with the reference's torch stack: ``create_env``
+(torch_ver/src/env.py:24-39), space-size introspection (env.py:6-21), and a
+``MultiAgentHostBuffer`` replacing ``MultiAgentCPPRB``
+(torch_ver/src/replay_buffer.py:53-115) on top of the native C++ ring
+(data/host_buffer.py).  A background collector thread overlaps host env
+stepping with device training — the host→device pipeline the reference
+serializes (SURVEY §3.1: the 128-step host env loop blocks training).
+
+PettingZoo is optional; everything degrades to a clear ImportError message.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from mfvae_tpu.data.host_buffer import HostRingBuffer
+
+
+def get_space_size(space) -> int:
+    """Discrete/MultiBinary/Box introspection (torch_ver/src/env.py:6-21)."""
+    import gymnasium
+
+    if isinstance(space, gymnasium.spaces.Discrete):
+        return int(space.n)
+    if isinstance(space, gymnasium.spaces.MultiBinary):
+        return int(np.prod(space.shape))
+    if isinstance(space, gymnasium.spaces.Box):
+        return int(space.shape[0])
+    raise NotImplementedError(type(space))
+
+
+class LocalHostEnv:
+    """PettingZoo parallel-API wrapper over the in-repo pure-JAX simple_tag
+    (envs/mpe.py), for when neither `pettingzoo.mpe` nor `mpe2` ships the
+    MPE family (PettingZoo >=1.25 moved it out).  Same surface the
+    reference consumes: reset(seed)->(obs, infos), step(actions)->
+    (obs, rewards, terminations, truncations, infos), agents,
+    observation_space/action_space."""
+
+    def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles):
+        import jax
+
+        from mfvae_tpu.envs.mpe import SimpleTagEnv
+
+        self._jax = jax
+        self._env = SimpleTagEnv(
+            num_good_agents=num_good,
+            num_adversaries=num_adversaries,
+            num_obs=num_obstacles,
+            max_steps=max_cycles,
+        )
+        self.agents = list(self._env.agents)
+        self._step_jit = jax.jit(self._env.step)
+        self._reset_jit = jax.jit(self._env.reset)
+        self._state = None
+        self._key = jax.random.PRNGKey(0)
+
+    def observation_space(self, agent):
+        import gymnasium
+
+        d = self._env.obs_dim(agent.startswith("adversary"))
+        return gymnasium.spaces.Box(-np.inf, np.inf, (d,), np.float32)
+
+    def action_space(self, agent):
+        import gymnasium
+
+        return gymnasium.spaces.Discrete(self._env.action_space(agent).n)
+
+    def reset(self, seed: Optional[int] = None):
+        if seed is not None:
+            self._key = self._jax.random.PRNGKey(seed)
+        self._key, k = self._jax.random.split(self._key)
+        obs, self._state = self._reset_jit(k)
+        return {a: np.asarray(o) for a, o in obs.items()}, {a: {} for a in self.agents}
+
+    def step(self, actions):
+        import jax.numpy as jnp
+
+        self._key, k = self._jax.random.split(self._key)
+        acts = {a: jnp.asarray(v) for a, v in actions.items()}
+        obs, self._state, rew, done, info = self._step_jit(k, self._state, acts)
+        obs = {a: np.asarray(o) for a, o in obs.items()}
+        rewards = {a: float(rew[a]) for a in self.agents}
+        truncs = {a: bool(done[a]) for a in self.agents}  # time-limit only
+        terms = {a: False for a in self.agents}
+        return obs, rewards, terms, truncs, {a: {} for a in self.agents}
+
+
+def create_env(
+    env_name: str = "simple_tag_v3",
+    num_good: int = 10,
+    num_adversaries: int = 30,
+    num_obstacles: int = 20,
+    max_cycles: int = 1000,
+    seed: int = 42,
+):
+    """Host env factory (torch_ver/src/env.py:24-39 surface: returns
+    (env, obs_dims, act_dims, obs, infos)).  Uses PettingZoo's MPE when
+    installed (pettingzoo.mpe, or the split-out mpe2 package), falling back
+    to the in-repo LocalHostEnv."""
+    if env_name != "simple_tag_v3":
+        raise NotImplementedError(env_name)
+    env = None
+    for modname in ("pettingzoo.mpe", "mpe2"):
+        try:
+            import importlib
+
+            mod = importlib.import_module(f"{modname}.simple_tag_v3")
+            env = mod.parallel_env(
+                num_good=num_good,
+                num_adversaries=num_adversaries,
+                num_obstacles=num_obstacles,
+                max_cycles=max_cycles,
+                continuous_actions=False,
+            )
+            break
+        except ImportError:
+            continue
+    if env is None:
+        env = LocalHostEnv(num_good, num_adversaries, num_obstacles, max_cycles)
+    obs, infos = env.reset(seed=seed)
+    obs_dims = {a: get_space_size(env.observation_space(a)) for a in env.agents}
+    act_dims = {a: get_space_size(env.action_space(a)) for a in env.agents}
+    return env, obs_dims, act_dims, obs, infos
+
+
+class MultiAgentHostBuffer:
+    """Per-agent transition store over the native ring
+    (torch_ver/src/replay_buffer.py schema: {agent}_observations /
+    _next_observations / _actions / _rewards / _terminals / _truncations +
+    mask)."""
+
+    def __init__(self, env, max_size: int = 10_000, batch_size: int = 128, seed: int = 0):
+        self.batch_size = batch_size
+        self.agents = list(env.agents)
+        schema = {}
+        for a in self.agents:
+            od = get_space_size(env.observation_space(a))
+            schema[f"{a}_observations"] = ((od,), np.float32)
+            schema[f"{a}_next_observations"] = ((od,), np.float32)
+            schema[f"{a}_actions"] = ((), np.int64)
+            schema[f"{a}_rewards"] = ((1,), np.float32)
+            schema[f"{a}_terminals"] = ((1,), np.float32)
+            schema[f"{a}_truncations"] = ((1,), np.float32)
+        schema["mask"] = ((1,), np.float32)
+        self.buffer = HostRingBuffer(schema, capacity=max_size, seed=seed)
+
+    def add(self, obs, actions, rewards, next_obs, terminals, truncations) -> None:
+        item = {}
+        for a in self.agents:
+            item[f"{a}_observations"] = np.asarray(obs[a], np.float32)
+            item[f"{a}_next_observations"] = np.asarray(next_obs[a], np.float32)
+            item[f"{a}_actions"] = np.asarray(actions[a], np.int64)
+            item[f"{a}_rewards"] = np.asarray([rewards[a]], np.float32)
+            item[f"{a}_terminals"] = np.asarray([float(terminals[a])], np.float32)
+            item[f"{a}_truncations"] = np.asarray([float(truncations[a])], np.float32)
+        item["mask"] = np.asarray([1.0], np.float32)
+        self.buffer.add(item)
+
+    def sample(self) -> Dict[str, np.ndarray]:
+        return self.buffer.sample(self.batch_size)
+
+    def __len__(self) -> int:
+        return len(self.buffer)
+
+
+class AsyncCollector:
+    """Background thread stepping a host env with random actions and feeding
+    the buffer, so device train steps never wait on host physics."""
+
+    def __init__(self, env, buffer: MultiAgentHostBuffer, seed: int = 0):
+        self.env = env
+        self.buffer = buffer
+        self.rng = np.random.default_rng(seed)
+        self._stop = threading.Event()
+        self._steps = 0
+        self._thread: Optional[threading.Thread] = None
+        self._obs, _ = env.reset(seed=seed)
+
+    def collect(self, n_steps: int) -> int:
+        """Synchronous collection of n_steps transitions."""
+        for _ in range(n_steps):
+            self._one_step()
+        return self._steps
+
+    def _one_step(self):
+        env = self.env
+        actions = {
+            a: int(self.rng.integers(0, env.action_space(a).n)) for a in env.agents
+        }
+        next_obs, rewards, terms, truncs, _ = env.step(actions)
+        self.buffer.add(self._obs, actions, rewards, next_obs, terms, truncs)
+        self._obs = next_obs
+        self._steps += 1
+        if any(terms.values()) or any(truncs.values()) or not env.agents:
+            self._obs, _ = env.reset()
+
+    def start(self, max_steps: Optional[int] = None):
+        def loop():
+            while not self._stop.is_set():
+                if max_steps is not None and self._steps >= max_steps:
+                    break
+                self._one_step()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    @property
+    def steps(self) -> int:
+        return self._steps

@@ -1,0 +1,312 @@
+"""Pure-JAX MPE (multi-agent particle environment) — simple_tag.
+
+The reference consumes MPE through two external stacks: PettingZoo on the
+host (torch_ver/src/env.py:24-39) and JaxMARL on device
+(jax_ver/main.py:59-62).  Neither is available here, and a host env would
+serialize the device pipeline (SURVEY §3.2: host↔device crossing every env
+step), so the framework ships its own fully-jittable implementation written
+against the public MPE specification: same scenario parameters, physics
+integrator, observation layout, and reward structure as
+``mpe2/simple_tag``, so `env.step` composes into `lax.scan` rollouts and
+vmaps over env batches on the TPU.
+
+Everything is vectorized over entities — there are no per-agent Python loops
+in step/reset; pairwise contact forces are one [N, N, 2] broadcast, and
+observations for all agents of a class are assembled with one gather each.
+
+API mirrors the JaxMARL surface the reference uses (jax_ver/main.py:78-84):
+``reset(key) -> (obs_dict, state)``, ``step(key, state, action_dict) ->
+(obs, state, rewards, dones, infos)``, ``env.agents``,
+``env.action_space(agent)``, ``env.observation_space(agent)`` — plus
+stacked-tensor variants (``reset_stacked`` / ``step_stacked``) that skip the
+dict packing for the fully-compiled collection path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+
+from mfvae_tpu.envs.spaces import Box, Discrete
+
+# MPE scenario constants (public simple_tag spec):
+#   adversaries: size .075, accel 3.0, max_speed 1.0
+#   good agents: size .05,  accel 4.0, max_speed 1.3
+#   landmarks:   size .2, static, collidable
+#   world: dt .1, damping .25, contact_force 1e2, contact_margin 1e-3
+DT = 0.1
+DAMPING = 0.25
+CONTACT_FORCE = 1e2
+CONTACT_MARGIN = 1e-3
+ADV_SIZE, GOOD_SIZE, LANDMARK_SIZE = 0.075, 0.05, 0.2
+ADV_ACCEL, GOOD_ACCEL = 3.0, 4.0
+ADV_MAX_SPEED, GOOD_MAX_SPEED = 1.0, 1.3
+COLLISION_REWARD = 10.0
+
+
+class MPEState(NamedTuple):
+    agent_pos: jnp.ndarray  # [A, 2] adversaries first, then good agents
+    agent_vel: jnp.ndarray  # [A, 2]
+    landmark_pos: jnp.ndarray  # [L, 2]
+    step: jnp.ndarray  # int32
+
+
+class StackedObs(NamedTuple):
+    """Per-class observation tensors (adversaries see good-agent velocities;
+    good agents see other good agents' velocities)."""
+
+    adversary: jnp.ndarray  # [n_adv, obs_dim_adv]
+    good: jnp.ndarray  # [n_good, obs_dim_good]
+
+
+@dataclass(frozen=True)
+class SimpleTagEnv:
+    """simple_tag with the reference's population:
+    10 good + 30 adversaries + 20 obstacles (jax_ver/main.py:59-62,
+    torch_ver/src/env.py:27)."""
+
+    num_good_agents: int = 10
+    num_adversaries: int = 30
+    num_obs: int = 20
+    max_steps: int = 1000  # torch_ver/src/env.py:27 max_cycles
+    discrete_actions: bool = True
+
+    # ------------------------------------------------------------- metadata
+    @cached_property
+    def agents(self) -> Tuple[str, ...]:
+        return tuple(f"adversary_{i}" for i in range(self.num_adversaries)) + tuple(
+            f"agent_{i}" for i in range(self.num_good_agents)
+        )
+
+    @property
+    def num_agents(self) -> int:
+        return self.num_adversaries + self.num_good_agents
+
+    # NOTE: these cached constants are numpy, not jnp — a cached jnp array
+    # created inside a trace would cache a tracer and leak across jits.
+    @cached_property
+    def _sizes(self) -> _np.ndarray:
+        return _np.concatenate(
+            [
+                _np.full((self.num_adversaries,), ADV_SIZE, _np.float32),
+                _np.full((self.num_good_agents,), GOOD_SIZE, _np.float32),
+            ]
+        )
+
+    @cached_property
+    def _accels(self) -> _np.ndarray:
+        return _np.concatenate(
+            [
+                _np.full((self.num_adversaries,), ADV_ACCEL, _np.float32),
+                _np.full((self.num_good_agents,), GOOD_ACCEL, _np.float32),
+            ]
+        )
+
+    @cached_property
+    def _max_speeds(self) -> _np.ndarray:
+        return _np.concatenate(
+            [
+                _np.full((self.num_adversaries,), ADV_MAX_SPEED, _np.float32),
+                _np.full((self.num_good_agents,), GOOD_MAX_SPEED, _np.float32),
+            ]
+        )
+
+    def obs_dim(self, adversary: bool) -> int:
+        # [self_vel(2), self_pos(2), landmark_rel(2L), other_rel(2(A-1)),
+        #  good_vel(2 * visible good agents)]
+        base = 4 + 2 * self.num_obs + 2 * (self.num_agents - 1)
+        return base + 2 * (
+            self.num_good_agents if adversary else self.num_good_agents - 1
+        )
+
+    def action_space(self, agent: str):
+        if self.discrete_actions:
+            return Discrete(5)
+        return Box(-1.0, 1.0, (2,))
+
+    def observation_space(self, agent: str):
+        return Box(
+            -jnp.inf, jnp.inf, (self.obs_dim(agent.startswith("adversary")),)
+        )
+
+    # ---------------------------------------------------------------- reset
+    def reset_stacked(self, rng_key: jax.Array) -> Tuple[StackedObs, MPEState]:
+        k_a, k_l = jax.random.split(rng_key)
+        state = MPEState(
+            agent_pos=jax.random.uniform(
+                k_a, (self.num_agents, 2), minval=-1.0, maxval=1.0
+            ),
+            agent_vel=jnp.zeros((self.num_agents, 2)),
+            landmark_pos=jax.random.uniform(
+                k_l, (self.num_obs, 2), minval=-0.9, maxval=0.9
+            ),
+            step=jnp.int32(0),
+        )
+        return self._observe(state), state
+
+    def reset(self, rng_key: jax.Array):
+        obs, state = self.reset_stacked(rng_key)
+        return self._obs_dict(obs), state
+
+    # ----------------------------------------------------------------- step
+    def step_stacked(
+        self, rng_key: jax.Array, state: MPEState, actions: jnp.ndarray
+    ) -> Tuple[StackedObs, MPEState, jnp.ndarray, jnp.ndarray, Dict]:
+        """actions: [A] int (discrete) or [A, 2] float.  Returns stacked obs,
+        new state, per-agent rewards [A], per-agent done flags [A] (+__all__
+        appended by the dict wrapper), info."""
+        del rng_key  # physics is deterministic; key kept for API parity
+        u = self._action_force(actions)
+        p_force = u * self._accels[:, None]
+        p_force = p_force + self._contact_forces(state)
+
+        vel = state.agent_vel * (1.0 - DAMPING) + p_force * DT  # unit mass
+        speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, self._max_speeds[:, None] / jnp.maximum(speed, 1e-8))
+        vel = vel * scale
+        pos = state.agent_pos + vel * DT
+
+        new_state = MPEState(
+            agent_pos=pos,
+            agent_vel=vel,
+            landmark_pos=state.landmark_pos,
+            step=state.step + 1,
+        )
+        rewards = self._rewards(new_state)
+        done = jnp.full(
+            (self.num_agents,), new_state.step >= self.max_steps, dtype=bool
+        )
+        return self._observe(new_state), new_state, rewards, done, {}
+
+    def step(self, rng_key, state, actions: Dict[str, jnp.ndarray]):
+        act = jnp.stack([actions[a] for a in self.agents], axis=0)
+        obs, new_state, rewards, done, info = self.step_stacked(rng_key, state, act)
+        rew_d = {a: rewards[i] for i, a in enumerate(self.agents)}
+        done_d = {a: done[i] for i, a in enumerate(self.agents)}
+        done_d["__all__"] = jnp.all(done)
+        return self._obs_dict(obs), new_state, rew_d, done_d, info
+
+    # ------------------------------------------------------------- dynamics
+    def _action_force(self, actions: jnp.ndarray) -> jnp.ndarray:
+        if self.discrete_actions:
+            # 0 no-op, 1 -x, 2 +x, 3 -y, 4 +y (standard MPE discrete map)
+            directions = jnp.array(
+                [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
+            )
+            return directions[actions]
+        return actions
+
+    def _contact_forces(self, state: MPEState) -> jnp.ndarray:
+        """Soft-penetration contact forces among all collidable entities,
+        computed as one pairwise broadcast; only agents are movable so only
+        agent rows receive force."""
+        ent_pos = jnp.concatenate([state.agent_pos, state.landmark_pos], axis=0)
+        ent_size = jnp.concatenate(
+            [self._sizes, jnp.full((self.num_obs,), LANDMARK_SIZE)]
+        )
+        n = ent_pos.shape[0]
+        delta = ent_pos[:, None, :] - ent_pos[None, :, :]  # [N, N, 2]
+        dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
+        dist_min = ent_size[:, None] + ent_size[None, :]
+        # softplus penetration (smooth contact), per public MPE dynamics
+        k = CONTACT_MARGIN
+        penetration = jnp.logaddexp(0.0, -(dist - dist_min) / k) * k
+        force_mag = CONTACT_FORCE * penetration / dist
+        force = delta * force_mag[..., None]
+        force = force * (1.0 - jnp.eye(n))[..., None]  # no self-force
+        return jnp.sum(force, axis=1)[: self.num_agents]
+
+    def _collision_matrix(self, state: MPEState) -> jnp.ndarray:
+        """[n_adv, n_good] bool: adversary i touching good agent j."""
+        adv = state.agent_pos[: self.num_adversaries]
+        good = state.agent_pos[self.num_adversaries :]
+        delta = adv[:, None, :] - good[None, :, :]
+        dist = jnp.linalg.norm(delta, axis=-1)
+        return dist < (ADV_SIZE + GOOD_SIZE)
+
+    def _rewards(self, state: MPEState) -> jnp.ndarray:
+        coll = self._collision_matrix(state)  # [n_adv, n_good]
+        # Team reward: every adversary receives +10 per colliding
+        # (adversary, good) pair; each good agent -10 per adversary touching
+        # *it* — the public simple_tag reward structure.
+        adv_rew = jnp.full(
+            (self.num_adversaries,), COLLISION_REWARD * jnp.sum(coll)
+        )
+        good_rew = -COLLISION_REWARD * jnp.sum(coll, axis=0).astype(jnp.float32)
+        # boundary penalty on good agents, per coordinate
+        good_pos = state.agent_pos[self.num_adversaries :]
+        x = jnp.abs(good_pos)
+        bound = jnp.where(
+            x < 0.9,
+            0.0,
+            jnp.where(x < 1.0, (x - 0.9) * 10.0, jnp.minimum(jnp.exp(2.0 * x - 2.0), 10.0)),
+        )
+        good_rew = good_rew - jnp.sum(bound, axis=-1)
+        return jnp.concatenate([adv_rew, good_rew])
+
+    # ---------------------------------------------------------- observation
+    def _observe(self, state: MPEState) -> StackedObs:
+        a, g, l = self.num_adversaries, self.num_good_agents, self.num_obs
+        n = self.num_agents
+        pos, vel = state.agent_pos, state.agent_vel
+
+        landmark_rel = state.landmark_pos[None, :, :] - pos[:, None, :]  # [A, L, 2]
+        other_rel = pos[None, :, :] - pos[:, None, :]  # [A, N, 2] includes self
+        # drop self via a static (trace-time) gather -> [A, N-1, 2]
+        keep_rows, keep_cols = _np.nonzero(~_np.eye(n, dtype=bool))
+        other_rel = other_rel[keep_rows, keep_cols].reshape(n, n - 1, 2)
+
+        good_vel = vel[a:]  # [G, 2]
+
+        def build(idx_lo, idx_hi, include_all_good: bool):
+            rows = slice(idx_lo, idx_hi)
+            parts = [
+                vel[rows],
+                pos[rows],
+                landmark_rel[rows].reshape(idx_hi - idx_lo, -1),
+                other_rel[rows].reshape(idx_hi - idx_lo, -1),
+            ]
+            if include_all_good:
+                gv = jnp.broadcast_to(
+                    good_vel.reshape(-1)[None, :], (idx_hi - idx_lo, 2 * g)
+                )
+            else:
+                # good agent i sees the other good agents' velocities
+                rows, cols = _np.nonzero(~_np.eye(g, dtype=bool))
+                gv = jnp.broadcast_to(good_vel[None], (g, g, 2))[rows, cols].reshape(
+                    g, (g - 1) * 2
+                )
+            parts.append(gv)
+            return jnp.concatenate(parts, axis=-1)
+
+        return StackedObs(
+            adversary=build(0, a, include_all_good=True),
+            good=build(a, n, include_all_good=False),
+        )
+
+    def _obs_dict(self, obs: StackedObs) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for i in range(self.num_adversaries):
+            out[f"adversary_{i}"] = obs.adversary[i]
+        for i in range(self.num_good_agents):
+            out[f"agent_{i}"] = obs.good[i]
+        return out
+
+
+_REGISTRY = {
+    "MPE_simple_tag_v3": SimpleTagEnv,
+}
+
+
+def make(name: str, **kwargs):
+    """Factory with the jaxmarl surface the reference calls
+    (jax_ver/main.py:59-62: make('MPE_simple_tag_v3', num_good_agents=...,
+    num_adversaries=..., num_obs=...))."""
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown env {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)

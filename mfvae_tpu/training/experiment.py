@@ -1,0 +1,191 @@
+"""Experiment driver — the framework's `main.py` equivalent.
+
+Replaces the reference's host-orchestrated epoch loop (jax_ver/main.py:
+148-235, torch_ver/main.py:64-108) with: build everything once, then call
+ONE jitted epoch program per epoch (collection + training + eval all
+on-device, carry donated so buffers update in place in HBM).  Host work per
+epoch is four scalar reads for TensorBoard and an optional checkpoint.
+
+Usage:
+    python main.py [config.yaml] [a.b=c overrides...]
+or programmatically:
+    exp = Experiment(cfg); exp.run()
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mfvae_tpu.config import ExperimentConfig
+from mfvae_tpu.data.buffer import ItemBuffer
+from mfvae_tpu.data.transitions import GroupedTransition
+from mfvae_tpu.envs.mpe import make
+from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
+from mfvae_tpu.rng import make_streams
+from mfvae_tpu.training.checkpoint import CheckpointManager
+from mfvae_tpu.training.metrics import MetricsLogger
+from mfvae_tpu.training.trainer import (
+    EnvCarry,
+    EpochCarry,
+    VaeTrainState,
+    create_train_state,
+    make_epoch_fn,
+    stacked_to_grouped,
+)
+
+
+def build_spec(env) -> AgentSpec:
+    """Derive dims from the live env, as the reference does
+    (jax_ver/main.py:101-107)."""
+    obs_dim = {a: env.obs_dim(a.startswith("adversary")) for a in env.agents}
+    act_dim = {a: env.action_space(a).n for a in env.agents}
+    return AgentSpec.from_dicts(env.agents, obs_dim, act_dim)
+
+
+class Experiment:
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.env = make(
+            cfg.env.name,
+            num_good_agents=cfg.env.num_good_agents,
+            num_adversaries=cfg.env.num_adversaries,
+            num_obs=cfg.env.num_obs,
+            max_steps=cfg.env.max_steps,
+        )
+        self.spec = build_spec(self.env)
+        self.codebook = {a: i for i, a in enumerate(self.env.agents)}
+        self.model = MAVAE.from_config(cfg.model, self.spec)
+        self.buffer = ItemBuffer(
+            max_length=cfg.buffer.max_size,
+            min_length=cfg.buffer.min_size,
+            sample_batch_size=cfg.buffer.batch_size,
+        )
+        self.test_buffer = ItemBuffer(
+            max_length=cfg.buffer.max_size,
+            min_length=cfg.buffer.min_size,
+            sample_batch_size=cfg.buffer.batch_size,
+        )
+        self.streams = make_streams(
+            cfg.train.seed, bug_compat=cfg.train.bug_compat_rng
+        )
+        self.logger: Optional[MetricsLogger] = None
+        self.ckpt: Optional[CheckpointManager] = None
+        self._epoch_jit = None
+        self.carry: Optional[EpochCarry] = None
+        self.start_epoch = 0
+
+    # ------------------------------------------------------------ lifecycle
+    def setup(self):
+        cfg = self.cfg
+        k_reset, _ = self.streams["reset"].next()
+        obs, env_state = self.env.reset_stacked(k_reset)
+
+        example = self._example_transition(obs, env_state)
+        buffer_state = self.buffer.init(example)
+        test_buffer_state = self.test_buffer.init(example)
+
+        k_model, _ = self.streams["model"].next()
+        fake_batch = self._fake_batch(cfg.train.batch_size)
+        variables = self.model.init(k_model, fake_batch, None, k_model)
+        train_state = create_train_state(self.model, variables, cfg.train)
+
+        self.carry = EpochCarry(
+            train_state=train_state,
+            buffer_state=buffer_state,
+            test_buffer_state=test_buffer_state,
+            env=EnvCarry(obs=obs, state=env_state),
+        )
+
+        epoch_fn = make_epoch_fn(
+            self.env, self.spec, self.buffer, self.test_buffer, cfg
+        )
+        self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
+
+        self.logger = MetricsLogger(cfg.train.log_dir, cfg.train.run_name)
+        self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+        if cfg.train.resume:
+            self._try_resume()
+        return self
+
+    def _example_transition(self, obs, env_state) -> GroupedTransition:
+        zero_actions = jnp.zeros((self.spec.n_agents,), jnp.int32)
+        next_obs, _, rewards, done, _ = self.env.step_stacked(
+            jax.random.PRNGKey(0), env_state, zero_actions
+        )
+        obs_g = stacked_to_grouped(self.spec, obs)
+        next_g = stacked_to_grouped(self.spec, next_obs)
+        act_g = tuple(
+            zero_actions[jnp.asarray(idxs)] for (_, _), idxs in self.spec.groups
+        )
+        return GroupedTransition(
+            obs=obs_g,
+            actions=act_g,
+            next_obs=next_g,
+            rewards=rewards,
+            done=jnp.float32(0.0),
+        )
+
+    def _fake_batch(self, batch_size: int) -> GroupedBatch:
+        obs = tuple(
+            jnp.zeros((batch_size, len(idxs), od))
+            for (od, _), idxs in self.spec.groups
+        )
+        act = tuple(
+            jnp.zeros((batch_size, len(idxs)), jnp.int32)
+            for (_, _), idxs in self.spec.groups
+        )
+        return GroupedBatch(obs=obs, actions=act)
+
+    def _try_resume(self):
+        step = self.ckpt.latest_step()
+        if step is None:
+            return
+        payload = self.ckpt.restore(
+            step,
+            like={
+                "carry": self.carry,
+                "epoch": 0,
+            },
+        )
+        self.carry = payload["carry"]
+        self.start_epoch = int(payload["epoch"]) + 1
+        print(f"resumed from checkpoint step {step} (epoch {self.start_epoch})")
+
+    # ----------------------------------------------------------------- run
+    def run(self) -> dict:
+        if self.carry is None:
+            self.setup()
+        cfg = self.cfg
+        t0 = time.time()
+        last = {}
+        for epoch in range(self.start_epoch, cfg.train.epoch_num):
+            k_epoch = self.streams["train"].at(epoch)
+            self.carry, metrics = self._epoch_jit(self.carry, k_epoch)
+            self.logger.losses(metrics.train, epoch, "Train")
+            self.logger.losses(metrics.test, epoch, "Test")
+            last = {
+                "epoch": epoch,
+                "loss_train": float(metrics.train.loss),
+                "loss_test": float(metrics.test.loss),
+            }
+            if (
+                cfg.train.checkpoint_every
+                and (epoch + 1) % cfg.train.checkpoint_every == 0
+            ):
+                self._save(epoch)
+        self._save(cfg.train.epoch_num - 1)
+        self.ckpt.wait()
+        self.logger.flush()
+        last["wall_s"] = time.time() - t0
+        return last
+
+    def _save(self, epoch: int):
+        self.ckpt.save(epoch, {"carry": self.carry, "epoch": epoch})
+
+
+def run_experiment(cfg: ExperimentConfig) -> dict:
+    return Experiment(cfg).setup().run()

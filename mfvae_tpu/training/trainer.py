@@ -1,0 +1,281 @@
+"""Fused train/test steps and the fully-compiled epoch program.
+
+Design deltas vs the reference (SURVEY §3.2 vs §3.4):
+
+- ONE forward per train step via ``value_and_grad(has_aux=True)`` — the
+  reference runs the forward twice (once for metrics, once under grad,
+  jax_ver/trainer.py:80-83).
+- Optimizer mode 'Adam' | 'ART' | 'POPART' (torch_ver/trainer.py:50) with
+  PopArt executed *inside* the jit as pure TrainState maps.
+- The whole epoch — collect `sample_num` env steps into the HBM buffer,
+  run `train_num` train steps, collect + evaluate the held-out test phase —
+  is ONE jitted, scan-based program (`make_epoch_fn`), the pattern the
+  reference only applies to its VDN baseline (vdn.py:522-524) while its VAE
+  path round-trips to Python every env and train step
+  (jax_ver/main.py:154-186).
+- Test losses are averaged over ``test_num`` (the reference divides by
+  train_num — jax_ver/main.py:228-231); ``bug_compat_test_avg`` restores the
+  reference behavior for curve replication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state as flax_train_state
+
+from mfvae_tpu.config import ExperimentConfig, LossConfig, TrainConfig
+from mfvae_tpu.data.buffer import BufferState, ItemBuffer
+from mfvae_tpu.data.transitions import GroupedTransition, VaeBatch, vae_batch_from_grouped
+from mfvae_tpu.models.losses import LossOutputs, elbo_losses
+from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
+from mfvae_tpu.training.popart import (
+    PopArtState,
+    art,
+    denormalize,
+    init_popart,
+    normalize,
+    pop_rescale_head,
+)
+
+
+class VaeTrainState(flax_train_state.TrainState):
+    """flax TrainState + PopArt statistics (kept even in Adam mode so the
+    pytree structure is mode-independent)."""
+
+    popart: PopArtState = struct.field(pytree_node=True, default=None)
+
+
+def create_train_state(
+    model: MAVAE,
+    params,
+    cfg: TrainConfig,
+) -> VaeTrainState:
+    tx = optax.adam(cfg.lr)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return VaeTrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=tx,
+        popart=init_popart(model.spec.n_agents),
+    )
+
+
+def _kl_scale(loss_cfg: LossConfig, step: jnp.ndarray) -> Optional[jnp.ndarray]:
+    if loss_cfg.kl_anneal_steps and loss_cfg.kl_anneal_steps > 0:
+        return jnp.minimum(1.0, step.astype(jnp.float32) / loss_cfg.kl_anneal_steps)
+    return None
+
+
+def make_train_step(
+    loss_cfg: LossConfig, mode: str = "Adam", popart_beta: float = 3e-4
+) -> Callable:
+    """Build the fused train step.  Signature:
+    (state, batch: VaeBatch, rng_key) -> (state, LossOutputs)."""
+    assert mode in ("Adam", "ART", "POPART"), mode
+    use_art = mode in ("ART", "POPART")
+    use_pop = mode == "POPART"
+
+    def train_step(
+        state: VaeTrainState, batch: VaeBatch, rng_key
+    ) -> Tuple[VaeTrainState, LossOutputs]:
+        params = state.params
+        pa = state.popart
+        reward_targets = batch.rewards
+        if use_art:
+            pa_new = art(pa, reward_targets, popart_beta)
+            if use_pop:
+                params = pop_rescale_head(params, pa, pa_new, ("params", "reward_linear"))
+            pa = pa_new
+            reward_targets = normalize(pa, batch.rewards)
+
+        kl_scale = _kl_scale(loss_cfg, state.step)
+
+        def loss_fn(p):
+            recon_s, recon_r, mu, logvar = state.apply_fn(p, batch.inputs, None, rng_key)
+            out = elbo_losses(
+                recon_s, recon_r, batch.next_state, reward_targets,
+                mu, logvar, loss_cfg, kl_scale=kl_scale,
+            )
+            return out.loss, out
+
+        (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            popart=pa,
+        )
+        return state, outs
+
+    return train_step
+
+
+def make_test_step(loss_cfg: LossConfig, mode: str = "Adam") -> Callable:
+    """Eval step: forward + losses, no gradient (jax_ver/trainer.py:86-90).
+    Under ART/POPART the reward loss is computed against normalized targets,
+    consistent with training."""
+    use_art = mode in ("ART", "POPART")
+
+    def test_step(state: VaeTrainState, batch: VaeBatch, rng_key) -> LossOutputs:
+        reward_targets = batch.rewards
+        if use_art:
+            reward_targets = normalize(state.popart, batch.rewards)
+        recon_s, recon_r, mu, logvar = state.apply_fn(
+            state.params, batch.inputs, None, rng_key
+        )
+        return elbo_losses(
+            recon_s, recon_r, batch.next_state, reward_targets, mu, logvar, loss_cfg
+        )
+
+    return test_step
+
+
+# ---------------------------------------------------------------------------
+# Fully-compiled epoch: collect -> train -> test-collect -> test-eval
+# ---------------------------------------------------------------------------
+
+
+class EnvCarry(NamedTuple):
+    obs: Any  # stacked obs pytree from env.reset_stacked
+    state: Any  # env state
+
+
+class EpochCarry(NamedTuple):
+    train_state: VaeTrainState
+    buffer_state: BufferState
+    test_buffer_state: BufferState
+    env: EnvCarry
+
+
+class EpochMetrics(NamedTuple):
+    train: LossOutputs
+    test: LossOutputs
+
+
+def stacked_to_grouped(spec: AgentSpec, stacked_obs) -> Tuple[jnp.ndarray, ...]:
+    """Map an env's StackedObs (one tensor per agent class) onto the spec's
+    group order.  Valid when classes and spec groups coincide (true for
+    simple_tag: adversaries then good agents)."""
+    fields = tuple(stacked_obs)
+    assert len(fields) == len(spec.groups), (
+        f"env has {len(fields)} agent classes but spec has {len(spec.groups)} groups"
+    )
+    for t, ((obs_dim, _), idxs) in zip(fields, spec.groups):
+        assert t.shape[-2:] == (len(idxs), obs_dim), (
+            f"class tensor {t.shape} vs group ({len(idxs)}, {obs_dim})"
+        )
+    return fields
+
+
+def make_epoch_fn(
+    env,
+    spec: AgentSpec,
+    buffer: ItemBuffer,
+    test_buffer: ItemBuffer,
+    cfg: ExperimentConfig,
+):
+    """One compiled program per epoch (jit this; donate the carry).
+
+    Mirrors the reference epoch structure (jax_ver/main.py:151-235):
+    sample_num env steps -> train_num train steps -> sample_num test env
+    steps -> test_num eval steps, with correct RNG splitting per step and
+    correct test averaging.
+    """
+    train_step = make_train_step(cfg.loss, cfg.train.mode, cfg.train.popart_beta)
+    test_step = make_test_step(cfg.loss, cfg.train.mode)
+    n_agents = spec.n_agents
+    act_dims = spec.act_dims
+    assert all(d == act_dims[0] for d in act_dims), "uniform action spaces assumed"
+    n_act = act_dims[0]
+
+    def collect(carry: Tuple[EnvCarry, BufferState], key, which_buffer: ItemBuffer):
+        def body(c, k):
+            env_c, buf_state = c
+            k_act, k_step = jax.random.split(k)
+            actions = jax.random.randint(k_act, (n_agents,), 0, n_act)
+            obs_g = stacked_to_grouped(spec, env_c.obs)
+            act_groups = tuple(
+                actions[jnp.asarray(idxs)] for (_, _), idxs in spec.groups
+            )
+            next_obs, env_state, rewards, done, _ = env.step_stacked(
+                k_step, env_c.state, actions
+            )
+            next_g = stacked_to_grouped(spec, next_obs)
+            tr = GroupedTransition(
+                obs=obs_g,
+                actions=act_groups,
+                next_obs=next_g,
+                rewards=rewards,
+                done=jnp.max(done.astype(jnp.float32)),
+            )
+            buf_state = which_buffer.add(buf_state, tr)
+            # auto-reset at episode end (jax_ver/main.py:159-161)
+            k_reset = jax.random.fold_in(k, 2)
+            reset_obs, reset_state = env.reset_stacked(k_reset)
+            done_all = jnp.all(done)
+            new_obs = jax.tree.map(
+                lambda a, b: jnp.where(done_all, a, b), reset_obs, next_obs
+            )
+            new_state = jax.tree.map(
+                lambda a, b: jnp.where(done_all, a, b), reset_state, env_state
+            )
+            return (EnvCarry(obs=new_obs, state=new_state), buf_state), ()
+
+        keys = jax.random.split(key, cfg.train.sample_num)
+        (env_c, buf_state), _ = jax.lax.scan(body, carry, keys)
+        return env_c, buf_state
+
+    def train_phase(train_state, buf_state, key):
+        def body(ts, k):
+            k_sample, k_model = jax.random.split(k)
+            batch = buffer.sample(buf_state, k_sample)
+            vb = vae_batch_from_grouped(spec, batch.experience)
+            ts, outs = train_step(ts, vb, k_model)
+            return ts, outs
+
+        keys = jax.random.split(key, cfg.train.train_num)
+        train_state, outs = jax.lax.scan(body, train_state, keys)
+        mean_outs = jax.tree.map(lambda x: jnp.mean(x), outs)
+        return train_state, mean_outs
+
+    def test_phase(train_state, buf_state, key):
+        def body(_, k):
+            k_sample, k_model = jax.random.split(k)
+            batch = test_buffer.sample(buf_state, k_sample)
+            vb = vae_batch_from_grouped(spec, batch.experience)
+            return (), test_step(train_state, vb, k_model)
+
+        keys = jax.random.split(key, cfg.train.test_num)
+        _, outs = jax.lax.scan(body, (), keys)
+        if cfg.train.bug_compat_rng:
+            # reference divides test sums by train_num (jax_ver/main.py:228-231)
+            denom = cfg.train.train_num
+            return jax.tree.map(lambda x: jnp.sum(x) / denom, outs)
+        return jax.tree.map(lambda x: jnp.mean(x), outs)
+
+    def epoch(carry: EpochCarry, epoch_key) -> Tuple[EpochCarry, EpochMetrics]:
+        k_collect, k_train, k_tcollect, k_test = jax.random.split(epoch_key, 4)
+        env_c, buf_state = collect((carry.env, carry.buffer_state), k_collect, buffer)
+        train_state, train_metrics = train_phase(carry.train_state, buf_state, k_train)
+        env_c, test_buf_state = collect(
+            (env_c, carry.test_buffer_state), k_tcollect, test_buffer
+        )
+        test_metrics = test_phase(train_state, test_buf_state, k_test)
+        new_carry = EpochCarry(
+            train_state=train_state,
+            buffer_state=buf_state,
+            test_buffer_state=test_buf_state,
+            env=env_c,
+        )
+        return new_carry, EpochMetrics(train=train_metrics, test=test_metrics)
+
+    return epoch

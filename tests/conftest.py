@@ -1,23 +1,20 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
 This is the standard JAX trick for exercising shard_map/psum collectives
-without TPU hardware (SURVEY §4): force the host platform and split it into
-8 virtual devices BEFORE jax is imported anywhere.
+without TPU hardware (SURVEY §4).  Environment gotchas (this image):
+
+- The axon sitecustomize calls jax.config.update("jax_platforms",
+  "axon,cpu") at interpreter start, which OVERRIDES the JAX_PLATFORMS env
+  var — forcing cpu must itself go through jax.config, before the first
+  device query.
+- Ditto for virtual devices: XLA_FLAGS --xla_force_host_platform_device_count
+  is ignored; jax_num_cpu_devices via jax.config works.
 """
 
-import os
+import jax
 
-# Force, don't setdefault: the TPU environment exports JAX_PLATFORMS=axon
-# globally; tests always run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache makes repeated test runs much faster.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

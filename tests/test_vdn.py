@@ -1,0 +1,113 @@
+"""VDN baseline: network shapes, eps-greedy, and a tiny end-to-end
+compiled training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfvae_tpu.baselines.vdn import VdnConfig, VdnNetwork, _pack_obs, make_train
+from mfvae_tpu.envs.mpe import SimpleTagEnv
+from mfvae_tpu.models.qlearning import ScannedGRU, eps_greedy, epsilon_by_step
+
+
+def tiny_config(**kw):
+    d = dict(
+        num_good_agents=1,
+        num_adversaries=2,
+        num_obs=1,
+        max_env_steps=8,
+        num_envs=2,
+        num_steps=8,
+        num_updates=4,
+        buffer_size_time=64,
+        min_buffer_time=8,
+        batch_size=4,
+        sample_sequence_length=4,
+        hidden_dim=16,
+        test_num_envs=2,
+        test_num_steps=4,
+        test_interval=2,
+    )
+    d.update(kw)
+    return VdnConfig(**d)
+
+
+class TestQNetwork:
+    def test_scanned_gru_resets_on_done(self):
+        gru = ScannedGRU(hidden_dim=4)
+        T, B, D = 5, 2, 3
+        x = jnp.ones((T, B, D))
+        done = jnp.zeros((T, B), bool).at[2, :].set(True)
+        h0 = ScannedGRU.initialize_carry(B, 4)
+        params = gru.init(jax.random.PRNGKey(0), h0, (x, done))
+        _, ys = gru.apply(params, h0, (x, done))
+        # done[t] resets the carry BEFORE processing step t (the flag marks
+        # "a new episode starts here", as the reference feeds it) -> step 2
+        # behaves like a fresh step 0; step 3 is a second step, not a first
+        np.testing.assert_allclose(np.asarray(ys[2]), np.asarray(ys[0]), rtol=1e-5)
+        assert not np.allclose(np.asarray(ys[3]), np.asarray(ys[0]))
+
+    @pytest.mark.parametrize("share", [True, False])
+    def test_vdn_network_shapes(self, share):
+        net = VdnNetwork(action_dim=5, n_agents=3, hidden_dim=8, param_share=share)
+        T, B, N, D = 4, 2, 3, 7
+        h = jnp.zeros((B, N, 8))
+        obs = jnp.ones((T, B, N, D))
+        done = jnp.zeros((T, B), bool)
+        params = net.init(jax.random.PRNGKey(0), h, obs, done)
+        h2, q = net.apply(params, h, obs, done)
+        assert h2.shape == (B, N, 8)
+        assert q.shape == (T, B, N, 5)
+        if not share:
+            # independent nets -> per-agent leading param axis
+            leaf = jax.tree.leaves(params)[0]
+            assert leaf.shape[0] == N
+
+    def test_eps_greedy_limits(self):
+        q = jnp.array([[0.0, 10.0, 0.0]])
+        a_greedy = eps_greedy(jax.random.PRNGKey(0), q, jnp.float32(0.0))
+        assert int(a_greedy[0]) == 1
+        acts = [
+            int(eps_greedy(jax.random.PRNGKey(i), q, jnp.float32(1.0))[0])
+            for i in range(30)
+        ]
+        assert len(set(acts)) > 1  # fully random explores
+
+    def test_epsilon_schedule(self):
+        assert float(epsilon_by_step(jnp.int32(0), 1.0, 0.05, 100)) == 1.0
+        assert np.isclose(float(epsilon_by_step(jnp.int32(100), 1.0, 0.05, 100)), 0.05)
+        assert np.isclose(float(epsilon_by_step(jnp.int32(1000), 1.0, 0.05, 100)), 0.05)
+
+
+class TestPackObs:
+    def test_padding_and_onehot(self):
+        env = SimpleTagEnv(num_good_agents=1, num_adversaries=2, num_obs=1)
+        obs, _ = env.reset(jax.random.PRNGKey(0))
+        batched = {a: o[None] for a, o in obs.items()}
+        packed = _pack_obs(env, batched, env.num_agents)
+        d_pad = max(env.obs_dim(True), env.obs_dim(False))
+        assert packed.shape == (1, 3, d_pad + 3)
+        # one-hot id in the last n_agents columns
+        np.testing.assert_array_equal(
+            np.asarray(packed[0, :, -3:]), np.eye(3, dtype=np.float32)
+        )
+        # good agent obs (shorter) zero-padded before the one-hot block
+        good_dim = env.obs_dim(False)
+        np.testing.assert_array_equal(
+            np.asarray(packed[0, 2, good_dim:d_pad]),
+            np.zeros(d_pad - good_dim, np.float32),
+        )
+
+
+class TestVdnTrain:
+    @pytest.mark.parametrize("share", [True, False])
+    def test_end_to_end_compiled_training(self, share):
+        cfg = tiny_config(param_share=share)
+        train = make_train(cfg)
+        out = jax.jit(train)(jax.random.PRNGKey(0))
+        metrics = jax.tree.map(np.asarray, out["metrics"])
+        assert metrics["loss"].shape == (cfg.num_updates,)
+        assert np.isfinite(metrics["loss"]).all()
+        assert np.isfinite(metrics["test_return"]).all()
+        assert int(out["runner"].update_i) == cfg.num_updates
