@@ -215,7 +215,9 @@ def make_train(config: VdnConfig, env=None):
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(lr, eps=1e-5),
         )
-        train_state = TrainState.create(apply_fn=network.apply, params=params, tx=tx)
+        train_state = TrainState.create(
+            apply_fn=network.apply, params=params, tx=tx
+        ).replace(step=jnp.asarray(0, jnp.int32))  # pin dtype, avoid retrace
 
         example_step = Timestep(
             obs=obs[0],

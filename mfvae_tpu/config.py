@@ -114,6 +114,9 @@ class TrainConfig:
     checkpoint_dir: str = "model_save"
     checkpoint_every: int = 0  # epochs; 0 = only at end
     resume: bool = False
+    # dev-mode numerical guard (SURVEY §5.2: the TPU-native stand-in for
+    # sanitizers): recompile with NaN checks on every op
+    debug_nans: bool = False
 
 
 @dataclass

@@ -166,6 +166,12 @@ class MultiAgentHostBuffer:
     def sample(self) -> Dict[str, np.ndarray]:
         return self.buffer.sample(self.batch_size)
 
+    def on_episode_end(self) -> None:
+        """Episode-boundary hook (reference surface:
+        torch_ver/src/replay_buffer.py:104-105, where cpprb flushes n-step
+        staging).  The flat ring stores complete transitions, so this is a
+        no-op kept for API compatibility."""
+
     def __len__(self) -> int:
         return len(self.buffer)
 

@@ -1,0 +1,124 @@
+"""Inference path: load a checkpoint, serve world-model predictions.
+
+The reference has no inference story at all — it pickles params and never
+loads them (SURVEY §5.4).  Here a trained MAVAE checkpoint becomes a jitted
+predictor for the world-model queries the architecture supports:
+
+- ``predict(obs, actions)``  -> (next_state, rewards): posterior-mean
+  rollout (deterministic; z = mu),
+- ``sample(obs, actions, key, n)`` -> n stochastic next-state/reward draws
+  from the posterior,
+- ``encode(obs)`` -> per-agent (mu, logvar) latents.
+
+All entry points are donation-friendly jits over the GroupedBatch tensor
+format; a dict adapter accepts the reference's idx_state/actions dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mfvae_tpu.config import ModelConfig
+from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
+
+
+class WorldModel:
+    def __init__(self, model: MAVAE, variables):
+        self.model = model
+        self.variables = variables
+        spec = model.spec
+
+        def _decode_from(z, aemb):
+            return model.apply(
+                variables, z, aemb, method=lambda m, z_, a_: m.decode(z_, a_)
+            )
+
+        @jax.jit
+        def _predict(batch: GroupedBatch):
+            mu, logvar, aemb = model.apply(
+                variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
+            )
+            if not spec.grouped_is_identity:
+                perm = jnp.asarray(spec.perm_from_grouped)
+                mu = jnp.take(mu, perm, axis=1)
+                aemb = jnp.take(aemb, perm, axis=1)
+            return _decode_from(mu.astype(jnp.float32), aemb)
+
+        @jax.jit
+        def _encode(batch: GroupedBatch):
+            mu, logvar, _ = model.apply(
+                variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
+            )
+            return mu.astype(jnp.float32), logvar.astype(jnp.float32)
+
+        def _sample(batch: GroupedBatch, key, n):
+            def one(k):
+                out = model.apply(variables, batch, None, k)
+                return out[0], out[1]
+
+            return jax.vmap(one)(jax.random.split(key, n))
+
+        self._predict = _predict
+        self._encode = _encode
+        self._sample = jax.jit(_sample, static_argnums=2)
+
+    # ------------------------------------------------------------------ api
+    def predict(self, obs, actions) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior-mean next global state [B, Σobs] and per-agent rewards
+        [B, A]."""
+        return self._predict(self._as_batch(obs, actions))
+
+    def sample(self, obs, actions, rng_key, n: int = 1):
+        """n posterior draws: ([n, B, Σobs], [n, B, A])."""
+        return self._sample(self._as_batch(obs, actions), rng_key, n)
+
+    def encode(self, obs, actions=None):
+        """Per-agent latents (mu, logvar), each [B, A, F] grouped order."""
+        return self._encode(self._as_batch(obs, actions))
+
+    def _as_batch(self, obs, actions) -> GroupedBatch:
+        if isinstance(obs, GroupedBatch):
+            return obs
+        spec = self.model.spec
+        if isinstance(obs, dict):
+            obs_g, act_g = [], []
+            for (_, _), idxs in spec.groups:
+                names = [spec.agents[i] for i in idxs]
+                obs_g.append(jnp.stack([jnp.atleast_2d(obs[a]) for a in names], axis=1))
+                if actions is not None:
+                    act_g.append(
+                        jnp.stack([jnp.atleast_1d(actions[a]) for a in names], axis=1)
+                    )
+                else:
+                    act_g.append(
+                        jnp.zeros((obs_g[-1].shape[0], len(idxs)), jnp.int32)
+                    )
+            return GroupedBatch(obs=tuple(obs_g), actions=tuple(act_g))
+        raise TypeError(type(obs))
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        model_cfg: ModelConfig,
+        spec: AgentSpec,
+        step: Optional[int] = None,
+    ) -> "WorldModel":
+        """Restore the params saved by training.experiment (full-carry
+        checkpoints) and build a predictor."""
+        import numpy as np
+
+        from mfvae_tpu.training.checkpoint import CheckpointManager
+
+        model = MAVAE.from_config(model_cfg, spec)
+        mgr = CheckpointManager(checkpoint_dir)
+        payload = mgr.restore(step)
+        if payload is None:
+            raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
+        params = payload["carry"]["train_state"]["params"]
+        params = jax.tree.map(jnp.asarray, params)
+        return cls(model, params)

@@ -63,6 +63,18 @@ def kl_gaussian(
     return jnp.mean(jnp.sum(per_dim, axis=axes))
 
 
+def legacy_vae_loss(
+    y: jnp.ndarray,
+    y_hat: jnp.ndarray,
+    mu: jnp.ndarray,
+    logvar: jnp.ndarray,
+    kl_weight: float = 0.0025,
+) -> jnp.ndarray:
+    """The reference's legacy single-joint-decoder ELBO: MSE + weighted KL
+    (torch_ver/model.py:8-16 loss_vae_fn)."""
+    return mse(y, y_hat) + kl_gaussian(mu, logvar) * kl_weight
+
+
 class LossOutputs(NamedTuple):
     loss: jnp.ndarray
     s_loss: jnp.ndarray

@@ -81,6 +81,8 @@ class Experiment:
     # ------------------------------------------------------------ lifecycle
     def setup(self):
         cfg = self.cfg
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         k_reset, _ = self.streams["reset"].next()
         obs, env_state = self.env.reset_stacked(k_reset)
 

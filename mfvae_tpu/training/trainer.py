@@ -59,12 +59,17 @@ def create_train_state(
     tx = optax.adam(cfg.lr)
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
-    return VaeTrainState.create(
+    state = VaeTrainState.create(
         apply_fn=model.apply,
         params=params,
         tx=tx,
         popart=init_popart(model.spec.n_agents),
     )
+    # TrainState.create leaves step as a weak-typed Python int; one train
+    # step turns it into a strong int32, changing the input avals of any jit
+    # carrying the state and forcing a silent full retrace (10+ min remote
+    # compile on axon).  Pin it up front.
+    return state.replace(step=jnp.asarray(0, jnp.int32))
 
 
 def _kl_scale(loss_cfg: LossConfig, step: jnp.ndarray) -> Optional[jnp.ndarray]:

@@ -68,6 +68,8 @@ def make_vae_train_step(
 
 
 def create_vae_state(model, variables, lr: float = 1e-3) -> TrainState:
-    return TrainState.create(
+    state = TrainState.create(
         apply_fn=model.apply, params=variables, tx=optax.adam(lr)
     )
+    # pin step dtype so jits carrying the state don't retrace after step 1
+    return state.replace(step=jnp.asarray(0, jnp.int32))

@@ -185,6 +185,10 @@ class TestEndToEnd:
         result = exp.run()
         assert np.isfinite(result["loss_train"])
         assert result["epoch"] == cfg.train.epoch_num - 1
+        # the epoch program must compile exactly once — a second trace means
+        # carry avals drift between epochs (e.g. weak-typed step counters),
+        # which on the TPU costs a silent multi-minute remote recompile
+        assert exp._epoch_jit._cache_size() == 1
         # metrics written with reference tag names
         import json
 
