@@ -117,6 +117,11 @@ class TrainConfig:
     # dev-mode numerical guard (SURVEY §5.2: the TPU-native stand-in for
     # sanitizers): recompile with NaN checks on every op
     debug_nans: bool = False
+    # True: the whole epoch (collect+train+test) is ONE compiled program
+    # (fastest steady state). False: per-phase jits — much faster first
+    # compile (collect program reused for both collection phases), 4 host
+    # dispatches per epoch.
+    fused_epoch: bool = True
 
 
 @dataclass

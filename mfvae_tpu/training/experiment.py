@@ -31,9 +31,11 @@ from mfvae_tpu.training.metrics import MetricsLogger
 from mfvae_tpu.training.trainer import (
     EnvCarry,
     EpochCarry,
+    EpochMetrics,
     VaeTrainState,
     create_train_state,
     make_epoch_fn,
+    make_phase_fns,
     stacked_to_grouped,
 )
 
@@ -84,16 +86,25 @@ class Experiment:
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
         k_reset, _ = self.streams["reset"].next()
-        obs, env_state = self.env.reset_stacked(k_reset)
+        # Jit the entire setup path: eagerly it is ~700 tiny op dispatches,
+        # each of which is a full remote XLA compile round-trip on axon
+        # (~0.3s each — minutes of setup); as one jitted program it is a
+        # single (persistently cached) compile.
+        obs, env_state = jax.jit(self.env.reset_stacked)(k_reset)
 
-        example = self._example_transition(obs, env_state)
-        buffer_state = self.buffer.init(example)
-        test_buffer_state = self.test_buffer.init(example)
+        example = jax.jit(self._example_transition)(obs, env_state)
+        buffer_state, test_buffer_state = jax.jit(
+            lambda ex: (self.buffer.init(ex), self.test_buffer.init(ex))
+        )(example)
 
         k_model, _ = self.streams["model"].next()
         fake_batch = self._fake_batch(cfg.train.batch_size)
-        variables = self.model.init(k_model, fake_batch, None, k_model)
-        train_state = create_train_state(self.model, variables, cfg.train)
+
+        def build_state(k, fb):
+            variables = self.model.init(k, fb, None, k)
+            return create_train_state(self.model, variables, cfg.train)
+
+        train_state = jax.jit(build_state)(k_model, fake_batch)
 
         self.carry = EpochCarry(
             train_state=train_state,
@@ -102,10 +113,38 @@ class Experiment:
             env=EnvCarry(obs=obs, state=env_state),
         )
 
-        epoch_fn = make_epoch_fn(
-            self.env, self.spec, self.buffer, self.test_buffer, cfg
-        )
-        self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
+        if cfg.train.fused_epoch:
+            epoch_fn = make_epoch_fn(
+                self.env, self.spec, self.buffer, self.test_buffer, cfg
+            )
+            self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
+        else:
+            collect, train_phase, test_phase = make_phase_fns(
+                self.env, self.spec, self.buffer, self.test_buffer, cfg
+            )
+            collect_jit = jax.jit(collect, donate_argnums=0, static_argnums=2)
+            train_jit = jax.jit(train_phase, donate_argnums=0)
+            test_jit = jax.jit(test_phase)
+
+            def split_epoch(carry: EpochCarry, epoch_key):
+                k_c, k_t, k_tc, k_e = jax.random.split(epoch_key, 4)
+                env_c, buf_state = collect_jit(
+                    (carry.env, carry.buffer_state), k_c, self.buffer
+                )
+                train_state, train_m = train_jit(carry.train_state, buf_state, k_t)
+                env_c, test_buf_state = collect_jit(
+                    (env_c, carry.test_buffer_state), k_tc, self.test_buffer
+                )
+                test_m = test_jit(train_state, test_buf_state, k_e)
+                new_carry = EpochCarry(
+                    train_state=train_state,
+                    buffer_state=buf_state,
+                    test_buffer_state=test_buf_state,
+                    env=env_c,
+                )
+                return new_carry, EpochMetrics(train=train_m, test=test_m)
+
+            self._epoch_jit = split_epoch
 
         self.logger = MetricsLogger(cfg.train.log_dir, cfg.train.run_name)
         self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)

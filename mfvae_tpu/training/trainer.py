@@ -181,19 +181,21 @@ def stacked_to_grouped(spec: AgentSpec, stacked_obs) -> Tuple[jnp.ndarray, ...]:
     return fields
 
 
-def make_epoch_fn(
+def make_phase_fns(
     env,
     spec: AgentSpec,
     buffer: ItemBuffer,
     test_buffer: ItemBuffer,
     cfg: ExperimentConfig,
 ):
-    """One compiled program per epoch (jit this; donate the carry).
+    """Build the three phase programs (collect / train / test-eval) used by
+    both the fused single-jit epoch and the split per-phase jits.
 
-    Mirrors the reference epoch structure (jax_ver/main.py:151-235):
-    sample_num env steps -> train_num train steps -> sample_num test env
-    steps -> test_num eval steps, with correct RNG splitting per step and
-    correct test averaging.
+    The split mode exists because one fused epoch is a large XLA program
+    (slow first compile, especially with axon remote compilation); split
+    phases compile faster and the collect program is REUSED for the train
+    and test collection phases (identical avals).  Steady-state cost is
+    just 4 host dispatches per epoch.
     """
     train_step = make_train_step(cfg.loss, cfg.train.mode, cfg.train.popart_beta)
     test_step = make_test_step(cfg.loss, cfg.train.mode)
@@ -266,6 +268,27 @@ def make_epoch_fn(
             denom = cfg.train.train_num
             return jax.tree.map(lambda x: jnp.sum(x) / denom, outs)
         return jax.tree.map(lambda x: jnp.mean(x), outs)
+
+    return collect, train_phase, test_phase
+
+
+def make_epoch_fn(
+    env,
+    spec: AgentSpec,
+    buffer: ItemBuffer,
+    test_buffer: ItemBuffer,
+    cfg: ExperimentConfig,
+):
+    """One compiled program per epoch (jit this; donate the carry).
+
+    Mirrors the reference epoch structure (jax_ver/main.py:151-235):
+    sample_num env steps -> train_num train steps -> sample_num test env
+    steps -> test_num eval steps, with correct RNG splitting per step and
+    correct test averaging.
+    """
+    collect, train_phase, test_phase = make_phase_fns(
+        env, spec, buffer, test_buffer, cfg
+    )
 
     def epoch(carry: EpochCarry, epoch_key) -> Tuple[EpochCarry, EpochMetrics]:
         k_collect, k_train, k_tcollect, k_test = jax.random.split(epoch_key, 4)

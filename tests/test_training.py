@@ -197,6 +197,14 @@ class TestEndToEnd:
         assert {"Loss/Train", "Loss/State_Train", "Loss/Reward_Train", "Loss/KL_Train",
                 "Loss/Test", "Loss/State_Test", "Loss/Reward_Test", "Loss/KL_Test"} <= tags
 
+    def test_split_epoch_mode_matches_shapes(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, fused_epoch=False, epoch_num=2)
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
+
     def test_checkpoint_resume(self, tmp_path):
         from mfvae_tpu.training.experiment import Experiment
 
