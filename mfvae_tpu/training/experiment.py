@@ -202,10 +202,23 @@ class Experiment:
             self.setup()
         cfg = self.cfg
         t0 = time.time()
-        last = {}
+        # Epochs dispatch without any host sync: metrics stay on device and
+        # are fetched in one transfer at the end (each float() read costs a
+        # full device round-trip per epoch otherwise — measurable on axon).
+        pending = []
         for epoch in range(self.start_epoch, cfg.train.epoch_num):
             k_epoch = self.streams["train"].at(epoch)
             self.carry, metrics = self._epoch_jit(self.carry, k_epoch)
+            pending.append((epoch, metrics))
+            if (
+                cfg.train.checkpoint_every
+                and (epoch + 1) % cfg.train.checkpoint_every == 0
+            ):
+                self._save(epoch)
+        self._save(cfg.train.epoch_num - 1)
+        last = {}
+        for epoch, metrics in pending:
+            metrics = jax.device_get(metrics)
             self.logger.losses(metrics.train, epoch, "Train")
             self.logger.losses(metrics.test, epoch, "Test")
             last = {
@@ -213,12 +226,6 @@ class Experiment:
                 "loss_train": float(metrics.train.loss),
                 "loss_test": float(metrics.test.loss),
             }
-            if (
-                cfg.train.checkpoint_every
-                and (epoch + 1) % cfg.train.checkpoint_every == 0
-            ):
-                self._save(epoch)
-        self._save(cfg.train.epoch_num - 1)
         self.ckpt.wait()
         self.logger.flush()
         last["wall_s"] = time.time() - t0
