@@ -51,6 +51,28 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = BATCH * n_iters / dt
+
+    # secondary: the full epoch pipeline (collect+train+test-collect+eval)
+    # at canonical reference scale, comparable to the reference's 67.8
+    # s/epoch / ~19 trained samples/s end-to-end (BASELINE.md)
+    from mfvae_tpu.config import ExperimentConfig
+    from mfvae_tpu.training.experiment import Experiment
+
+    cfg = ExperimentConfig()
+    cfg.train.log_dir = "/tmp/bench_results"
+    cfg.train.checkpoint_dir = "/tmp/bench_ckpt"
+    exp = Experiment(cfg).setup()
+    carry, metrics = exp._epoch_jit(exp.carry, exp.streams["train"].at(0))
+    jax.block_until_ready(metrics.train.loss)  # compile + warmup
+    exp.carry = carry
+    t0 = time.perf_counter()
+    n_epochs = 5
+    for e in range(1, 1 + n_epochs):
+        exp.carry, metrics = exp._epoch_jit(exp.carry, exp.streams["train"].at(e))
+    jax.block_until_ready(metrics.train.loss)
+    epoch_s = (time.perf_counter() - t0) / n_epochs
+    e2e_samples = cfg.train.batch_size * cfg.train.train_num / epoch_s
+
     baseline = 19.0  # reference end-to-end trained samples/s (BASELINE.md)
     print(
         json.dumps(
@@ -59,6 +81,9 @@ def main():
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / baseline, 2),
+                "end_to_end_epoch_seconds": round(epoch_s, 4),
+                "end_to_end_samples_per_sec": round(e2e_samples, 1),
+                "end_to_end_vs_baseline": round(e2e_samples / baseline, 1),
             }
         )
     )

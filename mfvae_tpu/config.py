@@ -42,6 +42,9 @@ class ModelConfig:
     # (jax_ver/model.py:161) for parity runs.
     rng_mode: str = "vectorized"
     remat: bool = False  # jax.checkpoint the decoders (memory vs FLOPs)
+    # route the train step through the Pallas fused reparam+KL kernel and
+    # huber reductions (ops/fused_elbo.py)
+    use_pallas: bool = False
 
 
 @dataclass

@@ -82,6 +82,28 @@ class LossOutputs(NamedTuple):
     kl_loss: jnp.ndarray
 
 
+def combine_losses(
+    s_loss: jnp.ndarray,
+    r_loss: jnp.ndarray,
+    kl_loss: jnp.ndarray,
+    cfg: LossConfig,
+    kl_scale: Optional[jnp.ndarray] = None,
+) -> LossOutputs:
+    """Apply the family weighting to already-computed components (used by
+    the Pallas fused path, where s/r/kl come from custom kernels)."""
+    kw, rw = cfg.resolved_weights()
+    if cfg.family == "jax":
+        recons = s_loss * (1.0 - rw) + r_loss * rw
+    else:
+        recons = s_loss + r_loss * rw
+    kl_term = kl_loss * kw
+    if kl_scale is not None:
+        kl_term = kl_term * kl_scale
+    return LossOutputs(
+        loss=recons + kl_term, s_loss=s_loss, r_loss=r_loss, kl_loss=kl_loss
+    )
+
+
 def elbo_losses(
     recon_state: jnp.ndarray,
     recon_reward: jnp.ndarray,
@@ -97,7 +119,6 @@ def elbo_losses(
 
     Matches loss_s_r_vae_fn in both reference versions; argument order there
     is (recon, target) but both huber/mse are symmetric."""
-    kw, rw = cfg.resolved_weights()
     if cfg.use_huber:
         s_loss = huber(next_state, recon_state, cfg.huber_delta)
         r_loss = huber(rewards, recon_reward, cfg.huber_delta)
@@ -105,14 +126,4 @@ def elbo_losses(
         s_loss = mse(next_state, recon_state)
         r_loss = mse(rewards, recon_reward)
     kl_loss = kl_gaussian(mu, logvar, cfg.free_bits)
-
-    if cfg.family == "jax":
-        recons = s_loss * (1.0 - rw) + r_loss * rw
-    else:  # 'torch'
-        recons = s_loss + r_loss * rw
-
-    kl_term = kl_loss * kw
-    if kl_scale is not None:
-        kl_term = kl_term * kl_scale
-    loss = recons + kl_term
-    return LossOutputs(loss=loss, s_loss=s_loss, r_loss=r_loss, kl_loss=kl_loss)
+    return combine_losses(s_loss, r_loss, kl_loss, cfg, kl_scale)

@@ -311,6 +311,35 @@ class MAVAE(nn.Module):
         recon_reward = self.reward_linear(self.reward_decoder(flat))
         return recon_state.astype(jnp.float32), recon_reward.astype(jnp.float32)
 
+    # --------------------------------------------------------- fused (Pallas)
+    def fused_call(
+        self,
+        batch: GroupedBatch,
+        agent_ids: Optional[Tuple[jnp.ndarray, ...]],
+        rng_key: jax.Array,
+    ):
+        """Forward pass with the Pallas fused reparameterize+KL kernel
+        (ops/fused_elbo.py): one HBM round-trip for the latent tensors and
+        the per-row KL computed in-kernel.  Returns
+        (recon_state, recon_reward, kl_rows [B, A]) — the train step combines
+        kl via mean_B(sum_A) which equals kl_gaussian on [B, A, F]."""
+        from mfvae_tpu.ops.fused_elbo import fused_reparam_kl
+
+        spec = self.spec
+        mu_g, logvar_g, aemb_g = self.encode(batch, agent_ids)
+        eps = self._eps(rng_key, mu_g.shape)
+        z_g, kl_rows = fused_reparam_kl(
+            mu_g.astype(jnp.float32), logvar_g.astype(jnp.float32), eps
+        )
+        if spec.grouped_is_identity:
+            z, aemb = z_g, aemb_g
+        else:
+            perm = jnp.asarray(spec.perm_from_grouped)
+            z = jnp.take(z_g, perm, axis=1)
+            aemb = jnp.take(aemb_g, perm, axis=1)
+        recon_state, recon_reward = self.decode(z, aemb)
+        return recon_state, recon_reward, kl_rows
+
     # ------------------------------------------------------------------ call
     def __call__(
         self,

@@ -237,3 +237,29 @@ class Experiment:
 
 def run_experiment(cfg: ExperimentConfig) -> dict:
     return Experiment(cfg).setup().run()
+
+
+def run_resilient(
+    cfg: ExperimentConfig,
+    max_restarts: int = 3,
+    experiment_factory=Experiment,
+) -> dict:
+    """Failure-tolerant driver (SURVEY §5.3: the reference has no recovery
+    path of any kind).  On any exception the experiment is rebuilt and
+    resumed from the latest full-state checkpoint — the idiomatic way to
+    survive TPU preemption.  Requires train.checkpoint_every > 0 to make
+    progress across restarts."""
+    attempt = 0
+    while True:
+        try:
+            if attempt > 0:
+                cfg.train.resume = True
+            return experiment_factory(cfg).setup().run()
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all for elasticity
+            attempt += 1
+            if attempt > max_restarts:
+                raise
+            print(
+                f"training attempt {attempt} failed ({type(e).__name__}: {e}); "
+                f"restarting from last checkpoint"
+            )

@@ -79,13 +79,23 @@ def _kl_scale(loss_cfg: LossConfig, step: jnp.ndarray) -> Optional[jnp.ndarray]:
 
 
 def make_train_step(
-    loss_cfg: LossConfig, mode: str = "Adam", popart_beta: float = 3e-4
+    loss_cfg: LossConfig,
+    mode: str = "Adam",
+    popart_beta: float = 3e-4,
+    use_pallas: bool = False,
 ) -> Callable:
     """Build the fused train step.  Signature:
-    (state, batch: VaeBatch, rng_key) -> (state, LossOutputs)."""
+    (state, batch: VaeBatch, rng_key) -> (state, LossOutputs).
+
+    use_pallas routes the forward through MAVAE.fused_call (Pallas
+    reparam+KL kernel) and the recon losses through the Pallas huber
+    reduction."""
     assert mode in ("Adam", "ART", "POPART"), mode
     use_art = mode in ("ART", "POPART")
     use_pop = mode == "POPART"
+    if use_pallas:
+        assert loss_cfg.free_bits == 0.0, "pallas path has no free-bits support"
+        assert loss_cfg.use_huber, "pallas path implements the huber family"
 
     def train_step(
         state: VaeTrainState, batch: VaeBatch, rng_key
@@ -102,13 +112,31 @@ def make_train_step(
 
         kl_scale = _kl_scale(loss_cfg, state.step)
 
-        def loss_fn(p):
-            recon_s, recon_r, mu, logvar = state.apply_fn(p, batch.inputs, None, rng_key)
-            out = elbo_losses(
-                recon_s, recon_r, batch.next_state, reward_targets,
-                mu, logvar, loss_cfg, kl_scale=kl_scale,
-            )
-            return out.loss, out
+        if use_pallas:
+            from mfvae_tpu.models.losses import combine_losses
+            from mfvae_tpu.ops.fused_elbo import huber_mean
+
+            def loss_fn(p):
+                recon_s, recon_r, kl_rows = state.apply_fn(
+                    p, batch.inputs, None, rng_key, method="fused_call"
+                )
+                s_loss = huber_mean(batch.next_state, recon_s, loss_cfg.huber_delta)
+                r_loss = huber_mean(reward_targets, recon_r, loss_cfg.huber_delta)
+                kl_loss = jnp.mean(jnp.sum(kl_rows, axis=1))
+                out = combine_losses(s_loss, r_loss, kl_loss, loss_cfg, kl_scale)
+                return out.loss, out
+
+        else:
+
+            def loss_fn(p):
+                recon_s, recon_r, mu, logvar = state.apply_fn(
+                    p, batch.inputs, None, rng_key
+                )
+                out = elbo_losses(
+                    recon_s, recon_r, batch.next_state, reward_targets,
+                    mu, logvar, loss_cfg, kl_scale=kl_scale,
+                )
+                return out.loss, out
 
         (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt_state = state.tx.update(grads, state.opt_state, params)
@@ -197,7 +225,10 @@ def make_phase_fns(
     and test collection phases (identical avals).  Steady-state cost is
     just 4 host dispatches per epoch.
     """
-    train_step = make_train_step(cfg.loss, cfg.train.mode, cfg.train.popart_beta)
+    train_step = make_train_step(
+        cfg.loss, cfg.train.mode, cfg.train.popart_beta,
+        use_pallas=cfg.model.use_pallas,
+    )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     n_agents = spec.n_agents
     act_dims = spec.act_dims

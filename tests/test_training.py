@@ -205,6 +205,31 @@ class TestEndToEnd:
         result = exp.run()
         assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
 
+    def test_run_resilient_recovers_from_crash(self, tmp_path):
+        """Simulated preemption: the first attempt dies mid-training; the
+        resilient driver resumes from the checkpoint and finishes."""
+        from mfvae_tpu.training.experiment import Experiment, run_resilient
+
+        cfg = tiny_cfg(tmp_path, checkpoint_every=1, epoch_num=4)
+        crashes = {"armed": True}
+
+        class FlakyExperiment(Experiment):
+            def run(self):
+                if crashes["armed"]:
+                    # crash after two epochs' worth of checkpoints exist
+                    for epoch in range(2):
+                        k = self.streams["train"].at(epoch)
+                        self.carry, _ = self._epoch_jit(self.carry, k)
+                        self._save(epoch)
+                    self.ckpt.wait()
+                    crashes["armed"] = False
+                    raise RuntimeError("simulated preemption")
+                return super().run()
+
+        result = run_resilient(cfg, max_restarts=2, experiment_factory=FlakyExperiment)
+        assert result["epoch"] == 3
+        assert not crashes["armed"]
+
     def test_checkpoint_resume(self, tmp_path):
         from mfvae_tpu.training.experiment import Experiment
 
