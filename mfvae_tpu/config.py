@@ -98,11 +98,22 @@ class TrainConfig:
     """Training loop (reference jax_ver/main.py:37-45)."""
 
     epoch_num: int = 256
-    sample_num: int = 128  # env steps collected per epoch
+    sample_num: int = 128  # env steps collected per epoch (per env)
+    # parallel env instances; >1 switches to the batched epoch program whose
+    # leading env axis shards over the mesh 'data' axis (DP).  batch_size
+    # must be divisible by n_envs (per-shard stratified sampling).
+    n_envs: int = 1
     batch_size: int = 128
     train_num: int = 10  # train steps per epoch
     test_num: int = 64  # eval steps per epoch
     lr: float = 1e-3
+    # LR schedule: 'constant' (jax_ver parity) | 'cosine' (torch_ver parity:
+    # Adam + CosineAnnealingLR stepped per batch, torch_ver/main.py:52-53,98
+    # — the reference's T_max=50 quirk is exposed as lr_t_max) | 'warmup_cosine'
+    lr_schedule: str = "constant"
+    lr_t_max: int = 50  # cosine horizon in train steps (torch_ver/main.py:53)
+    lr_warmup_steps: int = 0
+    lr_min_ratio: float = 0.0  # eta_min / lr
     # 'Adam' | 'ART' | 'POPART' (torch_ver/trainer.py:50); POPART applies
     # reward-target normalization with output-preserving head rescale.
     mode: str = "Adam"

@@ -86,16 +86,43 @@ class Experiment:
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
         k_reset, _ = self.streams["reset"].next()
+        n_envs = cfg.train.n_envs
         # Jit the entire setup path: eagerly it is ~700 tiny op dispatches,
         # each of which is a full remote XLA compile round-trip on axon
         # (~0.3s each — minutes of setup); as one jitted program it is a
         # single (persistently cached) compile.
-        obs, env_state = jax.jit(self.env.reset_stacked)(k_reset)
+        if n_envs > 1:
+            # batched epoch: leading [E] axis on env carry + buffer shards
+            reset_keys = jax.random.split(k_reset, n_envs)
+            obs, env_state = jax.jit(jax.vmap(self.env.reset_stacked))(reset_keys)
+            example = jax.jit(
+                jax.vmap(self._example_transition)
+            )(obs, env_state)
+            local_bs = cfg.buffer.batch_size // n_envs
+            from mfvae_tpu.data.buffer import ItemBuffer as _IB
 
-        example = jax.jit(self._example_transition)(obs, env_state)
-        buffer_state, test_buffer_state = jax.jit(
-            lambda ex: (self.buffer.init(ex), self.test_buffer.init(ex))
-        )(example)
+            local_buffer = _IB(
+                max_length=cfg.buffer.max_size,
+                min_length=cfg.buffer.min_size,
+                sample_batch_size=local_bs,
+            )
+
+            def init_buffers(ex):
+                # vmapped init over the leading env axis
+                one = jax.tree.map(lambda x: x[0], ex)
+                st = local_buffer.init(one)
+                return jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (n_envs,) + x.shape), st
+                )
+
+            buffer_state = jax.jit(init_buffers)(example)
+            test_buffer_state = jax.jit(init_buffers)(example)
+        else:
+            obs, env_state = jax.jit(self.env.reset_stacked)(k_reset)
+            example = jax.jit(self._example_transition)(obs, env_state)
+            buffer_state, test_buffer_state = jax.jit(
+                lambda ex: (self.buffer.init(ex), self.test_buffer.init(ex))
+            )(example)
 
         k_model, _ = self.streams["model"].next()
         fake_batch = self._fake_batch(cfg.train.batch_size)
@@ -113,7 +140,16 @@ class Experiment:
             env=EnvCarry(obs=obs, state=env_state),
         )
 
-        if cfg.train.fused_epoch:
+        if cfg.train.n_envs > 1:
+            from mfvae_tpu.training.trainer import make_batched_epoch_fn
+
+            epoch_fn = make_batched_epoch_fn(
+                self.env, self.spec, self.buffer, self.test_buffer, cfg
+            )
+            self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
+            if cfg.mesh.enable:
+                self._shard_carry_for_dp()
+        elif cfg.train.fused_epoch:
             epoch_fn = make_epoch_fn(
                 self.env, self.spec, self.buffer, self.test_buffer, cfg
             )
@@ -151,6 +187,30 @@ class Experiment:
         if cfg.train.resume:
             self._try_resume()
         return self
+
+    def _shard_carry_for_dp(self):
+        """Lay the batched carry out over the ('data',) mesh: env carry and
+        buffer shards split on their leading E axis, train state replicated.
+        The XLA SPMD partitioner turns the epoch program into DP with psums
+        over ICI (BASELINE.json config 5)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mfvae_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        mesh = make_mesh(n_data=-1, n_model=1)
+        assert self.cfg.train.n_envs % mesh.shape[DATA_AXIS] == 0, (
+            self.cfg.train.n_envs,
+            dict(mesh.shape),
+        )
+        data = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+        self.mesh = mesh
+        self.carry = EpochCarry(
+            train_state=jax.device_put(self.carry.train_state, repl),
+            buffer_state=jax.device_put(self.carry.buffer_state, data),
+            test_buffer_state=jax.device_put(self.carry.test_buffer_state, data),
+            env=jax.device_put(self.carry.env, data),
+        )
 
     def _example_transition(self, obs, env_state) -> GroupedTransition:
         zero_actions = jnp.zeros((self.spec.n_agents,), jnp.int32)

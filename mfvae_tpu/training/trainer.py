@@ -51,12 +51,33 @@ class VaeTrainState(flax_train_state.TrainState):
     popart: PopArtState = struct.field(pytree_node=True, default=None)
 
 
+def make_lr(cfg: TrainConfig):
+    """LR schedule factory.  'cosine' mirrors the torch reference's
+    CosineAnnealingLR stepped per train step (torch_ver/main.py:52-53,98 —
+    including its odd T_max=50 default, exposed as lr_t_max)."""
+    if cfg.lr_schedule == "constant":
+        return cfg.lr
+    if cfg.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=cfg.lr_t_max, alpha=cfg.lr_min_ratio
+        )
+    if cfg.lr_schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=max(cfg.lr_warmup_steps, 1),
+            decay_steps=max(cfg.lr_t_max, cfg.lr_warmup_steps + 1),
+            end_value=cfg.lr * cfg.lr_min_ratio,
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
 def create_train_state(
     model: MAVAE,
     params,
     cfg: TrainConfig,
 ) -> VaeTrainState:
-    tx = optax.adam(cfg.lr)
+    tx = optax.adam(make_lr(cfg))
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     state = VaeTrainState.create(
@@ -301,6 +322,130 @@ def make_phase_fns(
         return jax.tree.map(lambda x: jnp.mean(x), outs)
 
     return collect, train_phase, test_phase
+
+
+def make_batched_epoch_fn(
+    env,
+    spec: AgentSpec,
+    buffer: ItemBuffer,
+    test_buffer: ItemBuffer,
+    cfg: ExperimentConfig,
+):
+    """Epoch program with a leading env-shard axis E = cfg.train.n_envs.
+
+    Every env/buffer structure carries [E, ...]: E env instances step in
+    lockstep (one vmapped physics program), each feeds its own buffer shard
+    [E, cap, ...], and each train step draws batch/E samples from every
+    shard (stratified global batch).  Data parallelism is then pure layout:
+    shard the E axis over the mesh 'data' axis (P('data') on env carry,
+    buffer state, and sampled batch; params replicated) and the XLA SPMD
+    partitioner inserts the psums for the loss/grad reductions over ICI —
+    collection, buffers, and training all scale with zero host changes
+    (BASELINE.json config 5 structure).
+    """
+    train_step = make_train_step(
+        cfg.loss, cfg.train.mode, cfg.train.popart_beta,
+        use_pallas=cfg.model.use_pallas,
+    )
+    test_step = make_test_step(cfg.loss, cfg.train.mode)
+    n_agents = spec.n_agents
+    n_act = spec.act_dims[0]
+    assert all(d == n_act for d in spec.act_dims), "uniform action spaces assumed"
+    E = cfg.train.n_envs
+    assert cfg.buffer.batch_size % E == 0, (cfg.buffer.batch_size, E)
+    local_bs = cfg.buffer.batch_size // E
+
+    local_buffer = ItemBuffer(
+        max_length=buffer.max_length,
+        min_length=buffer.min_length,
+        sample_batch_size=local_bs,
+    )
+
+    def collect(carry, key):
+        """carry: (EnvCarry [E,...], BufferState [E,...])."""
+
+        def body(c, k):
+            env_c, buf_state = c
+            k_act, k_step = jax.random.split(k)
+            actions = jax.random.randint(k_act, (E, n_agents), 0, n_act)
+            obs_g = tuple(env_c.obs)  # StackedObs fields, [E, A_g, D_g]
+            act_groups = tuple(
+                actions[:, jnp.asarray(idxs)] for (_, _), idxs in spec.groups
+            )
+            step_keys = jax.random.split(k_step, E)
+            next_obs, env_state, rewards, done, _ = jax.vmap(env.step_stacked)(
+                step_keys, env_c.state, actions
+            )
+            next_g = tuple(next_obs)
+            tr = GroupedTransition(
+                obs=obs_g,
+                actions=act_groups,
+                next_obs=next_g,
+                rewards=rewards,
+                done=jnp.max(done.astype(jnp.float32), axis=-1),
+            )
+            buf_state = jax.vmap(local_buffer.add)(buf_state, tr)
+            reset_keys = jax.random.split(jax.random.fold_in(k, 2), E)
+            reset_obs, reset_state = jax.vmap(env.reset_stacked)(reset_keys)
+            done_all = jnp.all(done, axis=-1)  # [E]
+
+            def pick(a, b):
+                shape = (E,) + (1,) * (a.ndim - 1)
+                return jnp.where(done_all.reshape(shape), a, b)
+
+            new_obs = jax.tree.map(pick, reset_obs, next_obs)
+            new_state = jax.tree.map(pick, reset_state, env_state)
+            return (EnvCarry(obs=new_obs, state=new_state), buf_state), ()
+
+        keys = jax.random.split(key, cfg.train.sample_num)
+        return jax.lax.scan(body, carry, keys)[0]
+
+    def sample_global(buf_state, key):
+        keys = jax.random.split(key, E)
+        batch = jax.vmap(local_buffer.sample)(buf_state, keys)
+        # [E, local_bs, ...] -> [E*local_bs, ...]; axis 0 stays data-sharded
+        flat = jax.tree.map(
+            lambda x: x.reshape((E * local_bs,) + x.shape[2:]), batch.experience
+        )
+        return flat
+
+    def train_phase(train_state, buf_state, key):
+        def body(ts, k):
+            k_sample, k_model = jax.random.split(k)
+            vb = vae_batch_from_grouped(spec, sample_global(buf_state, k_sample))
+            return train_step(ts, vb, k_model)
+
+        keys = jax.random.split(key, cfg.train.train_num)
+        train_state, outs = jax.lax.scan(body, train_state, keys)
+        return train_state, jax.tree.map(jnp.mean, outs)
+
+    def test_phase(train_state, buf_state, key):
+        def body(_, k):
+            k_sample, k_model = jax.random.split(k)
+            vb = vae_batch_from_grouped(spec, sample_global(buf_state, k_sample))
+            return (), test_step(train_state, vb, k_model)
+
+        keys = jax.random.split(key, cfg.train.test_num)
+        _, outs = jax.lax.scan(body, (), keys)
+        return jax.tree.map(jnp.mean, outs)
+
+    def epoch(carry: EpochCarry, epoch_key) -> Tuple[EpochCarry, EpochMetrics]:
+        k_collect, k_train, k_tcollect, k_test = jax.random.split(epoch_key, 4)
+        env_c, buf_state = collect((carry.env, carry.buffer_state), k_collect)
+        train_state, train_metrics = train_phase(carry.train_state, buf_state, k_train)
+        env_c, test_buf_state = collect((env_c, carry.test_buffer_state), k_tcollect)
+        test_metrics = test_phase(train_state, test_buf_state, k_test)
+        return (
+            EpochCarry(
+                train_state=train_state,
+                buffer_state=buf_state,
+                test_buffer_state=test_buf_state,
+                env=env_c,
+            ),
+            EpochMetrics(train=train_metrics, test=test_metrics),
+        )
+
+    return epoch
 
 
 def make_epoch_fn(

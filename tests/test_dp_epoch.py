@@ -1,0 +1,56 @@
+"""Batched-env epoch program + data-parallel layout over the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_training import tiny_cfg
+
+
+class TestBatchedEpoch:
+    def test_n_envs_single_device(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, n_envs=4)
+        cfg.buffer.batch_size = 8  # 2 per shard
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
+        # buffer shards have the leading env axis
+        assert exp.carry.buffer_state.cursor.shape == (4,)
+        assert int(exp.carry.buffer_state.size[0]) > 0
+
+    def test_dp_over_mesh(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, n_envs=8)
+        cfg.buffer.batch_size = 16
+        cfg.mesh.enable = True
+        exp = Experiment(cfg).setup()
+        # env carry is laid out over the 8 data shards
+        shardings = {
+            str(s)
+            for s in jax.tree.leaves(
+                jax.tree.map(lambda x: x.sharding.spec, exp.carry.env.state)
+            )
+        }
+        assert any("data" in s for s in shardings)
+        result = exp.run()
+        assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
+        # params stayed replicated (single logical copy, no drift possible)
+        for leaf in jax.tree.leaves(exp.carry.train_state.params):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_batched_matches_reference_structure(self, tmp_path):
+        """The batched epoch with E=2 trains the same model family: loss
+        decreases across epochs on the tiny setup."""
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, n_envs=2, epoch_num=6)
+        cfg.buffer.batch_size = 8
+        exp = Experiment(cfg).setup()
+        losses = []
+        for e in range(cfg.train.epoch_num):
+            exp.carry, m = exp._epoch_jit(exp.carry, exp.streams["train"].at(e))
+            losses.append(float(m.train.loss))
+        assert losses[-1] < losses[0]
