@@ -21,8 +21,8 @@ gets from JaxMARL's CTRolloutManager preprocessing).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,12 +35,7 @@ from flax.training.train_state import TrainState
 from mfvae_tpu.data.buffer import TrajectoryBuffer
 from mfvae_tpu.envs.mpe import make as make_env
 from mfvae_tpu.envs.wrappers import BatchedEnv, LogWrapper
-from mfvae_tpu.models.qlearning import (
-    AgentRNN,
-    ScannedGRU,
-    eps_greedy,
-    epsilon_by_step,
-)
+from mfvae_tpu.models.qlearning import AgentRNN, eps_greedy, epsilon_by_step
 
 
 @dataclass
@@ -68,6 +63,11 @@ class VdnConfig:
     lr_linear_decay: bool = False
     max_grad_norm: float = 10.0
     gamma: float = 0.99
+    # TD(lambda) targets (the reference's TD_LAMBDA_LOSS pymarl2 option,
+    # vdn.py:303-340); lambda=0 == the one-step double-DQN loss
+    td_lambda_loss: bool = False
+    td_lambda: float = 0.6
+    num_seeds: int = 1  # vmapped parallel seeds (reference vdn.py:570-573)
     eps_start: float = 1.0
     eps_finish: float = 0.05
     eps_decay: float = 0.1  # fraction of updates over which to anneal
@@ -281,11 +281,29 @@ def make_train(config: VdnConfig, env=None):
             target_chosen = q_of_actions(q_target, best)
             vdn_target_next = jnp.sum(target_chosen, axis=-1)  # [L, S]
 
-            target = (
-                rew_t[:-1]
-                + config.gamma * (1.0 - done_t[:-1].astype(jnp.float32)) * vdn_target_next[1:]
-            )
-            td = vdn_q[:-1] - jax.lax.stop_gradient(target)
+            not_done = 1.0 - done_t[:-1].astype(jnp.float32)  # [L-1, S]
+            if config.td_lambda_loss:
+                # backward recursion:
+                # G_t = r_t + gamma*(1-d_t)*[(1-lam) Qbar_{t+1} + lam G_{t+1}]
+                lam = config.td_lambda
+                qbar_next = vdn_target_next[1:]  # [L-1, S]
+
+                def back(g_next, xs):
+                    r, nd, qb = xs
+                    g = r + config.gamma * nd * ((1.0 - lam) * qb + lam * g_next)
+                    return g, g
+
+                # bootstrap the recursion from the last step's target value
+                g_last = rew_t[-2] + config.gamma * not_done[-1] * qbar_next[-1]
+                _, targets = jax.lax.scan(
+                    back,
+                    g_last,
+                    (rew_t[:-1], not_done, qbar_next),
+                    reverse=True,
+                )
+            else:
+                targets = rew_t[:-1] + config.gamma * not_done * vdn_target_next[1:]
+            td = vdn_q[:-1] - jax.lax.stop_gradient(targets)
             return jnp.mean(td * td)
 
         def update_step(runner: Runner, _):
@@ -405,14 +423,17 @@ def main(config_path: Optional[str] = None, **overrides):
     for k, v in overrides.items():
         setattr(cfg, k, v)
     train = make_train(cfg)
-    rng = jax.random.PRNGKey(cfg.seed)
-    out = jax.jit(train)(rng)
+    rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.num_seeds)
+    # vmapped multi-seed training in one XLA program (reference
+    # vdn.py:570-573: jax.jit(jax.vmap(train)))
+    out = jax.jit(jax.vmap(train))(rngs)
     metrics = jax.tree.map(np.asarray, out["metrics"])
     print(
-        f"final loss={metrics['loss'][-1]:.4f} "
-        f"mean_return={metrics['returned_episode_returns'][-1]:.2f} "
-        f"test_return={metrics['test_return'][-1]:.2f}"
+        f"final loss={metrics['loss'][:, -1].mean():.4f} "
+        f"mean_return={metrics['returned_episode_returns'][:, -1].mean():.2f} "
+        f"test_return={metrics['test_return'][:, -1].mean():.2f}"
     )
+    out = jax.tree.map(lambda x: x[0], out)  # first seed for saving
     try:
         from flax.traverse_util import flatten_dict
         from safetensors.flax import save_file

@@ -136,6 +136,9 @@ class TrainConfig:
     # compile (collect program reused for both collection phases), 4 host
     # dispatches per epoch.
     fused_epoch: bool = True
+    # emit a jax.profiler trace (viewable in TensorBoard) covering epochs
+    # [1, 1+profile_epochs) — 0 disables
+    profile_epochs: int = 0
 
 
 @dataclass

@@ -24,6 +24,7 @@ dict packing for the fully-compiled collection path.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from functools import cached_property
 from typing import Dict, NamedTuple, Tuple
@@ -298,8 +299,158 @@ class SimpleTagEnv:
         return out
 
 
+class SpreadObs(NamedTuple):
+    """Homogeneous agents: one class tensor."""
+
+    agent: jnp.ndarray  # [N, obs_dim]
+
+
+SPREAD_AGENT_SIZE = 0.15
+SPREAD_LANDMARK_SIZE = 0.05
+
+
+@dataclass(frozen=True)
+class SimpleSpreadEnv:
+    """Cooperative MPE simple_spread: N agents cover N landmarks.
+
+    Public scenario spec: agent size .15 (collidable), landmarks .05
+    non-collidable targets; shared reward = -Σ_l min_a dist(a, l), plus a
+    -1 per-collision local penalty; obs = [self_vel, self_pos,
+    landmark_rel, other_rel, other_comm(zeros)].  Second env family proving
+    the framework's env registry beyond simple_tag."""
+
+    num_agents: int = 3
+    max_steps: int = 25
+    discrete_actions: bool = True
+
+    @cached_property
+    def agents(self) -> Tuple[str, ...]:
+        return tuple(f"agent_{i}" for i in range(self.num_agents))
+
+    @property
+    def num_landmarks(self) -> int:
+        return self.num_agents
+
+    def obs_dim(self, adversary: bool = False) -> int:
+        n = self.num_agents
+        # self_vel(2)+self_pos(2)+landmark_rel(2n)+other_rel(2(n-1))+comm(2(n-1))
+        return 4 + 2 * n + 4 * (n - 1)
+
+    def action_space(self, agent: str):
+        if self.discrete_actions:
+            return Discrete(5)
+        return Box(-1.0, 1.0, (2,))
+
+    def observation_space(self, agent: str):
+        return Box(-jnp.inf, jnp.inf, (self.obs_dim(),))
+
+    def reset_stacked(self, rng_key: jax.Array) -> Tuple[SpreadObs, MPEState]:
+        k_a, k_l = jax.random.split(rng_key)
+        state = MPEState(
+            agent_pos=jax.random.uniform(
+                k_a, (self.num_agents, 2), minval=-1.0, maxval=1.0
+            ),
+            agent_vel=jnp.zeros((self.num_agents, 2)),
+            landmark_pos=jax.random.uniform(
+                k_l, (self.num_landmarks, 2), minval=-0.9, maxval=0.9
+            ),
+            step=jnp.int32(0),
+        )
+        return self._observe(state), state
+
+    def reset(self, rng_key: jax.Array):
+        obs, state = self.reset_stacked(rng_key)
+        return self._obs_dict(obs), state
+
+    def step_stacked(self, rng_key, state: MPEState, actions: jnp.ndarray):
+        del rng_key
+        if self.discrete_actions:
+            directions = jnp.array(
+                [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
+            )
+            u = directions[actions]
+        else:
+            u = actions
+        accel = 5.0  # MPE default sensitivity when accel unset
+        p_force = u * accel + self._contact_forces(state)
+        vel = state.agent_vel * (1.0 - DAMPING) + p_force * DT
+        pos = state.agent_pos + vel * DT
+        new_state = MPEState(
+            agent_pos=pos,
+            agent_vel=vel,
+            landmark_pos=state.landmark_pos,
+            step=state.step + 1,
+        )
+        rewards = self._rewards(new_state)
+        done = jnp.full((self.num_agents,), new_state.step >= self.max_steps, bool)
+        return self._observe(new_state), new_state, rewards, done, {}
+
+    def step(self, rng_key, state, actions: Dict[str, jnp.ndarray]):
+        act = jnp.stack([actions[a] for a in self.agents], axis=0)
+        obs, new_state, rewards, done, info = self.step_stacked(rng_key, state, act)
+        rew_d = {a: rewards[i] for i, a in enumerate(self.agents)}
+        done_d = {a: done[i] for i, a in enumerate(self.agents)}
+        done_d["__all__"] = jnp.all(done)
+        return self._obs_dict(obs), new_state, rew_d, done_d, info
+
+    def _contact_forces(self, state: MPEState) -> jnp.ndarray:
+        # landmarks are non-collidable in spread: agents only
+        pos = state.agent_pos
+        n = self.num_agents
+        delta = pos[:, None, :] - pos[None, :, :]
+        dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
+        dist_min = 2 * SPREAD_AGENT_SIZE
+        k = CONTACT_MARGIN
+        penetration = jnp.logaddexp(0.0, -(dist - dist_min) / k) * k
+        force = delta * (CONTACT_FORCE * penetration / dist)[..., None]
+        force = force * (1.0 - jnp.eye(n))[..., None]
+        return jnp.sum(force, axis=1)
+
+    def _rewards(self, state: MPEState) -> jnp.ndarray:
+        # shared coverage reward
+        d = jnp.linalg.norm(
+            state.landmark_pos[:, None, :] - state.agent_pos[None, :, :], axis=-1
+        )  # [L, N]
+        coverage = -jnp.sum(jnp.min(d, axis=1))
+        # local collision penalty: -1 per other agent in contact
+        delta = state.agent_pos[:, None, :] - state.agent_pos[None, :, :]
+        dist = jnp.linalg.norm(delta, axis=-1) + jnp.eye(self.num_agents) * 1e9
+        coll = jnp.sum(dist < 2 * SPREAD_AGENT_SIZE, axis=1).astype(jnp.float32)
+        return jnp.full((self.num_agents,), coverage) - coll
+
+    def _observe(self, state: MPEState) -> SpreadObs:
+        n = self.num_agents
+        pos, vel = state.agent_pos, state.agent_vel
+        landmark_rel = state.landmark_pos[None, :, :] - pos[:, None, :]
+        other_rel = pos[None, :, :] - pos[:, None, :]
+        rows, cols = _np.nonzero(~_np.eye(n, dtype=bool))
+        other_rel = other_rel[rows, cols].reshape(n, n - 1, 2)
+        comm = jnp.zeros((n, (n - 1) * 2))  # no communication channel
+        obs = jnp.concatenate(
+            [
+                vel,
+                pos,
+                landmark_rel.reshape(n, -1),
+                other_rel.reshape(n, -1),
+                comm,
+            ],
+            axis=-1,
+        )
+        return SpreadObs(agent=obs)
+
+    def _obs_dict(self, obs: SpreadObs) -> Dict[str, jnp.ndarray]:
+        return {f"agent_{i}": obs.agent[i] for i in range(self.num_agents)}
+
+
 _REGISTRY = {
     "MPE_simple_tag_v3": SimpleTagEnv,
+    "MPE_simple_spread_v3": SimpleSpreadEnv,
+}
+
+# population-style kwargs accepted per env (reference surface passes
+# num_good_agents/num_adversaries/num_obs unconditionally, jax_ver/main.py:59)
+_KWARG_MAP = {
+    "MPE_simple_spread_v3": {"num_good_agents": "num_agents"},
 }
 
 
@@ -309,4 +460,12 @@ def make(name: str, **kwargs):
     num_adversaries=..., num_obs=...))."""
     if name not in _REGISTRY:
         raise ValueError(f"unknown env {name!r}; available: {sorted(_REGISTRY)}")
-    return _REGISTRY[name](**kwargs)
+    cls = _REGISTRY[name]
+    remap = _KWARG_MAP.get(name, {})
+    fields = {f.name for f in dataclasses.fields(cls)}
+    clean = {}
+    for k, v in kwargs.items():
+        k = remap.get(k, k)
+        if k in fields:
+            clean[k] = v
+    return cls(**clean)

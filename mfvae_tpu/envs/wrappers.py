@@ -10,7 +10,7 @@ accumulators through the state and reports them in ``info`` at episode end.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -266,10 +266,20 @@ class Experiment:
         # are fetched in one transfer at the end (each float() read costs a
         # full device round-trip per epoch otherwise — measurable on axon).
         pending = []
+        prof_from = self.start_epoch + 1 if cfg.train.profile_epochs else None
         for epoch in range(self.start_epoch, cfg.train.epoch_num):
+            if prof_from is not None and epoch == prof_from:
+                jax.profiler.start_trace(str(self.logger.run_dir / "profile"))
             k_epoch = self.streams["train"].at(epoch)
             self.carry, metrics = self._epoch_jit(self.carry, k_epoch)
             pending.append((epoch, metrics))
+            if (
+                prof_from is not None
+                and epoch == prof_from + cfg.train.profile_epochs - 1
+            ):
+                jax.block_until_ready(metrics.train.loss)
+                jax.profiler.stop_trace()
+                prof_from = None
             if (
                 cfg.train.checkpoint_every
                 and (epoch + 1) % cfg.train.checkpoint_every == 0

@@ -140,6 +140,70 @@ class TestSimpleTag:
         assert np.isfinite(np.asarray(rews)).all()
 
 
+class TestSimpleSpread:
+    def test_metadata_and_obs(self):
+        env = make("MPE_simple_spread_v3", num_good_agents=3)
+        assert env.agents == ("agent_0", "agent_1", "agent_2")
+        assert env.obs_dim() == 18  # 2+2+6+4+4
+        obs, st = env.reset(jax.random.PRNGKey(0))
+        assert obs["agent_1"].shape == (18,)
+
+    def test_shared_coverage_reward(self):
+        env = make("MPE_simple_spread_v3", num_good_agents=3)
+        obs, st = env.reset(jax.random.PRNGKey(0))
+        acts = {a: jnp.int32(0) for a in env.agents}
+        _, st2, rew, done, _ = env.step(jax.random.PRNGKey(1), st, acts)
+        r = np.asarray([rew[a] for a in env.agents])
+        # no collisions at reset-distance positions (usually) -> rewards all
+        # contain the same shared coverage term; differences only via -1
+        # collision penalties which are integers
+        diffs = r - r.min()
+        assert np.allclose(diffs, np.round(diffs), atol=1e-5)
+
+    def test_perfect_coverage_is_zero(self):
+        env = make("MPE_simple_spread_v3", num_good_agents=2)
+        st = MPEState(
+            agent_pos=jnp.array([[0.5, 0.5], [-0.5, -0.5]]),
+            agent_vel=jnp.zeros((2, 2)),
+            landmark_pos=jnp.array([[0.5, 0.5], [-0.5, -0.5]]),
+            step=jnp.int32(0),
+        )
+        r = np.asarray(env._rewards(st))
+        np.testing.assert_allclose(r, 0.0, atol=1e-6)
+
+    def test_scan_rollout(self):
+        env = make("MPE_simple_spread_v3", num_good_agents=3, max_steps=10)
+
+        @jax.jit
+        def rollout(key):
+            obs, st = env.reset_stacked(key)
+
+            def body(c, k):
+                acts = jax.random.randint(k, (3,), 0, 5)
+                o, c, r, d, _ = env.step_stacked(k, c, acts)
+                return c, r
+
+            return jax.lax.scan(body, st, jax.random.split(key, 10))[1]
+
+        rews = rollout(jax.random.PRNGKey(0))
+        assert rews.shape == (10, 3) and np.isfinite(np.asarray(rews)).all()
+
+
+class TestContinuousActions:
+    def test_tag_continuous_step(self):
+        from dataclasses import replace
+
+        env = replace(
+            SimpleTagEnv(num_good_agents=1, num_adversaries=2, num_obs=1),
+            discrete_actions=False,
+        )
+        assert env.action_space("agent_0").shape == (2,)
+        obs, st = env.reset(jax.random.PRNGKey(0))
+        acts = jnp.full((3, 2), 0.5)
+        _, st2, rew, done, _ = env.step_stacked(jax.random.PRNGKey(1), st, acts)
+        assert float(jnp.linalg.norm(st2.agent_vel)) > 0.0
+
+
 class TestWrappers:
     def test_log_wrapper_accumulates(self):
         env = SimpleTagEnv(num_good_agents=1, num_adversaries=1, num_obs=1, max_steps=3)

@@ -111,3 +111,19 @@ class TestVdnTrain:
         assert np.isfinite(metrics["loss"]).all()
         assert np.isfinite(metrics["test_return"]).all()
         assert int(out["runner"].update_i) == cfg.num_updates
+
+    def test_td_lambda_loss_variant(self):
+        cfg = tiny_config(td_lambda_loss=True, td_lambda=0.6)
+        out = jax.jit(make_train(cfg))(jax.random.PRNGKey(1))
+        m = jax.tree.map(np.asarray, out["metrics"])
+        assert np.isfinite(m["loss"]).all()
+
+    def test_multi_seed_vmap(self):
+        cfg = tiny_config(num_updates=2)
+        train = make_train(cfg)
+        rngs = jax.random.split(jax.random.PRNGKey(0), 3)
+        out = jax.jit(jax.vmap(train))(rngs)
+        m = jax.tree.map(np.asarray, out["metrics"])
+        assert m["loss"].shape == (3, 2)
+        # seeds actually differ
+        assert not np.allclose(m["mean_reward"][0], m["mean_reward"][1])
