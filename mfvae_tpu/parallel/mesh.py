@@ -40,6 +40,22 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: call once per process BEFORE building the mesh.
+    On Cloud TPU pods bare `jax.distributed.initialize()` autodetects; args
+    are for manual/DCN setups.  (The reference is single-process only,
+    SURVEY §2.3.)"""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
