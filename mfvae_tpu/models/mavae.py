@@ -158,6 +158,7 @@ class MAVAE(nn.Module):
     dtype: jnp.dtype = jnp.float32
     rng_mode: str = "vectorized"
     remat: bool = False
+    fused_decoders: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -174,6 +175,7 @@ class MAVAE(nn.Module):
             dtype=jnp.dtype(cfg.compute_dtype),
             rng_mode=cfg.rng_mode,
             remat=cfg.remat,
+            fused_decoders=cfg.fused_decoders,
         )
 
     def setup(self):
@@ -215,21 +217,39 @@ class MAVAE(nn.Module):
         self.encoders = encoders
         self.action_encoders = action_encoders
 
-        joint_in = (self.obs_features + self.action_features) * n
-        self.state_decoder = MLP(
-            hidden=self.decoder_hidden,
-            out_dim=sum(spec.obs_dims),
-            dtype=self.dtype,
-            remat=self.remat,
-            name="state_decoder",
-        )
-        self.reward_decoder = MLP(
-            hidden=self.decoder_hidden,
-            out_dim=n,
-            dtype=self.dtype,
-            remat=self.remat,
-            name="reward_decoder",
-        )
+
+        if self.fused_decoders:
+            # state+reward decoders share hidden widths: run both as ONE
+            # stacked batched-einsum trunk (stack axis = decoder id) with
+            # separate output heads — half the kernel launches of two MLPs
+            # (the step is latency-bound at these sizes, not FLOPs-bound)
+            self.decoder_trunk = StackedMLP(
+                stack=2,
+                hidden=self.decoder_hidden[:-1],
+                out_dim=self.decoder_hidden[-1],
+                dtype=self.dtype,
+                remat=self.remat,
+                name="decoder_trunk",
+            )
+            self.state_head = nn.Dense(
+                sum(spec.obs_dims), dtype=self.dtype, name="state_head"
+            )
+            self.reward_head = nn.Dense(n, dtype=self.dtype, name="reward_head")
+        else:
+            self.state_decoder = MLP(
+                hidden=self.decoder_hidden,
+                out_dim=sum(spec.obs_dims),
+                dtype=self.dtype,
+                remat=self.remat,
+                name="state_decoder",
+            )
+            self.reward_decoder = MLP(
+                hidden=self.decoder_hidden,
+                out_dim=n,
+                dtype=self.dtype,
+                remat=self.remat,
+                name="reward_decoder",
+            )
         # PopArt output head.  torch parity uses all-ones weight / zero bias
         # (torch_ver/model.py:131-132); jax parity keeps the flax default
         # (jax_ver/model.py:136).
@@ -307,8 +327,14 @@ class MAVAE(nn.Module):
         flat = jnp.concatenate(
             [z.reshape(b, -1), aemb.reshape(b, -1)], axis=-1
         ).astype(self.dtype)
-        recon_state = self.state_decoder(flat)
-        recon_reward = self.reward_linear(self.reward_decoder(flat))
+        if self.fused_decoders:
+            both = jnp.broadcast_to(flat[:, None, :], (b, 2) + flat.shape[-1:])
+            h = nn.relu(self.decoder_trunk(both))  # [B, 2, last_hidden]
+            recon_state = self.state_head(h[:, 0])
+            recon_reward = self.reward_linear(self.reward_head(h[:, 1]))
+        else:
+            recon_state = self.state_decoder(flat)
+            recon_reward = self.reward_linear(self.reward_decoder(flat))
         return recon_state.astype(jnp.float32), recon_reward.astype(jnp.float32)
 
     # --------------------------------------------------------- fused (Pallas)

@@ -38,6 +38,25 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
             return P(MODEL_AXIS, *([None] * (ndim - 1)))
         return P(MODEL_AXIS)
 
+    # fused decoder trunk [2, in, out]: same column/row alternation on the
+    # trailing matmul dims, decoder-id axis unsharded
+    if "decoder_trunk" in joined and keys[-1] == "kernel":
+        layer_name = keys[-2]
+        if layer_name.startswith("fc"):
+            i = int(layer_name[2:])
+            if i % 2 == 0:
+                return P(None, None, MODEL_AXIS)
+            return P(None, MODEL_AXIS, None)
+        # trunk 'out' layer (the last hidden layer) stays replicated —
+        # divisibility of the odd widths (e.g. 5660-dim heads) isn't
+        # guaranteed and the final layers are small
+        return P(None, None, None)
+    if "decoder_trunk" in joined and keys[-1] == "bias":
+        layer_name = keys[-2]
+        if layer_name.startswith("fc") and int(layer_name[2:]) % 2 == 0:
+            return P(None, MODEL_AXIS)
+        return P(None, None)
+
     # joint decoders: alternate column/row split over fc layers
     if ("state_decoder" in joined or "reward_decoder" in joined) and keys[-1] == "kernel":
         layer_name = keys[-2]  # fc0 / fc1 / ... / out

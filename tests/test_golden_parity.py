@@ -27,6 +27,8 @@ def build_model(seed=0):
         encoder_hidden=(8, 8),
         decoder_hidden=(16,),
         compute_dtype="float32",
+        fused_decoders=False,  # the loop reconstruction reads the separate
+        # state_decoder/reward_decoder param trees
     )
     model = MAVAE.from_config(cfg, spec)
     rng = np.random.default_rng(seed)

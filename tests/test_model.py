@@ -140,6 +140,24 @@ class TestMAVAE:
         rs, rr, mu, lv = model.apply(params, idx_state, actions, jax.random.PRNGKey(2))
         assert rs.shape == (2, sum(spec.obs_dims))
 
+    def test_fused_decoders_variant(self):
+        spec = tiny_spec()
+        model = MAVAE.from_config(
+            ModelConfig(compute_dtype="float32", fused_decoders=True), spec
+        )
+        idx_state, actions = make_dict_batch(spec)
+        params = model.init(
+            jax.random.PRNGKey(0), idx_state, actions, jax.random.PRNGKey(1)
+        )
+        rs, rr, mu, lv = model.apply(params, idx_state, actions, jax.random.PRNGKey(2))
+        assert rs.shape == (4, sum(spec.obs_dims)) and rr.shape == (4, spec.n_agents)
+        # trunk params are stacked over the two decoders
+        trunk = params["params"]["decoder_trunk"]
+        first = sorted(k for k in trunk if k.startswith("fc"))[0] if any(
+            k.startswith("fc") for k in trunk
+        ) else "out"
+        assert trunk[first]["kernel"].shape[0] == 2
+
     def test_continuous_actions(self):
         agents = ("x0", "x1")
         spec = AgentSpec.from_dicts(agents, {"x0": 4, "x1": 4}, {"x0": 3, "x1": 3})

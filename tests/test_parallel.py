@@ -97,7 +97,9 @@ class TestTPSharding:
         flat = jax.tree_util.tree_flatten_with_path(sh)[0]
         decoder_kernel_specs = [
             s.spec for path, s in flat
-            if "state_decoder" in jax.tree_util.keystr(path) and "kernel" in jax.tree_util.keystr(path)
+            if ("state_decoder" in jax.tree_util.keystr(path)
+                or "decoder_trunk" in jax.tree_util.keystr(path))
+            and "kernel" in jax.tree_util.keystr(path)
         ]
         assert any("model" in str(spec) for spec in decoder_kernel_specs)
 
