@@ -68,6 +68,9 @@ class VdnConfig:
     td_lambda_loss: bool = False
     td_lambda: float = 0.6
     num_seeds: int = 1  # vmapped parallel seeds (reference vdn.py:570-573)
+    # team-reward scaling before the TD target (simple_tag 40-agent
+    # collision sums reach hundreds; squared TD then explodes)
+    reward_scale: float = 1.0
     eps_start: float = 1.0
     eps_finish: float = 0.05
     eps_decay: float = 0.1  # fraction of updates over which to anneal
@@ -251,7 +254,7 @@ def make_train(config: VdnConfig, env=None):
                 k_step, env_states, act_dict
             )
             next_obs = _pack_obs(base_env, next_obs_d, n_agents)
-            team_rew = sum(rew[a] for a in base_env.agents)
+            team_rew = config.reward_scale * sum(rew[a] for a in base_env.agents)
             done_all = done["__all__"]
             hidden = jnp.where(done_all[:, None, None], 0.0, hidden)
             ts = Timestep(obs=obs, actions=actions, rewards=team_rew, done=done_all)
