@@ -130,6 +130,18 @@ def create_env(
     return env, obs_dims, act_dims, obs, infos
 
 
+def create_transition(obs, action, next_obs, done, rew):
+    """Stack per-agent dicts into arrays (torch_ver/src/env.py:42-57
+    surface: returns (obs_all, action_all, next_obs_all, done_all, rew)).
+    Requires homogeneous obs widths across agents (np.array stacking)."""
+    agents = list(obs.keys())
+    obs_all = np.array([obs[a] for a in agents])
+    action_all = np.array([action[a] for a in agents])
+    next_obs_all = np.array([next_obs[a] for a in agents])
+    done_all = any(bool(v) for v in done.values())
+    return obs_all, action_all, next_obs_all, done_all, rew
+
+
 class MultiAgentHostBuffer:
     """Per-agent transition store over the native ring
     (torch_ver/src/replay_buffer.py schema: {agent}_observations /

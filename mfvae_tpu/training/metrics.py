@@ -58,3 +58,29 @@ class MetricsLogger:
         if self._tb is not None:
             self._tb.close()
         self._jsonl.close()
+
+
+class WandbLogger:
+    """Optional wandb sink (the reference's VDN logs through wandb via
+    jax.debug.callback, vdn.py:420-436,555-568).  Degrades to a no-op with
+    one warning when wandb isn't installed, so configs carrying wandb
+    settings still run (mode='disabled' parity with the reference YAML)."""
+
+    def __init__(self, project: str = "mfvae_tpu", mode: str = "disabled", **init_kwargs):
+        self._run = None
+        if mode == "disabled":
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(project=project, mode=mode, **init_kwargs)
+        except ImportError:
+            print("wandb not installed; WandbLogger is a no-op")
+
+    def log(self, metrics: dict, step: Optional[int] = None):
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
