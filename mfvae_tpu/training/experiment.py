@@ -306,6 +306,13 @@ class Experiment:
 
 
 def run_experiment(cfg: ExperimentConfig) -> dict:
+    """Dispatch on env.backend: 'jax' -> fully-compiled on-device pipeline;
+    'host' -> PettingZoo-API host env + native ring buffer
+    (training.host_experiment, the torch_ver-pipeline analog)."""
+    if cfg.env.backend == "host":
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        return HostExperiment(cfg).setup().run()
     return Experiment(cfg).setup().run()
 
 

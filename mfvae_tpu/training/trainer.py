@@ -14,8 +14,8 @@ Design deltas vs the reference (SURVEY §3.2 vs §3.4):
   path round-trips to Python every env and train step
   (jax_ver/main.py:154-186).
 - Test losses are averaged over ``test_num`` (the reference divides by
-  train_num — jax_ver/main.py:228-231); ``bug_compat_test_avg`` restores the
-  reference behavior for curve replication.
+  train_num — jax_ver/main.py:228-231); ``train.bug_compat_rng`` restores
+  the reference averaging (and frozen epoch keys) for curve replication.
 """
 
 from __future__ import annotations
