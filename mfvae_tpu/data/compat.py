@@ -10,7 +10,7 @@ composes with lax.scan; this wrapper's Python-level statefulness cannot).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ keeps the API available if no toolchain exists.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch

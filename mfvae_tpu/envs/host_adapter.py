@@ -13,9 +13,8 @@ PettingZoo is optional; everything degrades to a clear ImportError message.
 
 from __future__ import annotations
 
-import queue
 import threading
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -25,7 +25,7 @@ dict packing for the fully-compiled collection path.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Dict, NamedTuple, Tuple
 

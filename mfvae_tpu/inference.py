@@ -16,7 +16,7 @@ format; a dict adapter accepts the reference's idx_state/actions dicts.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,8 +110,6 @@ class WorldModel:
     ) -> "WorldModel":
         """Restore the params saved by training.experiment (full-carry
         checkpoints) and build a predictor."""
-        import numpy as np
-
         from mfvae_tpu.training.checkpoint import CheckpointManager
 
         model = MAVAE.from_config(model_cfg, spec)

@@ -10,7 +10,7 @@ and whose agent axis is shardable over the mesh 'model' axis.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

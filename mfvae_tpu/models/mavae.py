@@ -33,7 +33,6 @@ from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from mfvae_tpu.config import ModelConfig

@@ -10,8 +10,6 @@ covers a whole trajectory window.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

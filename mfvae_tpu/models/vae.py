@@ -12,7 +12,7 @@ with training.vae_trainer.make_vae_train_step.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ CPU mesh (SURVEY §4 test strategy).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -27,7 +26,7 @@ from jax import shard_map
 from mfvae_tpu.config import LossConfig
 from mfvae_tpu.models.losses import elbo_losses
 from mfvae_tpu.parallel.mesh import DATA_AXIS
-from mfvae_tpu.training.popart import art, normalize, pop_rescale_head
+from mfvae_tpu.training.popart import normalize, pop_rescale_head
 from mfvae_tpu.training.trainer import VaeTrainState, _kl_scale
 
 

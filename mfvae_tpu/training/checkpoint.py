@@ -12,7 +12,6 @@ restorable into an exact resume.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 

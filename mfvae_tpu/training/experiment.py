@@ -32,7 +32,6 @@ from mfvae_tpu.training.trainer import (
     EnvCarry,
     EpochCarry,
     EpochMetrics,
-    VaeTrainState,
     create_train_state,
     make_epoch_fn,
     make_phase_fns,

@@ -9,7 +9,6 @@ when tensorboardX is unavailable.
 from __future__ import annotations
 
 import json
-import os
 import time
 from datetime import datetime
 from pathlib import Path

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 
 SIGMA_MIN, SIGMA_MAX = 1e-4, 1e6

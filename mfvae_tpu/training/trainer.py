@@ -20,7 +20,6 @@ Design deltas vs the reference (SURVEY §3.2 vs §3.4):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -33,11 +32,10 @@ from mfvae_tpu.config import ExperimentConfig, LossConfig, TrainConfig
 from mfvae_tpu.data.buffer import BufferState, ItemBuffer
 from mfvae_tpu.data.transitions import GroupedTransition, VaeBatch, vae_batch_from_grouped
 from mfvae_tpu.models.losses import LossOutputs, elbo_losses
-from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
+from mfvae_tpu.models.mavae import AgentSpec, MAVAE
 from mfvae_tpu.training.popart import (
     PopArtState,
     art,
-    denormalize,
     init_popart,
     normalize,
     pop_rescale_head,

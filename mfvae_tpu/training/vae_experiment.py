@@ -15,8 +15,8 @@ infra.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

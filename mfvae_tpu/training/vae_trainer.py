@@ -7,7 +7,7 @@ machinery as the MAVAE path (models/losses.py) minus the reward head.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Sequence, Union
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
