@@ -100,9 +100,10 @@ class Experiment:
             local_bs = cfg.buffer.batch_size // n_envs
             from mfvae_tpu.data.buffer import ItemBuffer as _IB
 
+            # shards split the global capacity (see make_batched_epoch_fn)
             local_buffer = _IB(
-                max_length=cfg.buffer.max_size,
-                min_length=cfg.buffer.min_size,
+                max_length=max(cfg.buffer.max_size // n_envs, local_bs),
+                min_length=max(cfg.buffer.min_size // n_envs, 1),
                 sample_batch_size=local_bs,
             )
 
@@ -266,12 +267,16 @@ class Experiment:
         # full device round-trip per epoch otherwise — measurable on axon).
         pending = []
         prof_from = self.start_epoch + 1 if cfg.train.profile_epochs else None
+        BACKPRESSURE = 64  # bound the async dispatch queue: unbounded
+        # donated-epoch dispatch exhausts device resources on long runs
         for epoch in range(self.start_epoch, cfg.train.epoch_num):
             if prof_from is not None and epoch == prof_from:
                 jax.profiler.start_trace(str(self.logger.run_dir / "profile"))
             k_epoch = self.streams["train"].at(epoch)
             self.carry, metrics = self._epoch_jit(self.carry, k_epoch)
             pending.append((epoch, metrics))
+            if (epoch + 1) % BACKPRESSURE == 0:
+                jax.block_until_ready(metrics.train.loss)
             if (
                 prof_from is not None
                 and epoch == prof_from + cfg.train.profile_epochs - 1
@@ -286,15 +291,23 @@ class Experiment:
                 self._save(epoch)
         self._save(cfg.train.epoch_num - 1)
         last = {}
-        for epoch, metrics in pending:
-            metrics = jax.device_get(metrics)
-            self.logger.losses(metrics.train, epoch, "Train")
-            self.logger.losses(metrics.test, epoch, "Test")
-            last = {
-                "epoch": epoch,
-                "loss_train": float(metrics.train.loss),
-                "loss_test": float(metrics.test.loss),
-            }
+        # Stack pending metrics on-device in chunks and fetch once per chunk:
+        # per-scalar device_get would be thousands of round-trips over the
+        # (high-latency) device link.
+        stack = jax.jit(lambda *ms: jax.tree.map(lambda *xs: jnp.stack(xs), *ms))
+        CHUNK = 64
+        for i in range(0, len(pending), CHUNK):
+            chunk = pending[i : i + CHUNK]
+            stacked = jax.device_get(stack(*[m for _, m in chunk]))
+            for j, (epoch, _) in enumerate(chunk):
+                m = jax.tree.map(lambda x: x[j], stacked)
+                self.logger.losses(m.train, epoch, "Train")
+                self.logger.losses(m.test, epoch, "Test")
+                last = {
+                    "epoch": epoch,
+                    "loss_train": float(m.train.loss),
+                    "loss_test": float(m.test.loss),
+                }
         self.ckpt.wait()
         self.logger.flush()
         last["wall_s"] = time.time() - t0

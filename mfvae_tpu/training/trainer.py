@@ -353,9 +353,11 @@ def make_batched_epoch_fn(
     assert cfg.buffer.batch_size % E == 0, (cfg.buffer.batch_size, E)
     local_bs = cfg.buffer.batch_size // E
 
+    # shards SPLIT the global capacity (E shards of max_size/E each) — a
+    # full-capacity buffer per shard would multiply HBM use by E
     local_buffer = ItemBuffer(
-        max_length=buffer.max_length,
-        min_length=buffer.min_length,
+        max_length=max(buffer.max_length // E, local_bs),
+        min_length=max(buffer.min_length // E, 1),
         sample_batch_size=local_bs,
     )
 
