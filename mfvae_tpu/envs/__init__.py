@@ -1,0 +1,8 @@
+from mfvae_tpu.envs.mpe import MPEState, SimpleSpreadEnv, SimpleTagEnv, make
+from mfvae_tpu.envs.spaces import Box, Discrete, get_space_size
+from mfvae_tpu.envs.wrappers import BatchedEnv, LogWrapper
+
+__all__ = [
+    "MPEState", "SimpleSpreadEnv", "SimpleTagEnv", "make",
+    "Box", "Discrete", "get_space_size", "BatchedEnv", "LogWrapper",
+]

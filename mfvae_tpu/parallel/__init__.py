@@ -1,0 +1,13 @@
+from mfvae_tpu.parallel.dp import make_dp_train_step
+from mfvae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    init_distributed,
+    make_mesh,
+)
+from mfvae_tpu.parallel.sharding import check_divisibility, mavae_param_shardings
+
+__all__ = [
+    "make_dp_train_step", "DATA_AXIS", "MODEL_AXIS", "init_distributed",
+    "make_mesh", "check_divisibility", "mavae_param_shardings",
+]

@@ -197,6 +197,19 @@ class TestEndToEnd:
         assert {"Loss/Train", "Loss/State_Train", "Loss/Reward_Train", "Loss/KL_Train",
                 "Loss/Test", "Loss/State_Test", "Loss/Reward_Test", "Loss/KL_Test"} <= tags
 
+    def test_world_model_on_simple_spread(self, tmp_path):
+        """The MAVAE pipeline runs unchanged on the second env family
+        (homogeneous agents -> one group)."""
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=2)
+        cfg.env.name = "MPE_simple_spread_v3"
+        cfg.env.num_good_agents = 3
+        exp = Experiment(cfg).setup()
+        assert len(exp.spec.groups) == 1
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
     def test_split_epoch_mode_matches_shapes(self, tmp_path):
         from mfvae_tpu.training.experiment import Experiment
 
