@@ -41,6 +41,34 @@ class TestBatchedEpoch:
         for leaf in jax.tree.leaves(exp.carry.train_state.params):
             assert leaf.sharding.is_fully_replicated
 
+    def test_dp_checkpoint_resume(self, tmp_path):
+        """Full-state checkpoint/resume works for the sharded DP carry
+        (TODO item: restore onto the mesh)."""
+        import numpy as np
+
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, n_envs=8, epoch_num=2, checkpoint_every=1)
+        cfg.buffer.batch_size = 16
+        cfg.mesh.enable = True
+        exp = Experiment(cfg).setup()
+        exp.run()
+        exp.ckpt.wait()
+
+        cfg2 = tiny_cfg(tmp_path, n_envs=8, epoch_num=3, checkpoint_every=1, resume=True)
+        cfg2.buffer.batch_size = 16
+        cfg2.mesh.enable = True
+        exp2 = Experiment(cfg2).setup()
+        assert exp2.start_epoch == 2
+        for a, b in zip(
+            jax.tree.leaves(exp.carry.train_state.params),
+            jax.tree.leaves(exp2.carry.train_state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        result = exp2.run()
+        assert result["epoch"] == 2
+        assert np.isfinite(result["loss_train"])
+
     def test_batched_matches_reference_structure(self, tmp_path):
         """The batched epoch with E=2 trains the same model family: loss
         decreases across epochs on the tiny setup."""
