@@ -160,6 +160,36 @@ class Runner(NamedTuple):
     test_return: jnp.ndarray
 
 
+def td_lambda_targets(
+    rewards: jnp.ndarray,  # [L-1, S]  r_t
+    done: jnp.ndarray,  # [L, S]    d_t (bool)
+    qbar_next: jnp.ndarray,  # [L-1, S]  target-net Qbar_{t+1}
+    gamma: float,
+    lam: float,
+) -> jnp.ndarray:
+    """TD(lambda) targets via the pymarl2 backward recursion
+    (reference jax_ver/baselines/QLearning/vdn.py:303-340):
+
+        G_{L-1} = Qbar_{L-1} * (1 - d_{L-1})                    (seed)
+        G_t     = r_t + gamma*(1-d_t)*[(1-lam)*Qbar_{t+1} + lam*G_{t+1}]
+
+    Returns [L-1, S] targets for steps 0..L-2.  Seeding with the bootstrap
+    value only (not a full one-step target) is what keeps the final reward
+    from being double-counted into its own target."""
+    not_done = 1.0 - done[:-1].astype(jnp.float32)
+
+    def back(g_next, xs):
+        r, nd, qb = xs
+        g = r + gamma * nd * ((1.0 - lam) * qb + lam * g_next)
+        return g, g
+
+    g_last = qbar_next[-1] * (1.0 - done[-1].astype(jnp.float32))
+    _, targets = jax.lax.scan(
+        back, g_last, (rewards, not_done, qbar_next), reverse=True
+    )
+    return targets
+
+
 def make_train(config: VdnConfig, env=None):
     """Build the compiled training function (reference surface:
     make_train(config, env) -> train(rng), vdn.py:133-139)."""
@@ -286,23 +316,12 @@ def make_train(config: VdnConfig, env=None):
 
             not_done = 1.0 - done_t[:-1].astype(jnp.float32)  # [L-1, S]
             if config.td_lambda_loss:
-                # backward recursion:
-                # G_t = r_t + gamma*(1-d_t)*[(1-lam) Qbar_{t+1} + lam G_{t+1}]
-                lam = config.td_lambda
-                qbar_next = vdn_target_next[1:]  # [L-1, S]
-
-                def back(g_next, xs):
-                    r, nd, qb = xs
-                    g = r + config.gamma * nd * ((1.0 - lam) * qb + lam * g_next)
-                    return g, g
-
-                # bootstrap the recursion from the last step's target value
-                g_last = rew_t[-2] + config.gamma * not_done[-1] * qbar_next[-1]
-                _, targets = jax.lax.scan(
-                    back,
-                    g_last,
-                    (rew_t[:-1], not_done, qbar_next),
-                    reverse=True,
+                targets = td_lambda_targets(
+                    rew_t[:-1],
+                    done_t,
+                    vdn_target_next[1:],
+                    config.gamma,
+                    config.td_lambda,
                 )
             else:
                 targets = rew_t[:-1] + config.gamma * not_done * vdn_target_next[1:]

@@ -113,9 +113,11 @@ class TrainConfig:
     train_num: int = 10  # train steps per epoch
     test_num: int = 64  # eval steps per epoch
     lr: float = 1e-3
-    # LR schedule: 'constant' (jax_ver parity) | 'cosine' (torch_ver parity:
-    # Adam + CosineAnnealingLR stepped per batch, torch_ver/main.py:52-53,98
-    # — the reference's T_max=50 quirk is exposed as lr_t_max) | 'warmup_cosine'
+    # LR schedule: 'constant' (jax_ver parity) | 'cosine' (single cosine
+    # decay, clamps at lr*lr_min_ratio) | 'cosine_periodic' (torch_ver
+    # parity: CosineAnnealingLR semantics, oscillates with period 2*lr_t_max
+    # — the reference steps it per batch with T_max=50, torch_ver/
+    # main.py:52-53,98) | 'warmup_cosine'
     lr_schedule: str = "constant"
     lr_t_max: int = 50  # cosine horizon in train steps (torch_ver/main.py:53)
     lr_warmup_steps: int = 0

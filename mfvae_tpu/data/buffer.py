@@ -126,8 +126,9 @@ class TrajectoryBuffer:
     over (env row, start time).
 
     Layout: leaves are [add_batch_size, time_capacity, ...]; the time axis is
-    the ring.  Sampling windows may span the cursor wrap seam; sampled start
-    positions are restricted to fully-valid windows.
+    the ring.  Sampled start positions are restricted to temporally
+    contiguous windows — once the ring is full, windows never cross the
+    write-cursor seam (where the newest data abuts the oldest).
     """
 
     add_batch_size: int
@@ -172,12 +173,15 @@ class TrajectoryBuffer:
         rows = jax.random.randint(
             k_row, (self.sample_batch_size,), 0, self.add_batch_size
         )
-        # Valid window starts: when the ring is full, any position works
-        # (window indices wrap); before that, starts in [0, size - L].
+        # Valid window starts: before the ring wraps, starts in [0, size-L].
+        # Once full, the oldest element sits at the cursor and temporal
+        # continuity breaks at the write seam (newest stitched onto oldest),
+        # so starts are restricted to offsets whose whole window stays on one
+        # side of the seam: [0, time_capacity - L] from the oldest.
         L = self.sample_sequence_length
         full = state.size >= self.time_capacity
         n_starts = jnp.where(
-            full, self.time_capacity, jnp.maximum(state.size - L + 1, 1)
+            full, self.time_capacity - L + 1, jnp.maximum(state.size - L + 1, 1)
         )
         # When full, align the oldest valid element at the cursor.
         base = jnp.where(full, state.cursor, 0)

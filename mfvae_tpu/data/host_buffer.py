@@ -13,6 +13,7 @@ keeps the API available if no toolchain exists.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -21,7 +22,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_SO_PATH = _NATIVE_DIR / "build" / "libringbuffer.so"
 _BUILD_LOCK = threading.Lock()
 
 
@@ -29,19 +29,26 @@ def _build_native() -> Optional[ctypes.CDLL]:
     src = _NATIVE_DIR / "ringbuffer.cpp"
     if not src.exists():
         return None
+    # Key the build artifact on a content hash of the source so a fresh
+    # clone (or a checkout with equal mtimes) never loads a stale or
+    # foreign-arch binary; build/ is gitignored and rebuilt on first use.
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+    so_path = _NATIVE_DIR / "build" / f"libringbuffer-{digest}.so"
     with _BUILD_LOCK:
-        if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < src.stat().st_mtime:
-            _SO_PATH.parent.mkdir(parents=True, exist_ok=True)
+        if not so_path.exists():
+            so_path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = so_path.with_suffix(".so.tmp")
             cmd = [
                 "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                "-fPIC", str(src), "-o", str(_SO_PATH),
+                "-fPIC", str(src), "-o", str(tmp),
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True)
+                tmp.replace(so_path)
             except (subprocess.CalledProcessError, FileNotFoundError):
                 return None
     try:
-        lib = ctypes.CDLL(str(_SO_PATH))
+        lib = ctypes.CDLL(str(so_path))
     except OSError:
         return None
     lib.rb_create.restype = ctypes.c_void_p

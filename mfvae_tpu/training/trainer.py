@@ -59,6 +59,22 @@ def make_lr(cfg: TrainConfig):
         return optax.cosine_decay_schedule(
             cfg.lr, decay_steps=cfg.lr_t_max, alpha=cfg.lr_min_ratio
         )
+    if cfg.lr_schedule == "cosine_periodic":
+        # torch.optim.lr_scheduler.CosineAnnealingLR semantics: the closed
+        # form eta_min + (lr - eta_min)*(1 + cos(pi*t/T_max))/2 keeps
+        # oscillating with period 2*T_max after the first descent — unlike
+        # optax.cosine_decay_schedule, which clamps at the floor.  With the
+        # torch reference's T_max=50 stepped per batch over 512 steps
+        # (torch_ver/main.py:53,98) the two diverge after step 50, so this
+        # is the LR-faithful choice for the torch-parity configs.
+        eta_min = cfg.lr * cfg.lr_min_ratio
+        t_max = max(cfg.lr_t_max, 1)
+
+        def periodic_cosine(step):
+            frac = (1.0 + jnp.cos(jnp.pi * step / t_max)) / 2.0
+            return eta_min + (cfg.lr - eta_min) * frac
+
+        return periodic_cosine
     if cfg.lr_schedule == "warmup_cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,

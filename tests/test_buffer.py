@@ -118,6 +118,25 @@ class TestTrajectoryBuffer:
         diffs = np.diff(t, axis=1)
         np.testing.assert_array_equal(diffs, np.ones_like(diffs))
 
+    def test_full_ring_never_crosses_seam(self):
+        # Once the ring is full, the write cursor splices the newest data
+        # directly onto the oldest; a window crossing that seam is
+        # temporally discontinuous (e.g. times [10, 11, 4, 5]).  Sample
+        # many batches and require every window strictly consecutive —
+        # under seam-crossing sampling this fails with overwhelming
+        # probability (~(L-1)/capacity of windows hit the seam).
+        buf = self.make(time_capacity=8, sample_sequence_length=4,
+                        sample_batch_size=16)
+        st = buf.init(self.step(0))
+        st = buf.add(st, self.traj(0, 6))
+        st = buf.add(st, self.traj(6, 6))  # full + wrapped: times 4..11 live
+        sample = jax.jit(buf.sample)
+        for seed in range(64):
+            t = np.asarray(sample(st, jax.random.PRNGKey(seed)).experience["t"]) % 1000
+            diffs = np.diff(t, axis=1)
+            np.testing.assert_array_equal(diffs, np.ones_like(diffs))
+            assert t.min() >= 4 and t.max() <= 11
+
     def test_sample_after_wrap_stays_valid(self):
         buf = self.make(time_capacity=8, sample_sequence_length=3)
         st = buf.init(self.step(0))

@@ -73,3 +73,31 @@ class TestLrSchedules:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             make_lr(TrainConfig(lr_schedule="nope"))
+
+    def test_periodic_cosine_matches_torch_semantics(self):
+        """cosine_periodic must track torch.optim CosineAnnealingLR stepped
+        per batch (torch_ver/main.py:53,98: T_max=50, eta_min=1e-4, lr=5e-3,
+        512 steps) — including the oscillation after T_max, which the
+        one-shot 'cosine' schedule clamps away."""
+        torch = pytest.importorskip("torch")
+        lr, t_max, eta_min, steps = 5e-3, 50, 1e-4, 512
+        sched = make_lr(
+            TrainConfig(
+                lr=lr, lr_schedule="cosine_periodic",
+                lr_t_max=t_max, lr_min_ratio=eta_min / lr,
+            )
+        )
+        opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+        tsched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=t_max, eta_min=eta_min
+        )
+        for step in range(steps):
+            got = float(sched(step))
+            want = tsched.get_last_lr()[0]
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-9), step
+            opt.step()
+            tsched.step()
+        # periodicity: back at peak at 2*T_max, at floor at T_max/3*T_max
+        assert float(sched(2 * t_max)) == pytest.approx(lr, rel=1e-6)
+        assert float(sched(t_max)) == pytest.approx(eta_min, rel=1e-6)
+        assert float(sched(3 * t_max)) == pytest.approx(eta_min, rel=1e-6)

@@ -118,6 +118,64 @@ class TestVdnTrain:
         m = jax.tree.map(np.asarray, out["metrics"])
         assert np.isfinite(m["loss"]).all()
 
+    def test_td_lambda_targets_hand_computed(self):
+        """Check td_lambda_targets against an explicit numpy recursion
+        (pymarl2 semantics, reference vdn.py:303-340):
+        G_{L-1} = Qbar_{L-1}*(1-d_{L-1});
+        G_t = r_t + g*(1-d_t)*[(1-lam)*Qbar_{t+1} + lam*G_{t+1}]."""
+        from mfvae_tpu.baselines.vdn import td_lambda_targets
+
+        rng = np.random.default_rng(7)
+        L, S = 9, 5
+        gamma, lam = 0.93, 0.6
+        rew = rng.normal(size=(L - 1, S)).astype(np.float32)
+        qbar_next = rng.normal(size=(L - 1, S)).astype(np.float32)
+        done = rng.random(size=(L, S)) < 0.25
+
+        g = np.empty((L, S), np.float32)
+        g[L - 1] = qbar_next[-1] * (1.0 - done[L - 1])
+        for t in range(L - 2, -1, -1):
+            g[t] = rew[t] + gamma * (1.0 - done[t]) * (
+                (1.0 - lam) * qbar_next[t] + lam * g[t + 1]
+            )
+        want = g[: L - 1]
+
+        got = np.asarray(
+            td_lambda_targets(
+                jnp.asarray(rew), jnp.asarray(done), jnp.asarray(qbar_next),
+                gamma, lam,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        # lam=0 degenerates to the one-step DDQN target
+        got0 = np.asarray(
+            td_lambda_targets(
+                jnp.asarray(rew), jnp.asarray(done), jnp.asarray(qbar_next),
+                gamma, 0.0,
+            )
+        )
+        want0 = rew + gamma * (1.0 - done[:-1]) * qbar_next
+        np.testing.assert_allclose(got0, want0, rtol=1e-5, atol=1e-6)
+
+        # lam=1, no dones: pure n-step return with bootstrap at the horizon;
+        # the final-step target must be exactly r + g*Qbar (no
+        # double-counting of the last reward)
+        nd = np.zeros((L, S), bool)
+        got1 = np.asarray(
+            td_lambda_targets(
+                jnp.asarray(rew), jnp.asarray(nd), jnp.asarray(qbar_next),
+                gamma, 1.0,
+            )
+        )
+        np.testing.assert_allclose(
+            got1[-1], rew[-1] + gamma * qbar_next[-1], rtol=1e-5
+        )
+        mc = np.zeros(S, np.float32) + qbar_next[-1]
+        for t in range(L - 2, -1, -1):
+            mc = rew[t] + gamma * mc
+        np.testing.assert_allclose(got1[0], mc, rtol=1e-4)
+
     def test_multi_seed_vmap(self):
         cfg = tiny_config(num_updates=2)
         train = make_train(cfg)
