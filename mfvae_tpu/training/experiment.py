@@ -189,24 +189,36 @@ class Experiment:
         return self
 
     def _shard_carry_for_dp(self):
-        """Lay the batched carry out over the ('data',) mesh: env carry and
-        buffer shards split on their leading E axis, train state replicated.
-        The XLA SPMD partitioner turns the epoch program into DP with psums
-        over ICI (BASELINE.json config 5)."""
+        """Lay the batched carry out over the ('data','model') mesh: env
+        carry and buffer shards split on their leading E axis over 'data';
+        the train state is replicated when mesh.model_axis == 1 (pure DP) or
+        tensor-parallel over 'model' (Megatron column/row decoder splits +
+        agent-axis sharding of the stacked encoders, parallel/sharding.py)
+        when model_axis > 1.  The XLA SPMD partitioner turns the epoch
+        program into DP(xTP) with collectives over ICI (BASELINE.json
+        config 5)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from mfvae_tpu.parallel.mesh import DATA_AXIS, make_mesh
+        from mfvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+        from mfvae_tpu.parallel.sharding import mavae_param_shardings
 
-        mesh = make_mesh(n_data=-1, n_model=1)
+        mesh = make_mesh(
+            n_data=self.cfg.mesh.data_axis, n_model=self.cfg.mesh.model_axis
+        )
         assert self.cfg.train.n_envs % mesh.shape[DATA_AXIS] == 0, (
             self.cfg.train.n_envs,
             dict(mesh.shape),
         )
         data = NamedSharding(mesh, P(DATA_AXIS))
-        repl = NamedSharding(mesh, P())
         self.mesh = mesh
+        if mesh.shape[MODEL_AXIS] > 1:
+            ts_sharding = mavae_param_shardings(self.carry.train_state, mesh)
+        else:
+            ts_sharding = jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), self.carry.train_state
+            )
         self.carry = EpochCarry(
-            train_state=jax.device_put(self.carry.train_state, repl),
+            train_state=jax.device_put(self.carry.train_state, ts_sharding),
             buffer_state=jax.device_put(self.carry.buffer_state, data),
             test_buffer_state=jax.device_put(self.carry.test_buffer_state, data),
             env=jax.device_put(self.carry.env, data),

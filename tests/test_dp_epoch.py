@@ -41,6 +41,41 @@ class TestBatchedEpoch:
         for leaf in jax.tree.leaves(exp.carry.train_state.params):
             assert leaf.sharding.is_fully_replicated
 
+    def test_tp_epoch_over_2d_mesh(self, tmp_path):
+        """TP flows through the epoch-level program: with
+        mesh.model_axis=2 the batched epoch runs on a ('data','model') =
+        4x2 grid with tensor-parallel train-state shardings (Megatron
+        decoder splits + agent-axis encoder sharding), and produces the
+        same training trajectory as the unsharded single-device run."""
+        from mfvae_tpu.training.experiment import Experiment
+
+        def base(subdir):
+            cfg = tiny_cfg(tmp_path / subdir, n_envs=4)
+            cfg.env.num_good_agents = 2  # groups (2,2) divide the model axis
+            cfg.buffer.batch_size = 8
+            return cfg
+
+        cfg = base("tp")
+        cfg.mesh.enable = True
+        cfg.mesh.model_axis = 2
+        exp = Experiment(cfg).setup()
+        assert dict(exp.mesh.shape) == {"data": 4, "model": 2}
+        specs = {
+            str(leaf.sharding.spec)
+            for leaf in jax.tree.leaves(exp.carry.train_state.params)
+        }
+        assert any("model" in s for s in specs), specs
+        result = exp.run()
+        assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
+
+        ref = Experiment(base("single")).setup().run()
+        np.testing.assert_allclose(
+            result["loss_train"], ref["loss_train"], rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            result["loss_test"], ref["loss_test"], rtol=2e-3
+        )
+
     def test_dp_checkpoint_resume(self, tmp_path):
         """Full-state checkpoint/resume works for the sharded DP carry
         (TODO item: restore onto the mesh)."""
