@@ -81,6 +81,17 @@ class VdnConfig:
     test_num_envs: int = 8
     test_num_steps: int = 25
     seed: int = 0
+    # in-loop metrics streaming (TB/JSONL + optional wandb) per update,
+    # escaping the compiled scan via jax.debug.callback — capability parity
+    # with the reference's wandb logging (vdn.py:420-436).  On backends
+    # without host-callback support the driver falls back to dispatching
+    # the update scan in chunks of log_chunk and streaming between chunks.
+    log_during_training: bool = True
+    log_chunk: int = 10
+    log_dir: str = "results"
+    run_name: str = ""
+    wandb_mode: str = "disabled"  # reference config.yaml parity
+    wandb_project: str = "mfvae_tpu"
 
     @classmethod
     def from_yaml(cls, path: str) -> "VdnConfig":
@@ -190,9 +201,17 @@ def td_lambda_targets(
     return targets
 
 
-def make_train(config: VdnConfig, env=None):
+def make_train(config: VdnConfig, env=None, metrics_callback=None):
     """Build the compiled training function (reference surface:
-    make_train(config, env) -> train(rng), vdn.py:133-139)."""
+    make_train(config, env) -> train(rng), vdn.py:133-139).
+
+    metrics_callback(metrics_dict, update_i): optional host-side sink called
+    every update from inside the compiled loop via jax.debug.callback — the
+    reference's wandb streaming escape hatch (vdn.py:420-436).  Values
+    arrive as numpy scalars; keep the callback cheap (it rides the async
+    dispatch stream).  Some PJRT backends (the axon TPU tunnel) don't
+    support host callbacks; there the driver streams via the chunked API
+    instead (train.init_runner / train.update_chunk — see main())."""
     base_env = env or make_env(
         config.env_name,
         num_good_agents=config.num_good_agents,
@@ -229,7 +248,7 @@ def make_train(config: VdnConfig, env=None):
         """q [T, B, N, A], actions [T, B, N] -> [T, B, N]."""
         return jnp.take_along_axis(q, actions[..., None], axis=-1)[..., 0]
 
-    def train(rng: jax.Array):
+    def init_runner(rng: jax.Array) -> Runner:
         rng, k_reset, k_init = jax.random.split(rng, 3)
         obs_dict, env_states = rollout.reset(k_reset)
         obs = _pack_obs(base_env, obs_dict, n_agents)
@@ -271,170 +290,199 @@ def make_train(config: VdnConfig, env=None):
             rng=rng,
             test_return=jnp.float32(0.0),
         )
+        return runner
 
-        def env_step(carry, step_key):
-            (params, env_states, obs, hidden, eps) = carry
-            k_act, k_step = jax.random.split(step_key)
-            hidden, q = network.apply(
-                params, hidden, obs[None], jnp.zeros((1, obs.shape[0]), bool)
-            )
-            actions = eps_greedy(k_act, q[0], eps)  # [B, N]
-            act_dict = {a: actions[:, i] for i, a in enumerate(base_env.agents)}
-            next_obs_d, env_states, rew, done, info = rollout.step(
-                k_step, env_states, act_dict
-            )
-            next_obs = _pack_obs(base_env, next_obs_d, n_agents)
-            team_rew = config.reward_scale * sum(rew[a] for a in base_env.agents)
-            done_all = done["__all__"]
-            hidden = jnp.where(done_all[:, None, None], 0.0, hidden)
-            ts = Timestep(obs=obs, actions=actions, rewards=team_rew, done=done_all)
-            return (params, env_states, next_obs, hidden, eps), (ts, info)
-
-        def loss_fn(params, target_params, seq: Timestep):
-            """seq leaves: [S, L, ...] sampled windows (batch-major)."""
-            obs_t = jnp.swapaxes(seq.obs, 0, 1)  # [L, S, N, D]
-            act_t = jnp.swapaxes(seq.actions, 0, 1)  # [L, S, N]
-            rew_t = jnp.swapaxes(seq.rewards, 0, 1)  # [L, S]
-            done_t = jnp.swapaxes(seq.done, 0, 1)  # [L, S]
-            s = obs_t.shape[1]
-            h0 = init_hidden(s)
-            # hidden resets happen *after* a done step; shift dones right so
-            # the first step of each window starts fresh
-            done_prev = jnp.concatenate(
-                [jnp.ones((1, s), bool), done_t[:-1]], axis=0
-            )
-            _, q_online = network.apply(params, h0, obs_t, done_prev)
-            _, q_target = network.apply(target_params, h0, obs_t, done_prev)
-
-            chosen = q_of_actions(q_online, act_t)  # [L, S, N]
-            vdn_q = jnp.sum(chosen, axis=-1)  # [L, S]
-
-            # double-DQN: online argmax, target evaluation (vdn.py loss)
-            best = jnp.argmax(q_online, axis=-1)  # [L, S, N]
-            target_chosen = q_of_actions(q_target, best)
-            vdn_target_next = jnp.sum(target_chosen, axis=-1)  # [L, S]
-
-            not_done = 1.0 - done_t[:-1].astype(jnp.float32)  # [L-1, S]
-            if config.td_lambda_loss:
-                targets = td_lambda_targets(
-                    rew_t[:-1],
-                    done_t,
-                    vdn_target_next[1:],
-                    config.gamma,
-                    config.td_lambda,
-                )
-            else:
-                targets = rew_t[:-1] + config.gamma * not_done * vdn_target_next[1:]
-            td = vdn_q[:-1] - jax.lax.stop_gradient(targets)
-            return jnp.mean(td * td)
-
-        def update_step(runner: Runner, _):
-            rng, k_roll, k_sample = jax.random.split(runner.rng, 3)
-            eps = epsilon_by_step(
-                runner.update_i, config.eps_start, config.eps_finish, eps_decay_updates
-            )
-            carry = (
-                runner.train_state.params,
-                runner.env_states,
-                runner.obs,
-                runner.hidden,
-                eps,
-            )
-            step_keys = jax.random.split(k_roll, config.num_steps)
-            carry, (traj, infos) = jax.lax.scan(env_step, carry, step_keys)
-            _, env_states, obs, hidden, _ = carry
-
-            # [T, B, ...] -> [B, T, ...] rows for the trajectory ring
-            traj_rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
-            buffer_state = buffer.add(runner.buffer_state, traj_rows)
-
-            def do_learn(train_state):
-                batch = buffer.sample(buffer_state, k_sample).experience
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    train_state.params, runner.target_params, batch
-                )
-                return train_state.apply_gradients(grads=grads), loss
-
-            can = buffer.can_sample(buffer_state)
-            train_state, loss = jax.lax.cond(
-                can,
-                do_learn,
-                lambda ts: (ts, jnp.float32(0.0)),
-                runner.train_state,
-            )
-
-            target_params = jax.lax.cond(
-                (runner.update_i % config.target_update_interval) == 0,
-                lambda: train_state.params,
-                lambda: runner.target_params,
-            )
-
-            # periodic greedy eval
-            def do_test(rng):
-                k_r, k_s = jax.random.split(rng)
-                tobs_d, tstates = test_rollout.reset(k_r)
-                tobs = _pack_obs(base_env, tobs_d, n_agents)
-                th = init_hidden(config.test_num_envs)
-
-                def tstep(c, k):
-                    tstates, tobs, th, ret = c
-                    th, q = network.apply(
-                        train_state.params, th, tobs[None],
-                        jnp.zeros((1, tobs.shape[0]), bool),
-                    )
-                    acts = jnp.argmax(q[0], axis=-1).astype(jnp.int32)
-                    act_dict = {a: acts[:, i] for i, a in enumerate(base_env.agents)}
-                    tobs_d, tstates, rew, done, info = test_rollout.step(
-                        k, tstates, act_dict
-                    )
-                    tobs = _pack_obs(base_env, tobs_d, n_agents)
-                    ret = ret + sum(rew[a] for a in base_env.agents)
-                    return (tstates, tobs, th, ret), ()
-
-                keys = jax.random.split(k_s, config.test_num_steps)
-                (_, _, _, ret), _ = jax.lax.scan(
-                    tstep, (tstates, tobs, th, jnp.zeros(config.test_num_envs)), keys
-                )
-                return jnp.mean(ret)
-
-            if config.test_during_training:
-                test_return = jax.lax.cond(
-                    (runner.update_i % config.test_interval) == 0,
-                    do_test,
-                    lambda _: runner.test_return,
-                    jax.random.fold_in(rng, 7),
-                )
-            else:
-                test_return = runner.test_return
-
-            metrics = {
-                "loss": loss,
-                "epsilon": eps,
-                "mean_reward": jnp.mean(traj.rewards),
-                "returned_episode_returns": jnp.mean(
-                    infos["returned_episode_returns"]
-                ),
-                "test_return": test_return,
-            }
-            new_runner = Runner(
-                train_state=train_state,
-                target_params=target_params,
-                buffer_state=buffer_state,
-                env_states=env_states,
-                obs=obs,
-                hidden=hidden,
-                update_i=runner.update_i + 1,
-                rng=rng,
-                test_return=test_return,
-            )
-            return new_runner, metrics
-
-        runner, metrics = jax.lax.scan(
-            update_step, runner, None, length=config.num_updates
+    def env_step(carry, step_key):
+        (params, env_states, obs, hidden, eps) = carry
+        k_act, k_step = jax.random.split(step_key)
+        hidden, q = network.apply(
+            params, hidden, obs[None], jnp.zeros((1, obs.shape[0]), bool)
         )
+        actions = eps_greedy(k_act, q[0], eps)  # [B, N]
+        act_dict = {a: actions[:, i] for i, a in enumerate(base_env.agents)}
+        next_obs_d, env_states, rew, done, info = rollout.step(
+            k_step, env_states, act_dict
+        )
+        next_obs = _pack_obs(base_env, next_obs_d, n_agents)
+        team_rew = config.reward_scale * sum(rew[a] for a in base_env.agents)
+        done_all = done["__all__"]
+        hidden = jnp.where(done_all[:, None, None], 0.0, hidden)
+        ts = Timestep(obs=obs, actions=actions, rewards=team_rew, done=done_all)
+        return (params, env_states, next_obs, hidden, eps), (ts, info)
+
+    def loss_fn(params, target_params, seq: Timestep):
+        """seq leaves: [S, L, ...] sampled windows (batch-major)."""
+        obs_t = jnp.swapaxes(seq.obs, 0, 1)  # [L, S, N, D]
+        act_t = jnp.swapaxes(seq.actions, 0, 1)  # [L, S, N]
+        rew_t = jnp.swapaxes(seq.rewards, 0, 1)  # [L, S]
+        done_t = jnp.swapaxes(seq.done, 0, 1)  # [L, S]
+        s = obs_t.shape[1]
+        h0 = init_hidden(s)
+        # hidden resets happen *after* a done step; shift dones right so
+        # the first step of each window starts fresh
+        done_prev = jnp.concatenate(
+            [jnp.ones((1, s), bool), done_t[:-1]], axis=0
+        )
+        _, q_online = network.apply(params, h0, obs_t, done_prev)
+        _, q_target = network.apply(target_params, h0, obs_t, done_prev)
+
+        chosen = q_of_actions(q_online, act_t)  # [L, S, N]
+        vdn_q = jnp.sum(chosen, axis=-1)  # [L, S]
+
+        # double-DQN: online argmax, target evaluation (vdn.py loss)
+        best = jnp.argmax(q_online, axis=-1)  # [L, S, N]
+        target_chosen = q_of_actions(q_target, best)
+        vdn_target_next = jnp.sum(target_chosen, axis=-1)  # [L, S]
+
+        not_done = 1.0 - done_t[:-1].astype(jnp.float32)  # [L-1, S]
+        if config.td_lambda_loss:
+            targets = td_lambda_targets(
+                rew_t[:-1],
+                done_t,
+                vdn_target_next[1:],
+                config.gamma,
+                config.td_lambda,
+            )
+        else:
+            targets = rew_t[:-1] + config.gamma * not_done * vdn_target_next[1:]
+        td = vdn_q[:-1] - jax.lax.stop_gradient(targets)
+        return jnp.mean(td * td)
+
+    def update_step(runner: Runner, _):
+        rng, k_roll, k_sample = jax.random.split(runner.rng, 3)
+        eps = epsilon_by_step(
+            runner.update_i, config.eps_start, config.eps_finish, eps_decay_updates
+        )
+        carry = (
+            runner.train_state.params,
+            runner.env_states,
+            runner.obs,
+            runner.hidden,
+            eps,
+        )
+        step_keys = jax.random.split(k_roll, config.num_steps)
+        carry, (traj, infos) = jax.lax.scan(env_step, carry, step_keys)
+        _, env_states, obs, hidden, _ = carry
+
+        # [T, B, ...] -> [B, T, ...] rows for the trajectory ring
+        traj_rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
+        buffer_state = buffer.add(runner.buffer_state, traj_rows)
+
+        def do_learn(train_state):
+            batch = buffer.sample(buffer_state, k_sample).experience
+            loss, grads = jax.value_and_grad(loss_fn)(
+                train_state.params, runner.target_params, batch
+            )
+            return train_state.apply_gradients(grads=grads), loss
+
+        can = buffer.can_sample(buffer_state)
+        train_state, loss = jax.lax.cond(
+            can,
+            do_learn,
+            lambda ts: (ts, jnp.float32(0.0)),
+            runner.train_state,
+        )
+
+        target_params = jax.lax.cond(
+            (runner.update_i % config.target_update_interval) == 0,
+            lambda: train_state.params,
+            lambda: runner.target_params,
+        )
+
+        # periodic greedy eval
+        def do_test(rng):
+            k_r, k_s = jax.random.split(rng)
+            tobs_d, tstates = test_rollout.reset(k_r)
+            tobs = _pack_obs(base_env, tobs_d, n_agents)
+            th = init_hidden(config.test_num_envs)
+
+            def tstep(c, k):
+                tstates, tobs, th, ret = c
+                th, q = network.apply(
+                    train_state.params, th, tobs[None],
+                    jnp.zeros((1, tobs.shape[0]), bool),
+                )
+                acts = jnp.argmax(q[0], axis=-1).astype(jnp.int32)
+                act_dict = {a: acts[:, i] for i, a in enumerate(base_env.agents)}
+                tobs_d, tstates, rew, done, info = test_rollout.step(
+                    k, tstates, act_dict
+                )
+                tobs = _pack_obs(base_env, tobs_d, n_agents)
+                ret = ret + sum(rew[a] for a in base_env.agents)
+                return (tstates, tobs, th, ret), ()
+
+            keys = jax.random.split(k_s, config.test_num_steps)
+            (_, _, _, ret), _ = jax.lax.scan(
+                tstep, (tstates, tobs, th, jnp.zeros(config.test_num_envs)), keys
+            )
+            return jnp.mean(ret)
+
+        if config.test_during_training:
+            test_return = jax.lax.cond(
+                (runner.update_i % config.test_interval) == 0,
+                do_test,
+                lambda _: runner.test_return,
+                jax.random.fold_in(rng, 7),
+            )
+        else:
+            test_return = runner.test_return
+
+        metrics = {
+            "loss": loss,
+            "epsilon": eps,
+            "mean_reward": jnp.mean(traj.rewards),
+            "returned_episode_returns": jnp.mean(
+                infos["returned_episode_returns"]
+            ),
+            "test_return": test_return,
+        }
+        if metrics_callback is not None:
+            jax.debug.callback(metrics_callback, metrics, runner.update_i)
+        new_runner = Runner(
+            train_state=train_state,
+            target_params=target_params,
+            buffer_state=buffer_state,
+            env_states=env_states,
+            obs=obs,
+            hidden=hidden,
+            update_i=runner.update_i + 1,
+            rng=rng,
+            test_return=test_return,
+        )
+        return new_runner, metrics
+
+
+    def update_chunk(runner: Runner, length: int):
+        """Scan `length` updates (static).  Exposed so drivers can stream
+        metrics between chunks on backends without host-callback support."""
+        return jax.lax.scan(update_step, runner, None, length=length)
+
+    def train(rng: jax.Array):
+        runner = init_runner(rng)
+        runner, metrics = update_chunk(runner, config.num_updates)
         return {"runner": runner, "metrics": metrics}
 
+    train.init_runner = init_runner
+    train.update_chunk = update_chunk
     return train
+
+
+def _host_callbacks_supported() -> bool:
+    """Probe whether the active PJRT backend implements host send/recv
+    callbacks (jax.debug.callback).  The axon TPU tunnel reports platform
+    'tpu' but raises UNIMPLEMENTED at run time, so this must be a
+    functional probe, not a platform-name check."""
+    seen = []
+
+    def probe(x):
+        jax.debug.callback(lambda v: seen.append(v), x)
+        return x
+
+    try:
+        jax.block_until_ready(jax.jit(probe)(jnp.float32(0.0)))
+    except Exception:
+        return False
+    return len(seen) > 0
 
 
 def main(config_path: Optional[str] = None, **overrides):
@@ -444,12 +492,69 @@ def main(config_path: Optional[str] = None, **overrides):
     cfg = VdnConfig.from_yaml(config_path) if config_path else VdnConfig()
     for k, v in overrides.items():
         setattr(cfg, k, v)
-    train = make_train(cfg)
+
+    callback = None
+    logger = wb = None
+    if cfg.log_during_training:
+        from mfvae_tpu.training.metrics import MetricsLogger, WandbLogger
+
+        logger = MetricsLogger(cfg.log_dir, cfg.run_name or "vdn")
+        wb = WandbLogger(project=cfg.wandb_project, mode=cfg.wandb_mode)
+
+        def callback(metrics, update_i):
+            step = int(update_i)
+            for k, v in metrics.items():
+                logger.scalar(f"vdn/{k}", float(v), step)
+            wb.log({f"vdn/{k}": float(v) for k, v in metrics.items()}, step=step)
+
     rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.num_seeds)
-    # vmapped multi-seed training in one XLA program (reference
-    # vdn.py:570-573: jax.jit(jax.vmap(train)))
-    out = jax.jit(jax.vmap(train))(rngs)
-    metrics = jax.tree.map(np.asarray, out["metrics"])
+    # Host callbacks are unsupported on some PJRT backends (the axon TPU
+    # tunnel rejects debug.callback at run time while still reporting
+    # platform 'tpu'); feature-probe and stream chunk-wise there instead.
+    supports_callback = callback is None or _host_callbacks_supported()
+    if callback is not None and not supports_callback:
+        train = make_train(cfg)
+        init_v = jax.jit(jax.vmap(train.init_runner))
+        chunk_jits = {}
+
+        def run_chunk(runner, n):
+            if n not in chunk_jits:
+                chunk_jits[n] = jax.jit(
+                    jax.vmap(lambda r: train.update_chunk(r, n)),
+                    donate_argnums=0,
+                )
+            return chunk_jits[n](runner)
+
+        runner = init_v(rngs)
+        chunks = []
+        done_updates = 0
+        while done_updates < cfg.num_updates:
+            n = min(max(cfg.log_chunk, 1), cfg.num_updates - done_updates)
+            runner, m = run_chunk(runner, n)
+            m = jax.tree.map(np.asarray, m)  # leaves [seeds, n]
+            for t in range(n):
+                callback(
+                    {k: v[:, t].mean() for k, v in m.items()},
+                    done_updates + t,
+                )
+            chunks.append(m)
+            done_updates += n
+        metrics = {
+            k: np.concatenate([m[k] for m in chunks], axis=1) for k in chunks[0]
+        }
+        out = {"runner": runner, "metrics": metrics}
+    else:
+        # vmapped multi-seed training in one XLA program (reference
+        # vdn.py:570-573: jax.jit(jax.vmap(train))); with num_seeds > 1 the
+        # per-update callback fires once per seed at each step, like the
+        # reference's wandb callback under its seed vmap
+        train = make_train(cfg, metrics_callback=callback)
+        out = jax.jit(jax.vmap(train))(rngs)
+        metrics = jax.tree.map(np.asarray, out["metrics"])
+    if logger is not None:
+        logger.flush()
+        logger.close()
+        wb.finish()
     print(
         f"final loss={metrics['loss'][:, -1].mean():.4f} "
         f"mean_return={metrics['returned_episode_returns'][:, -1].mean():.2f} "

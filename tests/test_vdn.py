@@ -118,6 +118,41 @@ class TestVdnTrain:
         m = jax.tree.map(np.asarray, out["metrics"])
         assert np.isfinite(m["loss"]).all()
 
+    def test_in_loop_metrics_streaming(self):
+        """Per-update metrics escape the compiled lax.scan via
+        jax.debug.callback (reference vdn.py:420-436 capability): the host
+        callback fires once per update with finite scalars."""
+        seen = []
+
+        def cb(metrics, update_i):
+            seen.append((int(update_i), {k: float(v) for k, v in metrics.items()}))
+
+        cfg = tiny_config(num_updates=3)
+        out = jax.jit(make_train(cfg, metrics_callback=cb))(jax.random.PRNGKey(0))
+        jax.block_until_ready(out["metrics"]["loss"])
+        assert [s[0] for s in sorted(seen)] == [0, 1, 2]
+        for _, m in seen:
+            assert set(m) >= {"loss", "epsilon", "mean_reward", "test_return"}
+            assert all(np.isfinite(v) for v in m.values()), m
+
+    def test_chunked_dispatch_matches_single_program(self):
+        """train.init_runner + update_chunk in pieces (the streaming
+        fallback for backends without host callbacks) must produce exactly
+        the same metrics as the single compiled scan."""
+        cfg = tiny_config(num_updates=6)
+        train = make_train(cfg)
+        rng = jax.random.PRNGKey(4)
+        whole = jax.jit(train)(rng)
+
+        runner = jax.jit(train.init_runner)(rng)
+        chunk4 = jax.jit(lambda r: train.update_chunk(r, 4))
+        chunk2 = jax.jit(lambda r: train.update_chunk(r, 2))
+        runner, m1 = chunk4(runner)
+        runner, m2 = chunk2(runner)
+        got = {k: np.concatenate([np.asarray(m1[k]), np.asarray(m2[k])]) for k in m1}
+        for k, v in whole["metrics"].items():
+            np.testing.assert_allclose(got[k], np.asarray(v), rtol=1e-5, err_msg=k)
+
     def test_td_lambda_targets_hand_computed(self):
         """Check td_lambda_targets against an explicit numpy recursion
         (pymarl2 semantics, reference vdn.py:303-340):
