@@ -6,6 +6,20 @@ reference's only quantitative record is ~19 end-to-end trained samples/s on
 its host (BASELINE.md throughput table), which `vs_baseline` is measured
 against.
 
+Reports BOTH timing disciplines so there is no ambiguity about what was
+measured:
+- pipelined: N dispatches, one sync at the end — the device-throughput
+  ceiling (hides host dispatch + link latency behind device work);
+- wall: sync after every step/epoch — what a host-synchronous caller sees.
+Plus an MFU estimate (step FLOPs x steps/s / chip peak).
+
+IMPORTANT measurement discipline on this image: the axon PJRT tunnel's
+`block_until_ready` returns immediately WITHOUT waiting for device work
+(verified: a multi-second matmul chain "blocks" in 0.05 ms), so every sync
+below is a real host transfer (`float(scalar)`), which forces completion.
+The tunnel RTT is ~35-50 ms per fetch; pipelined figures amortize it over
+many dispatches.
+
 Runs on whatever jax.devices() provides (the real TPU chip under the driver;
 CPU elsewhere).  Prints ONE JSON line.
 """
@@ -14,6 +28,21 @@ import json
 import time
 
 import numpy as np
+
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (public spec)
+
+
+def _flops_per_step(step, state, batch, key) -> float:
+    """XLA's own FLOP estimate for the compiled train step; falls back to 0
+    when the backend doesn't expose cost analysis."""
+    try:
+        compiled = step.lower(state, batch, key).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):  # some backends return one per device
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -39,26 +68,43 @@ def main():
     state = create_train_state(model, variables, TrainConfig())
     step = jax.jit(make_train_step(LossConfig()), donate_argnums=0)
 
-    # warmup/compile
-    state, outs = step(state, batch, jax.random.PRNGKey(2))
-    jax.block_until_ready(outs.loss)
+    step_flops = _flops_per_step(step, state, batch, jax.random.PRNGKey(2))
 
-    # best of 3 rounds: the host<->device link has high variance, and a
-    # throughput benchmark estimates the hardware ceiling, not link jitter
-    n_iters = 50
+    # warmup/compile (float() is the sync: see module docstring)
+    state, outs = step(state, batch, jax.random.PRNGKey(2))
+    float(outs.loss)
+
+    # pipelined: best of 3 rounds (the host<->device link has high variance;
+    # this estimates the hardware ceiling, not link jitter)
+    n_iters = 200
     best_dt = float("inf")
     for r in range(3):
         t0 = time.perf_counter()
         for i in range(n_iters):
             state, outs = step(state, batch, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(outs.loss)
+        float(outs.loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
-
     samples_per_sec = BATCH * n_iters / best_dt
 
-    # secondary: the full epoch pipeline (collect+train+test-collect+eval)
-    # at canonical reference scale, comparable to the reference's 67.8
-    # s/epoch / ~19 trained samples/s end-to-end (BASELINE.md)
+    # wall: sync after every step — includes host dispatch + link RTT
+    n_wall = 20
+    t0 = time.perf_counter()
+    for i in range(n_wall):
+        state, outs = step(state, batch, jax.random.PRNGKey(100 + i))
+        float(outs.loss)
+    wall_dt = time.perf_counter() - t0
+    wall_samples_per_sec = BATCH * n_wall / wall_dt
+
+    mfu = (
+        step_flops * (samples_per_sec / BATCH) / V5E_PEAK_FLOPS
+        if step_flops
+        else None
+    )
+
+    # Full epoch pipeline (collect + train + test-collect + eval) at the
+    # canonical reference scale, comparable to the reference's 67.8 s/epoch
+    # / ~19 trained samples/s end-to-end (BASELINE.md).  Both disciplines:
+    # per-epoch blocked wall and N-epochs-blocked-once pipelined.
     from mfvae_tpu.config import ExperimentConfig
     from mfvae_tpu.training.experiment import Experiment
 
@@ -67,30 +113,40 @@ def main():
     cfg.train.checkpoint_dir = "/tmp/bench_ckpt"
     exp = Experiment(cfg).setup()
     carry, metrics = exp._epoch_jit(exp.carry, exp.streams["train"].at(0))
-    jax.block_until_ready(metrics.train.loss)  # compile + warmup
+    float(metrics.train.loss)  # compile + warmup
     exp.carry = carry
+
+    n_epochs = 20
     t0 = time.perf_counter()
-    n_epochs = 5
     for e in range(1, 1 + n_epochs):
         exp.carry, metrics = exp._epoch_jit(exp.carry, exp.streams["train"].at(e))
-    jax.block_until_ready(metrics.train.loss)
-    epoch_s = (time.perf_counter() - t0) / n_epochs
-    e2e_samples = cfg.train.batch_size * cfg.train.train_num / epoch_s
+        float(metrics.train.loss)
+    wall_epoch_s = (time.perf_counter() - t0) / n_epochs
+
+    t0 = time.perf_counter()
+    for e in range(1 + n_epochs, 1 + 2 * n_epochs):
+        exp.carry, metrics = exp._epoch_jit(exp.carry, exp.streams["train"].at(e))
+    float(metrics.train.loss)
+    pipelined_epoch_s = (time.perf_counter() - t0) / n_epochs
+
+    epoch_train_samples = cfg.train.batch_size * cfg.train.train_num
+    wall_e2e = epoch_train_samples / wall_epoch_s
 
     baseline = 19.0  # reference end-to-end trained samples/s (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "train_samples_per_sec_per_chip_batch256",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / baseline, 2),
-                "end_to_end_epoch_seconds": round(epoch_s, 4),
-                "end_to_end_samples_per_sec": round(e2e_samples, 1),
-                "end_to_end_vs_baseline": round(e2e_samples / baseline, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "train_samples_per_sec_per_chip_batch256",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / baseline, 2),
+        "wall_samples_per_sec": round(wall_samples_per_sec, 2),
+        "wall_epoch_seconds": round(wall_epoch_s, 4),
+        "wall_end_to_end_samples_per_sec": round(wall_e2e, 1),
+        "wall_end_to_end_vs_baseline": round(wall_e2e / baseline, 1),
+        "pipelined_epoch_seconds": round(pipelined_epoch_s, 4),
+        "step_flops": step_flops,
+        "mfu_pct": round(100 * mfu, 2) if mfu is not None else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

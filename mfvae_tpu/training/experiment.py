@@ -288,12 +288,15 @@ class Experiment:
             self.carry, metrics = self._epoch_jit(self.carry, k_epoch)
             pending.append((epoch, metrics))
             if (epoch + 1) % BACKPRESSURE == 0:
-                jax.block_until_ready(metrics.train.loss)
+                # real host transfer, not block_until_ready: the axon PJRT
+                # tunnel's block is a no-op, which would leave the dispatch
+                # queue unbounded on exactly the backend that needs bounding
+                jax.device_get(metrics.train.loss)
             if (
                 prof_from is not None
                 and epoch == prof_from + cfg.train.profile_epochs - 1
             ):
-                jax.block_until_ready(metrics.train.loss)
+                jax.device_get(metrics.train.loss)
                 jax.profiler.stop_trace()
                 prof_from = None
             if (
