@@ -442,9 +442,353 @@ class SimpleSpreadEnv:
         return {f"agent_{i}": obs.agent[i] for i in range(self.num_agents)}
 
 
+class WorldCommState(NamedTuple):
+    agent_pos: jnp.ndarray  # [A, 2] leader, adversaries, good agents
+    agent_vel: jnp.ndarray  # [A, 2]
+    landmark_pos: jnp.ndarray  # [E, 2] obstacles, food, forests
+    leader_comm: jnp.ndarray  # [C] the one non-silent agent's channel
+    step: jnp.ndarray  # int32
+
+
+class WorldCommObs(NamedTuple):
+    """Per-class observation tensors (widths differ per class)."""
+
+    lead: jnp.ndarray  # [1, obs_dim_lead]
+    adversary: jnp.ndarray  # [n_adv-1, obs_dim_adv]
+    good: jnp.ndarray  # [n_good, obs_dim_good]
+
+
+GOOD_SIZE_WC = 0.045
+FOOD_SIZE, FOREST_SIZE = 0.03, 0.3
+WC_COLLISION_REWARD = 5.0
+FOOD_REWARD = 2.0
+BOUNDARY_EXIT_PENALTY = 10.0
+
+
+@dataclass(frozen=True)
+class SimpleWorldCommEnv:
+    """simple_world_comm — the scenario the reference's only executable
+    self-check runs (jax_ver/jax_buffer.py:151).
+
+    Published scenario structure: 4 adversaries (index 0 is the leader, the
+    only non-silent agent, with a dim_c=4 broadcast channel; size .075,
+    accel 3.0, max_speed 1.0), 2 good agents (size .045, accel 4.0, max
+    speed 1.3), 1 collidable obstacle (size .2), 2 food landmarks (.03,
+    non-collidable, +2 to a good agent touching them), 2 forests (.3,
+    non-collidable) that hide occupants from everyone outside the same
+    forest except the leader.  Rewards: adversaries get +5 per
+    (adversary, good) colliding pair plus a -0.1 * min-distance-to-prey
+    shaping term; good agents get -5 per adversary touching them, -2*bound
+    per coordinate (same bound() as simple_tag), +2 per food touched, and
+    the published +0.05 * min-distance-to-food shaping quirk (positive —
+    kept as published); everyone gets -10 while outside the unit box.
+    Observation widths at the default population: leader 34, adversary 34,
+    good agent 28, matching the published spaces; the exact concatenation
+    order within a class follows the published per-agent loops (entities,
+    then masked others, then good velocities, then forest indicators, then
+    the leader channel).
+
+    Discrete actions only (the reference path): non-leader agents Discrete(5)
+    movement; the leader Discrete(20) = movement (a % 5) x comm (a // 5)
+    exactly as the published action splitter decomposes its MultiDiscrete.
+    """
+
+    num_good_agents: int = 2
+    num_adversaries: int = 4  # includes the leader (index 0)
+    num_obs: int = 1
+    num_food: int = 2
+    num_forests: int = 2
+    dim_c: int = 4
+    max_steps: int = 25
+    discrete_actions: bool = True
+
+    @cached_property
+    def agents(self) -> Tuple[str, ...]:
+        return (
+            ("leadadversary_0",)
+            + tuple(f"adversary_{i}" for i in range(self.num_adversaries - 1))
+            + tuple(f"agent_{i}" for i in range(self.num_good_agents))
+        )
+
+    @property
+    def num_agents(self) -> int:
+        return self.num_adversaries + self.num_good_agents
+
+    @property
+    def num_landmarks(self) -> int:
+        return self.num_obs + self.num_food + self.num_forests
+
+    # landmark layout inside landmark_pos: [obstacles | food | forests]
+    @property
+    def _food_slice(self) -> slice:
+        return slice(self.num_obs, self.num_obs + self.num_food)
+
+    @property
+    def _forest_slice(self) -> slice:
+        return slice(self.num_obs + self.num_food, self.num_landmarks)
+
+    @cached_property
+    def _sizes(self) -> _np.ndarray:
+        return _np.concatenate(
+            [
+                _np.full((self.num_adversaries,), ADV_SIZE, _np.float32),
+                _np.full((self.num_good_agents,), GOOD_SIZE_WC, _np.float32),
+            ]
+        )
+
+    @cached_property
+    def _accels(self) -> _np.ndarray:
+        return _np.concatenate(
+            [
+                _np.full((self.num_adversaries,), ADV_ACCEL, _np.float32),
+                _np.full((self.num_good_agents,), GOOD_ACCEL, _np.float32),
+            ]
+        )
+
+    @cached_property
+    def _max_speeds(self) -> _np.ndarray:
+        return _np.concatenate(
+            [
+                _np.full((self.num_adversaries,), ADV_MAX_SPEED, _np.float32),
+                _np.full((self.num_good_agents,), GOOD_MAX_SPEED, _np.float32),
+            ]
+        )
+
+    def obs_dim(self, agent: str) -> int:
+        e, a, g = self.num_landmarks, self.num_agents, self.num_good_agents
+        base = 4 + 2 * e + 2 * (a - 1)
+        if agent.startswith("leadadversary"):
+            return base + 2 * g + self.num_forests + self.dim_c
+        if agent.startswith("adversary"):
+            return base + 2 * g + g + self.dim_c
+        return base + 2 * (g - 1) + self.num_forests
+
+    def action_space(self, agent: str):
+        if not self.discrete_actions:
+            raise ValueError(
+                "simple_world_comm supports discrete actions only (the "
+                "reference path, jax_ver/jax_buffer.py:151)"
+            )
+        if agent.startswith("leadadversary"):
+            return Discrete(5 * self.dim_c)  # move x comm
+        return Discrete(5)
+
+    def observation_space(self, agent: str):
+        return Box(-jnp.inf, jnp.inf, (self.obs_dim(agent),))
+
+    # ---------------------------------------------------------------- reset
+    def reset_stacked(self, rng_key: jax.Array) -> Tuple[WorldCommObs, WorldCommState]:
+        k_a, k_l = jax.random.split(rng_key)
+        state = WorldCommState(
+            agent_pos=jax.random.uniform(
+                k_a, (self.num_agents, 2), minval=-1.0, maxval=1.0
+            ),
+            agent_vel=jnp.zeros((self.num_agents, 2)),
+            landmark_pos=jax.random.uniform(
+                k_l, (self.num_landmarks, 2), minval=-0.9, maxval=0.9
+            ),
+            leader_comm=jnp.zeros((self.dim_c,)),
+            step=jnp.int32(0),
+        )
+        return self._observe(state), state
+
+    def reset(self, rng_key: jax.Array):
+        obs, state = self.reset_stacked(rng_key)
+        return self._obs_dict(obs), state
+
+    # ----------------------------------------------------------------- step
+    def step_stacked(
+        self, rng_key: jax.Array, state: WorldCommState, actions: jnp.ndarray
+    ) -> Tuple[WorldCommObs, WorldCommState, jnp.ndarray, jnp.ndarray, Dict]:
+        """actions: [A] int; leader entry in [0, 5*dim_c), rest in [0, 5)."""
+        del rng_key
+        directions = jnp.array(
+            [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
+        )
+        move = actions % 5  # published splitter: movement = a % 5
+        u = directions[move]
+        p_force = u * self._accels[:, None] + self._contact_forces(state)
+
+        vel = state.agent_vel * (1.0 - DAMPING) + p_force * DT
+        speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, self._max_speeds[:, None] / jnp.maximum(speed, 1e-8))
+        vel = vel * scale
+        pos = state.agent_pos + vel * DT
+
+        comm_idx = jnp.clip(actions[0] // 5, 0, self.dim_c - 1)
+        leader_comm = jax.nn.one_hot(comm_idx, self.dim_c)
+
+        new_state = WorldCommState(
+            agent_pos=pos,
+            agent_vel=vel,
+            landmark_pos=state.landmark_pos,
+            leader_comm=leader_comm,
+            step=state.step + 1,
+        )
+        rewards = self._rewards(new_state)
+        done = jnp.full(
+            (self.num_agents,), new_state.step >= self.max_steps, dtype=bool
+        )
+        return self._observe(new_state), new_state, rewards, done, {}
+
+    def step(self, rng_key, state, actions: Dict[str, jnp.ndarray]):
+        act = jnp.stack([actions[a] for a in self.agents], axis=0)
+        obs, new_state, rewards, done, info = self.step_stacked(rng_key, state, act)
+        rew_d = {a: rewards[i] for i, a in enumerate(self.agents)}
+        done_d = {a: done[i] for i, a in enumerate(self.agents)}
+        done_d["__all__"] = jnp.all(done)
+        return self._obs_dict(obs), new_state, rew_d, done_d, info
+
+    # ------------------------------------------------------------- dynamics
+    def _contact_forces(self, state: WorldCommState) -> jnp.ndarray:
+        """Collidable entities: agents + obstacles (food/forests pass
+        through).  Same soft-penetration model as simple_tag."""
+        obstacle_pos = state.landmark_pos[: self.num_obs]
+        ent_pos = jnp.concatenate([state.agent_pos, obstacle_pos], axis=0)
+        ent_size = jnp.concatenate(
+            [self._sizes, jnp.full((self.num_obs,), LANDMARK_SIZE)]
+        )
+        n = ent_pos.shape[0]
+        delta = ent_pos[:, None, :] - ent_pos[None, :, :]
+        dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-12)
+        dist_min = ent_size[:, None] + ent_size[None, :]
+        k = CONTACT_MARGIN
+        penetration = jnp.logaddexp(0.0, -(dist - dist_min) / k) * k
+        force = delta * (CONTACT_FORCE * penetration / dist)[..., None]
+        force = force * (1.0 - jnp.eye(n))[..., None]
+        return jnp.sum(force, axis=1)[: self.num_agents]
+
+    def _rewards(self, state: WorldCommState) -> jnp.ndarray:
+        n_adv, n_good = self.num_adversaries, self.num_good_agents
+        adv_pos = state.agent_pos[:n_adv]
+        good_pos = state.agent_pos[n_adv:]
+
+        d_ag = jnp.linalg.norm(
+            adv_pos[:, None, :] - good_pos[None, :, :], axis=-1
+        )  # [n_adv, n_good]
+        coll = d_ag < (ADV_SIZE + GOOD_SIZE_WC)
+
+        # adversaries: +5 per colliding pair (every adversary gets the team
+        # total) - 0.1 * own min distance to a prey (shaping, shape=True in
+        # the published adversary_reward)
+        adv_rew = WC_COLLISION_REWARD * jnp.sum(coll) - 0.1 * jnp.min(d_ag, axis=1)
+
+        # good agents: -5 per adversary touching them, -2*bound per coord,
+        # +2 per food touched, +0.05 * min distance to food (published
+        # sign quirk)
+        good_rew = -WC_COLLISION_REWARD * jnp.sum(coll, axis=0).astype(jnp.float32)
+        x = jnp.abs(good_pos)
+        bound = jnp.where(
+            x < 0.9,
+            0.0,
+            jnp.where(
+                x < 1.0, (x - 0.9) * 10.0, jnp.minimum(jnp.exp(2.0 * x - 2.0), 10.0)
+            ),
+        )
+        good_rew = good_rew - 2.0 * jnp.sum(bound, axis=-1)
+        food_pos = state.landmark_pos[self._food_slice]
+        d_food = jnp.linalg.norm(
+            good_pos[:, None, :] - food_pos[None, :, :], axis=-1
+        )  # [n_good, n_food]
+        good_rew = good_rew + FOOD_REWARD * jnp.sum(
+            d_food < (GOOD_SIZE_WC + FOOD_SIZE), axis=1
+        )
+        good_rew = good_rew + 0.05 * jnp.min(d_food, axis=1)
+
+        rewards = jnp.concatenate([adv_rew, good_rew])
+        # -10 while outside the unit box (applies to every agent)
+        outside = jnp.any(jnp.abs(state.agent_pos) > 1.0, axis=-1)
+        return rewards - BOUNDARY_EXIT_PENALTY * outside.astype(jnp.float32)
+
+    # ---------------------------------------------------------- observation
+    def _forest_membership(self, state: WorldCommState) -> jnp.ndarray:
+        """[A, n_forests] bool: agent inside forest (collision test against
+        the forest disc)."""
+        forest_pos = state.landmark_pos[self._forest_slice]
+        d = jnp.linalg.norm(
+            state.agent_pos[:, None, :] - forest_pos[None, :, :], axis=-1
+        )
+        return d < (self._sizes[:, None] + FOREST_SIZE)
+
+    def _observe(self, state: WorldCommState) -> WorldCommObs:
+        n_adv, n_good, n = self.num_adversaries, self.num_good_agents, self.num_agents
+        pos, vel = state.agent_pos, state.agent_vel
+
+        entity_rel = state.landmark_pos[None, :, :] - pos[:, None, :]  # [A, E, 2]
+
+        in_f = self._forest_membership(state)  # [A, F] bool
+        in_any = jnp.any(in_f, axis=-1)  # [A]
+        # visibility of j to observer i: same forest, both outside all
+        # forests, or observer is the leader
+        same_forest = jnp.einsum("if,jf->ij", in_f, in_f) > 0
+        both_out = (~in_any)[:, None] & (~in_any)[None, :]
+        vis = same_forest | both_out
+        vis = vis.at[0, :].set(True)  # leader sees everyone
+        visf = vis.astype(jnp.float32)
+
+        other_rel = (pos[None, :, :] - pos[:, None, :]) * visf[..., None]
+        good_vel_seen = vel[None, n_adv:, :] * visf[:, n_adv:, None]  # [A, G, 2]
+
+        keep_rows, keep_cols = _np.nonzero(~_np.eye(n, dtype=bool))
+        other_rel = other_rel[keep_rows, keep_cols].reshape(n, n - 1, 2)
+
+        # prey indicators (1 / -1 encoding like the published scenario)
+        pm = lambda b: jnp.where(b, 1.0, -1.0)
+        prey_forest = pm(in_any[n_adv:])  # [G] per-prey any-forest
+        prey_forest_lead = pm(jnp.any(in_f[n_adv:], axis=0))  # [F] per-forest
+        comm = state.leader_comm  # [C]
+
+        def rows(lo, hi):
+            return (
+                vel[lo:hi],
+                pos[lo:hi],
+                entity_rel[lo:hi].reshape(hi - lo, -1),
+                other_rel[lo:hi].reshape(hi - lo, -1),
+            )
+
+        def tile(v, count):
+            return jnp.broadcast_to(v[None, :], (count, v.shape[0]))
+
+        # leader: [vel, pos, entities, others, good vels, per-forest prey
+        # flag, own channel]
+        lv, lp, le, lo = rows(0, 1)
+        lead = jnp.concatenate(
+            [lv, lp, le, lo, good_vel_seen[0:1].reshape(1, -1),
+             tile(prey_forest_lead, 1), tile(comm, 1)],
+            axis=-1,
+        )
+        # non-lead adversaries: per-prey forest flag instead
+        av, ap, ae, ao = rows(1, n_adv)
+        adv = jnp.concatenate(
+            [av, ap, ae, ao, good_vel_seen[1:n_adv].reshape(n_adv - 1, -1),
+             tile(prey_forest, n_adv - 1), tile(comm, n_adv - 1)],
+            axis=-1,
+        )
+        # good agents: own in-forest flags; see other good agents'
+        # velocities (self dropped), no channel
+        gv, gp, ge, go = rows(n_adv, n)
+        grows, gcols = _np.nonzero(~_np.eye(n_good, dtype=bool))
+        gv_others = good_vel_seen[n_adv:][grows, gcols].reshape(
+            n_good, (n_good - 1) * 2
+        )
+        good = jnp.concatenate(
+            [gv, gp, ge, pm(in_f[n_adv:]), go, gv_others], axis=-1
+        )
+        return WorldCommObs(lead=lead, adversary=adv, good=good)
+
+    def _obs_dict(self, obs: WorldCommObs) -> Dict[str, jnp.ndarray]:
+        out = {"leadadversary_0": obs.lead[0]}
+        for i in range(self.num_adversaries - 1):
+            out[f"adversary_{i}"] = obs.adversary[i]
+        for i in range(self.num_good_agents):
+            out[f"agent_{i}"] = obs.good[i]
+        return out
+
+
 _REGISTRY = {
     "MPE_simple_tag_v3": SimpleTagEnv,
     "MPE_simple_spread_v3": SimpleSpreadEnv,
+    "MPE_simple_world_comm_v3": SimpleWorldCommEnv,
 }
 
 # population-style kwargs accepted per env (reference surface passes

@@ -25,6 +25,8 @@ from mfvae_tpu.envs.mpe import (
     MPEState,
     SimpleSpreadEnv,
     SimpleTagEnv,
+    SimpleWorldCommEnv,
+    WorldCommState,
 )
 
 DT, DAMPING = 0.1, 0.25
@@ -432,3 +434,223 @@ class TestSimpleSpreadFidelity:
             np.testing.assert_allclose(
                 np.asarray(rewards), oracle.rewards(), rtol=1e-4, atol=1e-5
             )
+
+
+class WorldCommOracle:
+    """simple_world_comm per-agent loops: 1 leader + 3 adversaries (size
+    .075/accel 3/max 1.0) + 2 good (size .045/accel 4/max 1.3); landmarks =
+    [obstacle(.2, collide), food x2(.03), forest x2(.3)]; leader has a
+    dim_c=4 one-hot channel; forests hide occupants from everyone outside
+    except the leader."""
+
+    def __init__(self):
+        self.agents = [Entity(0.075, 3.0, 1.0, True, True, adversary=True)
+                       for _ in range(4)] + \
+                      [Entity(0.045, 4.0, 1.3, True, True) for _ in range(2)]
+        self.obstacles = [Entity(0.2, None, None, False, True)]
+        self.food = [Entity(0.03, None, None, False, False) for _ in range(2)]
+        self.forests = [Entity(0.3, None, None, False, False) for _ in range(2)]
+        self.comm = np.zeros(4)
+
+    @property
+    def landmarks(self):
+        return self.obstacles + self.food + self.forests
+
+    @property
+    def entities(self):
+        return self.agents + self.obstacles  # collidable only
+
+    set_state = SimpleTagOracle.set_state
+    _collision_force = SimpleTagOracle._collision_force
+    world_step = SimpleTagOracle.world_step
+    _is_collision = staticmethod(SimpleTagOracle._is_collision)
+    _bound = staticmethod(SimpleTagOracle._bound)
+
+    def set_landmarks(self, landmark_pos):
+        for l, p in zip(self.landmarks, landmark_pos):
+            l.pos = np.array(p, np.float64)
+
+    def set_discrete_actions(self, actions):
+        for agent, act in zip(self.agents, actions):
+            move = act % 5
+            u = np.zeros(2)
+            if move == 1:
+                u[0] = -1.0
+            elif move == 2:
+                u[0] = +1.0
+            elif move == 3:
+                u[1] = -1.0
+            elif move == 4:
+                u[1] = +1.0
+            agent.u = u * agent.accel
+        self.comm = np.zeros(4)
+        self.comm[min(int(actions[0]) // 5, 3)] = 1.0
+
+    def rewards(self):
+        advs, good = self.agents[:4], self.agents[4:]
+        pairs = sum(
+            self._is_collision(a, g) for a in advs for g in good
+        )
+        out = []
+        for i, agent in enumerate(self.agents):
+            if agent.adversary:
+                rew = 5.0 * pairs
+                rew -= 0.1 * min(
+                    np.sqrt(np.sum((g.pos - agent.pos) ** 2)) for g in good
+                )
+            else:
+                rew = -5.0 * sum(self._is_collision(a, agent) for a in advs)
+                for p in range(2):
+                    rew -= 2 * self._bound(abs(agent.pos[p]))
+                for f in self.food:
+                    if self._is_collision(agent, f):
+                        rew += 2
+                rew += 0.05 * min(
+                    np.sqrt(np.sum((f.pos - agent.pos) ** 2)) for f in self.food
+                )
+            if any(abs(agent.pos[p]) > 1.0 for p in range(2)):
+                rew -= 10.0
+            out.append(rew)
+        return np.array(out)
+
+    def _in_forest(self, e):
+        return [self._is_collision(e, f) for f in self.forests]
+
+    def observe(self, idx):
+        agent = self.agents[idx]
+        leader = idx == 0
+        entity_pos = [l.pos - agent.pos for l in self.landmarks]
+        inf = self._in_forest(agent)
+        other_pos, other_vel = [], []
+        for j, other in enumerate(self.agents):
+            if other is agent:
+                continue
+            of = self._in_forest(other)
+            visible = (
+                (inf[0] and of[0]) or (inf[1] and of[1])
+                or (not any(inf) and not any(of)) or leader
+            )
+            other_pos.append(other.pos - agent.pos if visible else np.zeros(2))
+            if not other.adversary:
+                other_vel.append(other.vel if visible else np.zeros(2))
+        good = self.agents[4:]
+        pm = lambda b: 1.0 if b else -1.0
+        if leader:
+            tail = [np.array([pm(any(self._is_collision(g, f) for g in good))
+                              for f in self.forests]), self.comm]
+        elif agent.adversary:
+            tail = [np.array([pm(any(self._in_forest(g))) for g in good]),
+                    self.comm]
+        else:
+            return np.concatenate(
+                [agent.vel, agent.pos] + entity_pos
+                + [np.array([pm(x) for x in inf])] + other_pos + other_vel
+            )
+        return np.concatenate(
+            [agent.vel, agent.pos] + entity_pos + other_pos + other_vel + tail
+        )
+
+
+class TestWorldCommFidelity:
+    def test_rollout_matches_oracle(self):
+        env = SimpleWorldCommEnv()
+        oracle = WorldCommOracle()
+        rng = np.random.default_rng(11)
+        n = 6
+        pos = rng.uniform(-1, 1, (n, 2))
+        vel = rng.uniform(-0.5, 0.5, (n, 2))
+        lpos = rng.uniform(-0.9, 0.9, (5, 2))
+        # stage interactions: adversary 1 approaching good agent 0 head-on;
+        # good agent 1 inside forest 0; good agent 0 next to food 0
+        pos[1], vel[1] = [5.16, 5.0], [-0.5, 0.0]
+        pos[4], vel[4] = [5.0, 5.0], [0.5, 0.0]
+        pos[5] = lpos[3] + np.array([0.05, 0.0])  # forest 0 (landmark idx 3)
+        lpos[1] = pos[4] + np.array([0.05, 0.0])  # food 0 near good 0
+        oracle.set_state(pos, vel, lpos[:0])  # positions set below
+        for a, p, v in zip(oracle.agents, pos, vel):
+            a.pos, a.vel = p.astype(np.float64), v.astype(np.float64)
+        oracle.set_landmarks(lpos)
+        state = WorldCommState(
+            agent_pos=jnp.asarray(pos, jnp.float32),
+            agent_vel=jnp.asarray(vel, jnp.float32),
+            landmark_pos=jnp.asarray(lpos, jnp.float32),
+            leader_comm=jnp.zeros(4),
+            step=jnp.int32(0),
+        )
+        step = jax.jit(env.step_stacked)
+        saw_pair_collision = saw_forest = False
+        for t in range(12):
+            actions = rng.integers(0, 5, size=n)
+            actions[0] = rng.integers(0, 20)  # leader: move x comm
+            actions[1] = actions[4] = 0  # keep staged pair ballistic
+            oracle.set_discrete_actions(actions)
+            oracle.world_step()
+            want_rew = oracle.rewards()
+            want_obs = [oracle.observe(i) for i in range(n)]
+
+            obs, state, rewards, done, _ = step(
+                jax.random.PRNGKey(t), state, jnp.asarray(actions)
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.agent_pos),
+                np.stack([a.pos for a in oracle.agents]),
+                rtol=1e-4, atol=1e-5,
+            )
+            got_obs = list(np.asarray(obs.lead)) + list(
+                np.asarray(obs.adversary)
+            ) + list(np.asarray(obs.good))
+            for i in range(n):
+                np.testing.assert_allclose(
+                    got_obs[i], want_obs[i], rtol=1e-4, atol=1e-5,
+                    err_msg=f"agent {i} step {t}",
+                )
+            np.testing.assert_allclose(
+                np.asarray(rewards), want_rew, rtol=1e-4, atol=1e-5
+            )
+            if np.any(want_rew > 4.0):
+                saw_pair_collision = True
+            if any(oracle._in_forest(oracle.agents[5])):
+                saw_forest = True
+        assert saw_pair_collision and saw_forest
+
+    def test_reference_smoke_block(self):
+        """Replicates the reference's only executable self-check
+        (jax_ver/jax_buffer.py:143-188): build MPE_simple_world_comm_v3,
+        run 100 random steps through create_joint_transition into a
+        JaxFbxBuffer, sample, check the per-agent key layout."""
+        from mfvae_tpu.data.compat import TransitionBuffer
+        from mfvae_tpu.data.transitions import create_joint_transition
+        from mfvae_tpu.envs.mpe import make
+
+        key = jax.random.PRNGKey(0)
+        key, key_reset, key_act, key_step, key_sample = jax.random.split(key, 5)
+        env = make("MPE_simple_world_comm_v3")
+        obs, state = env.reset(key_reset)
+        keys = jax.random.split(key_act, env.num_agents)
+        actions = {
+            a: env.action_space(a).sample(keys[i])
+            for i, a in enumerate(env.agents)
+        }
+        next_obs, state, reward, done, infos = env.step(key_step, state, actions)
+        create_joint_transition(obs, reward, actions, next_obs, done)
+        buffer = TransitionBuffer(
+            max_length=80, min_length=64, batch_size=64, add_batch=False
+        )
+        buffer.init_buffer(obs, reward, actions, next_obs, done)
+        obs = next_obs
+        for t in range(100):
+            actions = {
+                a: env.action_space(a).sample(keys[i])
+                for i, a in enumerate(env.agents)
+            }
+            next_obs, state, reward, done, infos = env.step(
+                jax.random.fold_in(key_step, t), state, actions
+            )
+            buffer.add_trans(obs, reward, actions, next_obs, done)
+            obs = next_obs
+        batch = buffer.sample(key_sample)
+        # the reference's create_joint_transition reshapes every per-agent
+        # field to (-1, 1) (jax_buffer.py:30-44), so sampled leaves carry a
+        # trailing singleton — shape parity with the reference smoke output
+        assert batch.experience["adversary_1_next_obs"].shape == (64, 34, 1)
+        assert batch.experience["agent_0_obs"].shape == (64, 28, 1)
