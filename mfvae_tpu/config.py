@@ -45,6 +45,11 @@ class ModelConfig:
     # route the train step through the Pallas fused reparam+KL kernel and
     # huber reductions (ops/fused_elbo.py)
     use_pallas: bool = False
+    # 'private' (reference structure) | 'shared_private' (BASELINE.json
+    # config 3): per-agent Gaussian experts product-of-expert'd into one
+    # shared latent the decoders also condition on
+    latent_structure: str = "private"
+    shared_latent: int = 32
     # run the state and reward decoders (identical hidden widths) as ONE
     # stacked batched-einsum trunk — half the decoder kernel launches
     # (+15-19% step throughput measured on v5e; the step is latency-bound

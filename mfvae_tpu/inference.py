@@ -31,25 +31,30 @@ class WorldModel:
         self.variables = variables
         spec = model.spec
 
-        def _decode_from(z, aemb):
+        def _decode_from(z, aemb, z_shared=None):
             return model.apply(
-                variables, z, aemb, method=lambda m, z_, a_: m.decode(z_, a_)
+                variables, z, aemb, z_shared,
+                method=lambda m, z_, a_, s_: m.decode(z_, a_, s_),
             )
 
         @jax.jit
         def _predict(batch: GroupedBatch):
-            mu, logvar, aemb = model.apply(
+            mu, logvar, aemb, experts = model.apply(
                 variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
             )
             if not spec.grouped_is_identity:
                 perm = jnp.asarray(spec.perm_from_grouped)
                 mu = jnp.take(mu, perm, axis=1)
                 aemb = jnp.take(aemb, perm, axis=1)
-            return _decode_from(mu.astype(jnp.float32), aemb)
+            z_shared = None
+            if experts is not None:
+                # mean decode: PoE posterior mean for the shared latent
+                z_shared, _ = model.poe(experts)
+            return _decode_from(mu.astype(jnp.float32), aemb, z_shared)
 
         @jax.jit
         def _encode(batch: GroupedBatch):
-            mu, logvar, _ = model.apply(
+            mu, logvar, _, _ = model.apply(
                 variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
             )
             return mu.astype(jnp.float32), logvar.astype(jnp.float32)

@@ -158,6 +158,14 @@ class MAVAE(nn.Module):
     rng_mode: str = "vectorized"
     remat: bool = False
     fused_decoders: bool = False
+    # 'private' = reference structure (one latent per agent);
+    # 'shared_private' = factorized multimodal structure (BASELINE.json
+    # config 3): each agent encoder additionally emits a Gaussian expert
+    # over a SHARED latent, combined across agents by product-of-experts
+    # with a unit prior (models/factorized.py semantics), and the decoders
+    # condition on (private latents ... shared latent).
+    latent_structure: str = "private"
+    shared_latent: int = 32
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -175,11 +183,22 @@ class MAVAE(nn.Module):
             rng_mode=cfg.rng_mode,
             remat=cfg.remat,
             fused_decoders=cfg.fused_decoders,
+            latent_structure=cfg.latent_structure,
+            shared_latent=cfg.shared_latent,
         )
 
     def setup(self):
         spec = self.spec
         n = spec.n_agents
+        if self.latent_structure not in ("private", "shared_private"):
+            raise ValueError(
+                f"unknown latent_structure {self.latent_structure!r}"
+            )
+        shared_out = (
+            2 * self.shared_latent
+            if self.latent_structure == "shared_private"
+            else 0
+        )
         self.idx_emb = Embedding(n, self.idx_features, dtype=self.dtype)
         encoders = []
         action_encoders = []
@@ -189,7 +208,7 @@ class MAVAE(nn.Module):
                 StackedMLP(
                     stack=a_g,
                     hidden=self.encoder_hidden,
-                    out_dim=2 * self.obs_features,
+                    out_dim=2 * self.obs_features + shared_out,
                     dtype=self.dtype,
                     remat=self.remat,
                 )
@@ -266,10 +285,16 @@ class MAVAE(nn.Module):
         batch: GroupedBatch,
         agent_ids: Optional[Tuple[jnp.ndarray, ...]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (mu, logvar, action_emb), each [B, A, ·] in *grouped*
-        agent order (use spec.perm_from_grouped to recover agent order)."""
+        """Returns (mu, logvar, action_emb, shared_experts): the first
+        three [B, A, ·] in *grouped* agent order (use
+        spec.perm_from_grouped to recover agent order);
+        ``shared_experts`` is None for latent_structure='private', else the
+        per-agent (mu, logvar) experts [B, A, S] over the shared latent —
+        PoE-order-independent, so grouped order is fine."""
         spec = self.spec
-        mus, logvars, aembs = [], [], []
+        f = self.obs_features
+        shared = self.latent_structure == "shared_private"
+        mus, logvars, aembs, smus, slvs = [], [], [], [], []
         for g, ((_, _), idxs) in enumerate(spec.groups):
             obs = batch.obs[g]
             if agent_ids is None:
@@ -279,9 +304,13 @@ class MAVAE(nn.Module):
                 ids = agent_ids[g]
             id_emb = self.idx_emb(ids)  # [B, A_g, idx_features]
             enc_in = jnp.concatenate([id_emb, obs.astype(self.dtype)], axis=-1)
-            latent = self.encoders[g](enc_in)  # [B, A_g, 2F]
-            mus.append(latent[..., : self.obs_features])
-            logvars.append(latent[..., self.obs_features :])
+            latent = self.encoders[g](enc_in)  # [B, A_g, 2F (+2S)]
+            mus.append(latent[..., :f])
+            logvars.append(latent[..., f : 2 * f])
+            if shared:
+                s_ = self.shared_latent
+                smus.append(latent[..., 2 * f : 2 * f + s_])
+                slvs.append(latent[..., 2 * f + s_ :])
             act = batch.actions[g]
             if self.discrete_act:
                 aembs.append(self.action_encoders[g](act.astype(jnp.int32)))
@@ -290,7 +319,11 @@ class MAVAE(nn.Module):
         mu = jnp.concatenate(mus, axis=1)
         logvar = jnp.concatenate(logvars, axis=1)
         aemb = jnp.concatenate(aembs, axis=1)
-        return mu, logvar, aemb
+        if shared:
+            experts = (jnp.concatenate(smus, axis=1), jnp.concatenate(slvs, axis=1))
+        else:
+            experts = None
+        return mu, logvar, aemb, experts
 
     # ---------------------------------------------------------- reparam/eps
     def _eps(self, rng_key, shape) -> jnp.ndarray:
@@ -318,14 +351,33 @@ class MAVAE(nn.Module):
         eps = self._eps(rng_key, mu.shape)
         return mu32 + eps * std
 
+    @staticmethod
+    def poe(experts: Tuple[jnp.ndarray, jnp.ndarray]):
+        """Product of the per-agent Gaussian experts [B, A, S] with a unit
+        prior: precision T = 1 + sum_a exp(-lv_a), mu = sum_a mu_a
+        exp(-lv_a) / T, logvar = -log T (models/factorized.py semantics,
+        agent-order independent)."""
+        mu_e, lv_e = experts
+        prec = jnp.exp(-lv_e.astype(jnp.float32))
+        total = 1.0 + jnp.sum(prec, axis=1)  # [B, S]
+        mu = jnp.sum(mu_e.astype(jnp.float32) * prec, axis=1) / total
+        return mu, -jnp.log(total)
+
     # ---------------------------------------------------------------- decode
-    def decode(self, z: jnp.ndarray, aemb: jnp.ndarray):
-        """z, aemb: [B, A, F] in *agent* order.  Joint decode of next global
-        state and per-agent reward (jax_ver/model.py:184-192)."""
+    def decode(
+        self,
+        z: jnp.ndarray,
+        aemb: jnp.ndarray,
+        z_shared: Optional[jnp.ndarray] = None,
+    ):
+        """z, aemb: [B, A, F] in *agent* order; z_shared [B, S] when the
+        shared_private structure is on.  Joint decode of next global state
+        and per-agent reward (jax_ver/model.py:184-192)."""
         b = z.shape[0]
-        flat = jnp.concatenate(
-            [z.reshape(b, -1), aemb.reshape(b, -1)], axis=-1
-        ).astype(self.dtype)
+        parts = [z.reshape(b, -1), aemb.reshape(b, -1)]
+        if z_shared is not None:
+            parts.append(z_shared)
+        flat = jnp.concatenate(parts, axis=-1).astype(self.dtype)
         if self.fused_decoders:
             both = jnp.broadcast_to(flat[:, None, :], (b, 2) + flat.shape[-1:])
             h = nn.relu(self.decoder_trunk(both))  # [B, 2, last_hidden]
@@ -351,7 +403,7 @@ class MAVAE(nn.Module):
         from mfvae_tpu.ops.fused_elbo import fused_reparam_kl
 
         spec = self.spec
-        mu_g, logvar_g, aemb_g = self.encode(batch, agent_ids)
+        mu_g, logvar_g, aemb_g, experts = self.encode(batch, agent_ids)
         eps = self._eps(rng_key, mu_g.shape)
         z_g, kl_rows = fused_reparam_kl(
             mu_g.astype(jnp.float32), logvar_g.astype(jnp.float32), eps
@@ -362,7 +414,20 @@ class MAVAE(nn.Module):
             perm = jnp.asarray(spec.perm_from_grouped)
             z = jnp.take(z_g, perm, axis=1)
             aemb = jnp.take(aemb_g, perm, axis=1)
-        recon_state, recon_reward = self.decode(z, aemb)
+        z_shared = None
+        if experts is not None:
+            mu_s, logvar_s = self.poe(experts)
+            eps_s = jax.random.normal(
+                jax.random.fold_in(rng_key, 1), mu_s.shape
+            )
+            z_shared = mu_s + eps_s * jnp.exp(0.5 * logvar_s)
+            # shared KL appended as one extra column so the caller's
+            # mean_B(sum_axis1) contract covers it
+            kl_s = -0.5 * jnp.sum(
+                1.0 + logvar_s - mu_s * mu_s - jnp.exp(logvar_s), axis=-1
+            )
+            kl_rows = jnp.concatenate([kl_rows, kl_s[:, None]], axis=1)
+        recon_state, recon_reward = self.decode(z, aemb, z_shared)
         return recon_state, recon_reward, kl_rows
 
     # ------------------------------------------------------------------ call
@@ -378,7 +443,7 @@ class MAVAE(nn.Module):
         else:
             batch, agent_ids = group_dict_batch(spec, idx_state, actions)
 
-        mu_g, logvar_g, aemb_g = self.encode(batch, agent_ids)
+        mu_g, logvar_g, aemb_g, experts = self.encode(batch, agent_ids)
         z_g = self.reparameterize(mu_g, logvar_g, rng_key)
 
         if spec.grouped_is_identity:
@@ -390,8 +455,29 @@ class MAVAE(nn.Module):
             aemb = jnp.take(aemb_g, perm, axis=1)
             z = jnp.take(z_g, perm, axis=1)
 
-        recon_state, recon_reward = self.decode(z, aemb)
         b = mu.shape[0]
+        if experts is not None:
+            mu_s, logvar_s = self.poe(experts)
+            std_s = jnp.exp(0.5 * logvar_s)
+            # independent eps stream for the shared draw, leaving the
+            # private draw identical to latent_structure='private'
+            eps_s = jax.random.normal(
+                jax.random.fold_in(rng_key, 1), mu_s.shape
+            )
+            z_shared = mu_s + eps_s * std_s
+            recon_state, recon_reward = self.decode(z, aemb, z_shared)
+            # contract extends the reference's [B, A*F] with the shared
+            # dims appended: KL over the concatenation = KL(private) +
+            # KL(shared)
+            mu_all = jnp.concatenate(
+                [mu.astype(jnp.float32).reshape(b, -1), mu_s], axis=-1
+            )
+            logvar_all = jnp.concatenate(
+                [logvar.astype(jnp.float32).reshape(b, -1), logvar_s], axis=-1
+            )
+            return recon_state, recon_reward, mu_all, logvar_all
+
+        recon_state, recon_reward = self.decode(z, aemb)
         # Reference contract: concatenated [B, A*F] in agent order
         # (jax_ver/model.py:195-197).
         return (

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Parity-residual decomposition: seed sensitivity of the maximal-fidelity
+replication (VERDICT r1 item 3).
+
+The env is now oracle-verified against the published dynamics
+(tests/test_env_fidelity.py), so the remaining uncontrolled variable between
+our bug-compat + rng_mode=reference run (Loss/Train 0.570) and the
+reference's canonical curve (0.472) is the *values* of the RNG keys — i.e.
+which initial states / actions / buffer indices the frozen keys happen to
+pick.  That variable is exactly what changing the seed samples.  This runs
+the replication config across N seeds and reports the final-loss spread: if
+the reference's 0.472 lies within (or near) the seed distribution, the
+residual is quantitatively attributable to key values rather than to any
+systematic modeling difference.
+
+Usage: python scripts/seed_spread.py [n_seeds] (TPU-friendly; one process,
+compilation cache shared across seeds).
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import numpy as np  # noqa: E402
+
+from mfvae_tpu.config import ExperimentConfig  # noqa: E402
+from mfvae_tpu.training.experiment import Experiment  # noqa: E402
+
+
+def main(n_seeds: int = 8):
+    finals = []
+    for seed in range(n_seeds):
+        cfg = ExperimentConfig()
+        cfg.train.epoch_num = 256
+        cfg.train.bug_compat_rng = True
+        cfg.model.rng_mode = "reference"
+        cfg.loss.family = "jax"
+        cfg.train.seed = seed
+        cfg.train.run_name = f"seedspread_{seed}"
+        cfg.train.log_dir = "results"
+        cfg.train.checkpoint_dir = f"/tmp/ck_seedspread_{seed}"
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        finals.append(float(result["loss_train"]))
+        print(f"seed {seed}: Loss/Train final = {finals[-1]:.4f}", flush=True)
+    arr = np.array(finals)
+    summary = {
+        "n_seeds": n_seeds,
+        "final_train_losses": [round(x, 4) for x in finals],
+        "mean": round(float(arr.mean()), 4),
+        "std": round(float(arr.std()), 4),
+        "min": round(float(arr.min()), 4),
+        "max": round(float(arr.max()), 4),
+        "reference_final": 0.472,
+        "reference_within_spread": bool(arr.min() <= 0.472 <= arr.max()),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -115,7 +115,7 @@ class TestMAVAE:
         """mu_all must be the agent-order concat (reference jax_ver/model.py:195)."""
         spec, model, idx_state, actions, params = setup
         batch, ids = group_dict_batch(spec, idx_state, actions)
-        mu_g, lv_g, _ = model.apply(
+        mu_g, lv_g, _, _ = model.apply(
             params, batch, ids, method=lambda m, b, i: m.encode(b, i)
         )
         _, _, mu_flat, _ = model.apply(
@@ -184,3 +184,109 @@ class TestMAVAE:
         chex.clear_trace_counter()
         fwd(params, idx_state, actions, jax.random.PRNGKey(0))
         fwd(params, idx_state, actions, jax.random.PRNGKey(1))
+
+
+class TestSharedPrivateLatents:
+    """latent_structure='shared_private' (BASELINE.json config 3): per-agent
+    experts PoE'd into a shared latent the decoders also condition on."""
+
+    def make(self, **kw):
+        spec = tiny_spec()
+        cfg = ModelConfig(
+            compute_dtype="float32", latent_structure="shared_private",
+            shared_latent=16, **kw,
+        )
+        model = MAVAE.from_config(cfg, spec)
+        idx_state, actions = make_dict_batch(spec)
+        params = model.init(
+            jax.random.PRNGKey(0), idx_state, actions, jax.random.PRNGKey(1)
+        )
+        return spec, model, idx_state, actions, params
+
+    def test_output_shapes_extend_contract(self):
+        spec, model, idx_state, actions, params = self.make()
+        rs, rr, mu, lv = model.apply(
+            params, idx_state, actions, jax.random.PRNGKey(2)
+        )
+        B = 4
+        assert rs.shape == (B, sum(spec.obs_dims))
+        assert rr.shape == (B, spec.n_agents)
+        # [B, A*F + S]: private concat + shared appended
+        assert mu.shape == (B, spec.n_agents * 64 + 16)
+        assert lv.shape == (B, spec.n_agents * 64 + 16)
+        assert np.isfinite(np.asarray(rs)).all()
+
+    def test_poe_matches_hand_computed(self):
+        spec, model, *_ = self.make()
+        rng = np.random.default_rng(0)
+        mu_e = rng.normal(size=(3, 5, 7)).astype(np.float32)
+        lv_e = rng.normal(size=(3, 5, 7)).astype(np.float32)
+        mu, lv = MAVAE.poe((jnp.asarray(mu_e), jnp.asarray(lv_e)))
+        prec = np.exp(-lv_e)
+        total = 1.0 + prec.sum(axis=1)
+        np.testing.assert_allclose(
+            np.asarray(mu), (mu_e * prec).sum(axis=1) / total, rtol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(lv), -np.log(total), rtol=1e-5)
+
+    def test_shared_latent_sees_every_agent(self):
+        """Perturbing any single agent's obs must move the shared posterior
+        mean (each agent contributes an expert)."""
+        spec, model, idx_state, actions, params = self.make()
+
+        def shared_mu(idx_state):
+            batch, ids = group_dict_batch(spec, idx_state, actions)
+            *_, experts = model.apply(
+                params, batch, ids, method=lambda m, b, i: m.encode(b, i)
+            )
+            mu_s, _ = MAVAE.poe(experts)
+            return np.asarray(mu_s)
+
+        base = shared_mu(idx_state)
+        for agent in spec.agents:
+            bumped = dict(idx_state)
+            bumped[agent] = idx_state[agent] + 1.0
+            assert not np.allclose(shared_mu(bumped), base), agent
+
+    def test_private_structure_unchanged(self):
+        """latent_structure='private' must produce bit-identical outputs to
+        the pre-shared-latent model (same params, same eps stream)."""
+        spec = tiny_spec()
+        cfg = ModelConfig(compute_dtype="float32")
+        assert cfg.latent_structure == "private"
+        model = MAVAE.from_config(cfg, spec)
+        idx_state, actions = make_dict_batch(spec)
+        params = model.init(
+            jax.random.PRNGKey(0), idx_state, actions, jax.random.PRNGKey(1)
+        )
+        out = model.apply(params, idx_state, actions, jax.random.PRNGKey(2))
+        assert out[2].shape[-1] == spec.n_agents * 64  # no shared dims
+
+    def test_trains_end_to_end(self, tmp_path):
+        from tests.test_training import tiny_cfg
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=4)
+        cfg.model.latent_structure = "shared_private"
+        cfg.model.shared_latent = 8
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
+
+    def test_fused_pallas_path_covers_shared_kl(self):
+        """fused_call appends the shared KL as an extra column; total KL
+        must match the reference forward's kl over the extended contract."""
+        from mfvae_tpu.models.losses import kl_gaussian
+
+        spec, model, idx_state, actions, params = self.make()
+        batch, ids = group_dict_batch(spec, idx_state, actions)
+        rs, rr, kl_rows = model.apply(
+            params, batch, ids, jax.random.PRNGKey(2), method="fused_call"
+        )
+        assert kl_rows.shape == (4, spec.n_agents + 1)
+        _, _, mu, lv = model.apply(
+            params, idx_state, actions, jax.random.PRNGKey(2)
+        )
+        want = float(kl_gaussian(mu, lv))
+        got = float(jnp.mean(jnp.sum(kl_rows, axis=1)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
