@@ -50,6 +50,11 @@ class ModelConfig:
     # shared latent the decoders also condition on
     latent_structure: str = "private"
     shared_latent: int = 32
+    # per-agent deterministic encoder->decoder feature width (0 = off,
+    # reference structure).  The RSSM-style deterministic+stochastic split:
+    # carries state info to the decoders without paying KL, preventing the
+    # measured posterior-collapse quality loss (PARITY.md).
+    det_features: int = 0
     # run the state and reward decoders (identical hidden widths) as ONE
     # stacked batched-einsum trunk — half the decoder kernel launches
     # (+15-19% step throughput measured on v5e; the step is latency-bound

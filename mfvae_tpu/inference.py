@@ -31,30 +31,32 @@ class WorldModel:
         self.variables = variables
         spec = model.spec
 
-        def _decode_from(z, aemb, z_shared=None):
+        def _decode_from(z, aemb, z_shared=None, det=None):
             return model.apply(
-                variables, z, aemb, z_shared,
-                method=lambda m, z_, a_, s_: m.decode(z_, a_, s_),
+                variables, z, aemb, z_shared, det,
+                method=lambda m, z_, a_, s_, d_: m.decode(z_, a_, s_, d_),
             )
 
         @jax.jit
         def _predict(batch: GroupedBatch):
-            mu, logvar, aemb, experts = model.apply(
+            mu, logvar, aemb, experts, det = model.apply(
                 variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
             )
             if not spec.grouped_is_identity:
                 perm = jnp.asarray(spec.perm_from_grouped)
                 mu = jnp.take(mu, perm, axis=1)
                 aemb = jnp.take(aemb, perm, axis=1)
+                if det is not None:
+                    det = jnp.take(det, perm, axis=1)
             z_shared = None
             if experts is not None:
                 # mean decode: PoE posterior mean for the shared latent
                 z_shared, _ = model.poe(experts)
-            return _decode_from(mu.astype(jnp.float32), aemb, z_shared)
+            return _decode_from(mu.astype(jnp.float32), aemb, z_shared, det)
 
         @jax.jit
         def _encode(batch: GroupedBatch):
-            mu, logvar, _, _ = model.apply(
+            mu, logvar, *_ = model.apply(
                 variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
             )
             return mu.astype(jnp.float32), logvar.astype(jnp.float32)

@@ -166,6 +166,15 @@ class MAVAE(nn.Module):
     # condition on (private latents ... shared latent).
     latent_structure: str = "private"
     shared_latent: int = 32
+    # Width of a per-agent DETERMINISTIC feature path from encoder to
+    # decoder (0 = off, reference structure).  Motivation (measured,
+    # PARITY.md): under the reference ELBO the posterior collapses to ~0
+    # nats by epoch ~50 and held-out state loss degrades 0.46 -> 1.33 —
+    # each nat of KL must buy >= 0.2 huber to be worth keeping, which tiny
+    # latents can't.  A deterministic path (the RSSM deterministic+
+    # stochastic split) carries state information to the decoders without
+    # paying KL, so reconstruction no longer fights the prior.
+    det_features: int = 0
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -185,6 +194,7 @@ class MAVAE(nn.Module):
             fused_decoders=cfg.fused_decoders,
             latent_structure=cfg.latent_structure,
             shared_latent=cfg.shared_latent,
+            det_features=cfg.det_features,
         )
 
     def setup(self):
@@ -199,6 +209,7 @@ class MAVAE(nn.Module):
             if self.latent_structure == "shared_private"
             else 0
         )
+        shared_out += self.det_features
         self.idx_emb = Embedding(n, self.idx_features, dtype=self.dtype)
         encoders = []
         action_encoders = []
@@ -294,7 +305,7 @@ class MAVAE(nn.Module):
         spec = self.spec
         f = self.obs_features
         shared = self.latent_structure == "shared_private"
-        mus, logvars, aembs, smus, slvs = [], [], [], [], []
+        mus, logvars, aembs, smus, slvs, dets = [], [], [], [], [], []
         for g, ((_, _), idxs) in enumerate(spec.groups):
             obs = batch.obs[g]
             if agent_ids is None:
@@ -307,10 +318,14 @@ class MAVAE(nn.Module):
             latent = self.encoders[g](enc_in)  # [B, A_g, 2F (+2S)]
             mus.append(latent[..., :f])
             logvars.append(latent[..., f : 2 * f])
+            off = 2 * f
             if shared:
                 s_ = self.shared_latent
-                smus.append(latent[..., 2 * f : 2 * f + s_])
-                slvs.append(latent[..., 2 * f + s_ :])
+                smus.append(latent[..., off : off + s_])
+                slvs.append(latent[..., off + s_ : off + 2 * s_])
+                off += 2 * s_
+            if self.det_features:
+                dets.append(latent[..., off :])
             act = batch.actions[g]
             if self.discrete_act:
                 aembs.append(self.action_encoders[g](act.astype(jnp.int32)))
@@ -323,7 +338,8 @@ class MAVAE(nn.Module):
             experts = (jnp.concatenate(smus, axis=1), jnp.concatenate(slvs, axis=1))
         else:
             experts = None
-        return mu, logvar, aemb, experts
+        det = jnp.concatenate(dets, axis=1) if self.det_features else None
+        return mu, logvar, aemb, experts, det
 
     # ---------------------------------------------------------- reparam/eps
     def _eps(self, rng_key, shape) -> jnp.ndarray:
@@ -369,14 +385,18 @@ class MAVAE(nn.Module):
         z: jnp.ndarray,
         aemb: jnp.ndarray,
         z_shared: Optional[jnp.ndarray] = None,
+        det: Optional[jnp.ndarray] = None,
     ):
         """z, aemb: [B, A, F] in *agent* order; z_shared [B, S] when the
-        shared_private structure is on.  Joint decode of next global state
+        shared_private structure is on; det [B, A, D] deterministic
+        features when det_features > 0.  Joint decode of next global state
         and per-agent reward (jax_ver/model.py:184-192)."""
         b = z.shape[0]
         parts = [z.reshape(b, -1), aemb.reshape(b, -1)]
         if z_shared is not None:
             parts.append(z_shared)
+        if det is not None:
+            parts.append(det.reshape(b, -1))
         flat = jnp.concatenate(parts, axis=-1).astype(self.dtype)
         if self.fused_decoders:
             both = jnp.broadcast_to(flat[:, None, :], (b, 2) + flat.shape[-1:])
@@ -403,7 +423,7 @@ class MAVAE(nn.Module):
         from mfvae_tpu.ops.fused_elbo import fused_reparam_kl
 
         spec = self.spec
-        mu_g, logvar_g, aemb_g, experts = self.encode(batch, agent_ids)
+        mu_g, logvar_g, aemb_g, experts, det = self.encode(batch, agent_ids)
         eps = self._eps(rng_key, mu_g.shape)
         z_g, kl_rows = fused_reparam_kl(
             mu_g.astype(jnp.float32), logvar_g.astype(jnp.float32), eps
@@ -414,6 +434,8 @@ class MAVAE(nn.Module):
             perm = jnp.asarray(spec.perm_from_grouped)
             z = jnp.take(z_g, perm, axis=1)
             aemb = jnp.take(aemb_g, perm, axis=1)
+            if det is not None:
+                det = jnp.take(det, perm, axis=1)
         z_shared = None
         if experts is not None:
             mu_s, logvar_s = self.poe(experts)
@@ -427,7 +449,7 @@ class MAVAE(nn.Module):
                 1.0 + logvar_s - mu_s * mu_s - jnp.exp(logvar_s), axis=-1
             )
             kl_rows = jnp.concatenate([kl_rows, kl_s[:, None]], axis=1)
-        recon_state, recon_reward = self.decode(z, aemb, z_shared)
+        recon_state, recon_reward = self.decode(z, aemb, z_shared, det)
         return recon_state, recon_reward, kl_rows
 
     # ------------------------------------------------------------------ call
@@ -443,7 +465,7 @@ class MAVAE(nn.Module):
         else:
             batch, agent_ids = group_dict_batch(spec, idx_state, actions)
 
-        mu_g, logvar_g, aemb_g, experts = self.encode(batch, agent_ids)
+        mu_g, logvar_g, aemb_g, experts, det = self.encode(batch, agent_ids)
         z_g = self.reparameterize(mu_g, logvar_g, rng_key)
 
         if spec.grouped_is_identity:
@@ -454,6 +476,8 @@ class MAVAE(nn.Module):
             logvar = jnp.take(logvar_g, perm, axis=1)
             aemb = jnp.take(aemb_g, perm, axis=1)
             z = jnp.take(z_g, perm, axis=1)
+            if det is not None:
+                det = jnp.take(det, perm, axis=1)
 
         b = mu.shape[0]
         if experts is not None:
@@ -465,7 +489,7 @@ class MAVAE(nn.Module):
                 jax.random.fold_in(rng_key, 1), mu_s.shape
             )
             z_shared = mu_s + eps_s * std_s
-            recon_state, recon_reward = self.decode(z, aemb, z_shared)
+            recon_state, recon_reward = self.decode(z, aemb, z_shared, det)
             # contract extends the reference's [B, A*F] with the shared
             # dims appended: KL over the concatenation = KL(private) +
             # KL(shared)
@@ -477,7 +501,7 @@ class MAVAE(nn.Module):
             )
             return recon_state, recon_reward, mu_all, logvar_all
 
-        recon_state, recon_reward = self.decode(z, aemb)
+        recon_state, recon_reward = self.decode(z, aemb, None, det)
         # Reference contract: concatenated [B, A*F] in agent order
         # (jax_ver/model.py:195-197).
         return (

@@ -115,7 +115,7 @@ class TestMAVAE:
         """mu_all must be the agent-order concat (reference jax_ver/model.py:195)."""
         spec, model, idx_state, actions, params = setup
         batch, ids = group_dict_batch(spec, idx_state, actions)
-        mu_g, lv_g, _, _ = model.apply(
+        mu_g, lv_g, *_ = model.apply(
             params, batch, ids, method=lambda m, b, i: m.encode(b, i)
         )
         _, _, mu_flat, _ = model.apply(
@@ -236,7 +236,7 @@ class TestSharedPrivateLatents:
 
         def shared_mu(idx_state):
             batch, ids = group_dict_batch(spec, idx_state, actions)
-            *_, experts = model.apply(
+            _, _, _, experts, _ = model.apply(
                 params, batch, ids, method=lambda m, b, i: m.encode(b, i)
             )
             mu_s, _ = MAVAE.poe(experts)
@@ -290,3 +290,76 @@ class TestSharedPrivateLatents:
         want = float(kl_gaussian(mu, lv))
         got = float(jnp.mean(jnp.sum(kl_rows, axis=1)))
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestDeterministicPath:
+    """det_features > 0: RSSM-style deterministic encoder->decoder features
+    alongside the stochastic latents (no KL cost)."""
+
+    def make(self, **kw):
+        spec = tiny_spec()
+        cfg = ModelConfig(compute_dtype="float32", det_features=16, **kw)
+        model = MAVAE.from_config(cfg, spec)
+        idx_state, actions = make_dict_batch(spec)
+        params = model.init(
+            jax.random.PRNGKey(0), idx_state, actions, jax.random.PRNGKey(1)
+        )
+        return spec, model, idx_state, actions, params
+
+    def test_contract_unchanged(self):
+        """Output contract stays the reference's (det features are decoder
+        conditioning, not part of mu/logvar)."""
+        spec, model, idx_state, actions, params = self.make()
+        rs, rr, mu, lv = model.apply(
+            params, idx_state, actions, jax.random.PRNGKey(2)
+        )
+        assert rs.shape == (4, sum(spec.obs_dims))
+        assert mu.shape == (4, spec.n_agents * 64)
+        assert np.isfinite(np.asarray(rs)).all()
+
+    def test_det_path_carries_state_info_without_latents(self):
+        """Zeroing the stochastic latents must still leave the output
+        obs-dependent through the deterministic path."""
+        spec, model, idx_state, actions, params = self.make()
+        batch, ids = group_dict_batch(spec, idx_state, actions)
+        _, _, aemb, _, det = model.apply(
+            params, batch, ids, method=lambda m, b, i: m.encode(b, i)
+        )
+        z0 = jnp.zeros((4, spec.n_agents, 64))
+
+        def dec(det_):
+            return model.apply(
+                params, z0, aemb, None, det_,
+                method=lambda m, z, a, s, d: m.decode(z, a, s, d),
+            )[0]
+
+        base = np.asarray(dec(det))
+        bumped = np.asarray(dec(det + 1.0))
+        assert not np.allclose(base, bumped)
+
+    def test_composes_with_shared_private(self):
+        spec, model, idx_state, actions, params = self.make(
+            latent_structure="shared_private", shared_latent=8
+        )
+        rs, rr, mu, lv = model.apply(
+            params, idx_state, actions, jax.random.PRNGKey(2)
+        )
+        assert mu.shape == (4, spec.n_agents * 64 + 8)
+        assert np.isfinite(np.asarray(rs)).all()
+
+    def test_fused_pallas_path(self):
+        from mfvae_tpu.models.losses import kl_gaussian
+
+        spec, model, idx_state, actions, params = self.make()
+        batch, ids = group_dict_batch(spec, idx_state, actions)
+        rs, rr, kl_rows = model.apply(
+            params, batch, ids, jax.random.PRNGKey(2), method="fused_call"
+        )
+        rs2, rr2, mu, lv = model.apply(
+            params, idx_state, actions, jax.random.PRNGKey(2)
+        )
+        np.testing.assert_allclose(np.asarray(rs), np.asarray(rs2), rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            float(jnp.mean(jnp.sum(kl_rows, axis=1))), float(kl_gaussian(mu, lv)),
+            rtol=1e-4,
+        )
