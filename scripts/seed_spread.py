@@ -19,6 +19,9 @@ compilation cache shared across seeds).
 
 import json
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
