@@ -56,10 +56,11 @@ class ModelConfig:
     # measured posterior-collapse quality loss (PARITY.md).
     det_features: int = 0
     # run the state and reward decoders (identical hidden widths) as ONE
-    # stacked batched-einsum trunk — half the decoder kernel launches
-    # (+15-19% step throughput measured on v5e; the step is latency-bound
-    # at reference scale, not FLOPs-bound).  False restores the reference's
-    # separate state_decoder/reward_decoder parameter structure.
+    # stacked batched-einsum trunk.  Perf-neutral under honest device
+    # timing (scripts/perf_matrix.py: 234k vs 237k samples/s at b256 — the
+    # earlier +15-19% claim was a sync artifact); kept as default for the
+    # smaller executable.  False restores the reference's separate
+    # state_decoder/reward_decoder parameter structure.
     fused_decoders: bool = True
 
 
