@@ -5,10 +5,15 @@ loads them (SURVEY §5.4).  Here a trained MAVAE checkpoint becomes a jitted
 predictor for the world-model queries the architecture supports:
 
 - ``predict(obs, actions)``  -> (next_state, rewards): posterior-mean
-  rollout (deterministic; z = mu),
+  one-step prediction (deterministic; z = mu),
 - ``sample(obs, actions, key, n)`` -> n stochastic next-state/reward draws
   from the posterior,
-- ``encode(obs)`` -> per-agent (mu, logvar) latents.
+- ``encode(obs)`` -> per-agent (mu, logvar) latents,
+- ``rollout(obs, action_plan)`` -> imagination: a T-step trajectory of
+  (states, rewards) by closing the loop — the model's reconstructed global
+  state IS the concatenation of every agent's next observation, so it
+  re-splits into per-agent inputs and feeds back, all inside one
+  ``lax.scan`` (model-based planning surface the reference lacks).
 
 All entry points are donation-friendly jits over the GroupedBatch tensor
 format; a dict adapter accepts the reference's idx_state/actions dicts.
@@ -68,9 +73,38 @@ class WorldModel:
 
             return jax.vmap(one)(jax.random.split(key, n))
 
+        import numpy as np
+
+        offsets = np.cumsum([0] + list(spec.obs_dims))
+
+        def _state_to_grouped(state: jnp.ndarray):
+            """[B, Σobs] global state -> per-group obs tensors (static
+            slices; the concat order is agent order)."""
+            obs_g = []
+            for (od, _), idxs in spec.groups:
+                cols = [
+                    state[:, int(offsets[i]) : int(offsets[i]) + od] for i in idxs
+                ]
+                obs_g.append(jnp.stack(cols, axis=1))
+            return tuple(obs_g)
+
+        @jax.jit
+        def _rollout(obs_g, action_plan):
+            """obs_g: per-group [B, A_g, od]; action_plan: per-group
+            [T, B, A_g].  Returns (states [T, B, Σobs], rewards [T, B, A])."""
+
+            def step(carry_obs, acts_t):
+                ns, rw = _predict(GroupedBatch(obs=carry_obs, actions=acts_t))
+                return _state_to_grouped(ns), (ns, rw)
+
+            _, (states, rewards) = jax.lax.scan(step, obs_g, action_plan)
+            return states, rewards
+
         self._predict = _predict
         self._encode = _encode
         self._sample = jax.jit(_sample, static_argnums=2)
+        self._rollout = _rollout
+        self._state_to_grouped = _state_to_grouped
 
     # ------------------------------------------------------------------ api
     def predict(self, obs, actions) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -85,6 +119,24 @@ class WorldModel:
     def encode(self, obs, actions=None):
         """Per-agent latents (mu, logvar), each [B, A, F] grouped order."""
         return self._encode(self._as_batch(obs, actions))
+
+    def rollout(self, obs, action_plan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Imagine a T-step trajectory from ``obs`` under ``action_plan``.
+
+        ``action_plan``: dict {agent: [T] or [T, B]} or per-group tuple of
+        [T, B, A_g].  Returns (states [T, B, Σobs], rewards [T, B, A]) —
+        the posterior-mean closed-loop rollout, fully compiled."""
+        batch = self._as_batch(obs, None)
+        spec = self.model.spec
+        if isinstance(action_plan, dict):
+            plan_g = []
+            for (_, _), idxs in spec.groups:
+                names = [spec.agents[i] for i in idxs]
+                cols = [jnp.asarray(action_plan[a]) for a in names]
+                cols = [c[:, None] if c.ndim == 1 else c for c in cols]  # [T, B]
+                plan_g.append(jnp.stack(cols, axis=2))  # [T, B, A_g]
+            action_plan = tuple(plan_g)
+        return self._rollout(batch.obs, action_plan)
 
     def _as_batch(self, obs, actions) -> GroupedBatch:
         if isinstance(obs, GroupedBatch):
