@@ -1,0 +1,134 @@
+"""Import reference-format MAVAE parameters into the stacked layout.
+
+Migration surface: the reference pickles its flax param pytree
+(jax_ver/main.py:239-240, ``pickle.dump(train_state.params)``) whose
+structure follows jax_ver/model.py — per-agent submodule dicts auto-named
+``encoders_<agent>`` / ``action_encoders_<agent>`` (Encoder hidden layers
+named ``fc{i}`` + one unnamed output Dense -> ``Dense_0``), joint
+``state_decoder`` / ``reward_decoder`` (all-unnamed Denses ->
+``Dense_0..Dense_N``), an ``idx_emb`` embedding table, and the
+``reward_linear`` head.  This module restacks that tree into this
+framework's grouped layout (one ``encoders_{g}`` StackedMLP per
+(obs_dim, act_dim) group, leading agent axis) so a checkpoint trained with
+the reference code runs here unchanged.
+
+Target layout requires ``fused_decoders=False`` (the reference's separate
+state/reward decoder parameter structure).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from mfvae_tpu.models.mavae import AgentSpec
+
+
+def _unwrap(tree: Dict[str, Any]) -> Dict[str, Any]:
+    return tree["params"] if "params" in tree and "idx_emb" not in tree else tree
+
+
+def _ordered_dense_names(module_tree: Dict[str, Any]) -> list:
+    """Reference MLP layer order: named fc0..fcN hiddens first (Encoder),
+    then auto-named Dense_0..Dense_M (the unnamed layers, in creation
+    order)."""
+    fcs = sorted(
+        (k for k in module_tree if k.startswith("fc")), key=lambda s: int(s[2:])
+    )
+    denses = sorted(
+        (k for k in module_tree if k.startswith("Dense_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    return fcs + denses
+
+
+def _map_mlp(module_tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference MLP module -> this framework's {fc0..fcN, out} naming."""
+    names = _ordered_dense_names(module_tree)
+    out = {}
+    for i, name in enumerate(names):
+        ours = "out" if i == len(names) - 1 else f"fc{i}"
+        out[ours] = {
+            "kernel": jnp.asarray(module_tree[name]["kernel"]),
+            "bias": jnp.asarray(module_tree[name]["bias"]),
+        }
+    return out
+
+
+def import_reference_params(ref_tree: Dict[str, Any], spec: AgentSpec) -> Dict[str, Any]:
+    """Restack a reference MAVAE param pytree into the grouped layout.
+
+    ``ref_tree``: the object the reference pickles (``train_state.params``,
+    with or without the top-level ``params`` key).  Returns a ``{"params":
+    ...}`` variables dict for ``MAVAE.from_config(cfg, spec)`` with
+    ``fused_decoders=False`` and matching widths."""
+    p = _unwrap(ref_tree)
+    out: Dict[str, Any] = {
+        "idx_emb": {"embedding": jnp.asarray(p["idx_emb"]["embedding"])},
+        "reward_linear": {
+            "kernel": jnp.asarray(p["reward_linear"]["kernel"]),
+            "bias": jnp.asarray(p["reward_linear"]["bias"]),
+        },
+    }
+    for dec in ("state_decoder", "reward_decoder"):
+        out[dec] = _map_mlp(p[dec])
+
+    for g, ((_, _), idxs) in enumerate(spec.groups):
+        names = [spec.agents[i] for i in idxs]
+        ref0 = p[f"encoders_{names[0]}"]
+        layer_names = _ordered_dense_names(ref0)
+        enc: Dict[str, Any] = {}
+        for i, ref_name in enumerate(layer_names):
+            ours = "out" if i == len(layer_names) - 1 else f"fc{i}"
+            enc[ours] = {
+                "kernel": jnp.stack(
+                    [np.asarray(p[f"encoders_{a}"][ref_name]["kernel"]) for a in names]
+                ),
+                "bias": jnp.stack(
+                    [np.asarray(p[f"encoders_{a}"][ref_name]["bias"]) for a in names]
+                ),
+            }
+        out[f"encoders_{g}"] = enc
+
+        a0 = p[f"action_encoders_{names[0]}"]
+        if "embedding" in a0:  # discrete actions (reference Embedding)
+            out[f"action_encoders_{g}"] = {
+                "embedding": jnp.stack(
+                    [
+                        np.asarray(p[f"action_encoders_{a}"]["embedding"])
+                        for a in names
+                    ]
+                )
+            }
+        else:  # continuous ActionEncoder MLP
+            layer_names = _ordered_dense_names(a0)
+            mod: Dict[str, Any] = {}
+            for i, ref_name in enumerate(layer_names):
+                ours = "out" if i == len(layer_names) - 1 else f"fc{i}"
+                mod[ours] = {
+                    "kernel": jnp.stack(
+                        [
+                            np.asarray(p[f"action_encoders_{a}"][ref_name]["kernel"])
+                            for a in names
+                        ]
+                    ),
+                    "bias": jnp.stack(
+                        [
+                            np.asarray(p[f"action_encoders_{a}"][ref_name]["bias"])
+                            for a in names
+                        ]
+                    ),
+                }
+            out[f"action_encoders_{g}"] = mod
+    return {"params": out}
+
+
+def load_reference_pickle(path: str, spec: AgentSpec) -> Dict[str, Any]:
+    """Load the reference's ``model_state.pkl`` (jax_ver/main.py:239-240)
+    and restack it."""
+    with open(path, "rb") as f:
+        tree = pickle.load(f)
+    return import_reference_params(tree, spec)
