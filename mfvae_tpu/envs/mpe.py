@@ -117,9 +117,12 @@ class SimpleTagEnv:
             ]
         )
 
-    def obs_dim(self, adversary: bool) -> int:
+    def obs_dim(self, adversary) -> int:
         # [self_vel(2), self_pos(2), landmark_rel(2L), other_rel(2(A-1)),
-        #  good_vel(2 * visible good agents)]
+        #  good_vel(2 * visible good agents)]; accepts a bool or an agent
+        # name (uniform surface with SimpleWorldCommEnv.obs_dim)
+        if isinstance(adversary, str):
+            adversary = adversary.startswith("adversary")
         base = 4 + 2 * self.num_obs + 2 * (self.num_agents - 1)
         return base + 2 * (
             self.num_good_agents if adversary else self.num_good_agents - 1
@@ -331,7 +334,8 @@ class SimpleSpreadEnv:
     def num_landmarks(self) -> int:
         return self.num_agents
 
-    def obs_dim(self, adversary: bool = False) -> int:
+    def obs_dim(self, adversary=False) -> int:
+        # accepts a bool or an agent name (all spread agents are identical)
         n = self.num_agents
         # self_vel(2)+self_pos(2)+landmark_rel(2n)+other_rel(2(n-1))+comm(2(n-1))
         return 4 + 2 * n + 4 * (n - 1)

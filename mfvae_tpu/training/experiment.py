@@ -42,7 +42,7 @@ from mfvae_tpu.training.trainer import (
 def build_spec(env) -> AgentSpec:
     """Derive dims from the live env, as the reference does
     (jax_ver/main.py:101-107)."""
-    obs_dim = {a: env.obs_dim(a.startswith("adversary")) for a in env.agents}
+    obs_dim = {a: env.obs_dim(a) for a in env.agents}
     act_dim = {a: env.action_space(a).n for a in env.agents}
     return AgentSpec.from_dicts(env.agents, obs_dim, act_dim)
 

@@ -266,15 +266,20 @@ def make_phase_fns(
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     n_agents = spec.n_agents
-    act_dims = spec.act_dims
-    assert all(d == act_dims[0] for d in act_dims), "uniform action spaces assumed"
-    n_act = act_dims[0]
+    # per-agent action-space sizes may differ (simple_world_comm's leader is
+    # Discrete(20) vs Discrete(5)); sample uniformly within each agent's own
+    # range via one fused draw
+    act_dims_arr = jnp.asarray(spec.act_dims, jnp.float32)
 
     def collect(carry: Tuple[EnvCarry, BufferState], key, which_buffer: ItemBuffer):
         def body(c, k):
             env_c, buf_state = c
             k_act, k_step = jax.random.split(k)
-            actions = jax.random.randint(k_act, (n_agents,), 0, n_act)
+            u = jax.random.uniform(k_act, (n_agents,))
+            actions = jnp.minimum(
+                (u * act_dims_arr).astype(jnp.int32),
+                act_dims_arr.astype(jnp.int32) - 1,
+            )
             obs_g = stacked_to_grouped(spec, env_c.obs)
             act_groups = tuple(
                 actions[jnp.asarray(idxs)] for (_, _), idxs in spec.groups
@@ -363,8 +368,7 @@ def make_batched_epoch_fn(
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     n_agents = spec.n_agents
-    n_act = spec.act_dims[0]
-    assert all(d == n_act for d in spec.act_dims), "uniform action spaces assumed"
+    act_dims_arr = jnp.asarray(spec.act_dims, jnp.float32)
     E = cfg.train.n_envs
     assert cfg.buffer.batch_size % E == 0, (cfg.buffer.batch_size, E)
     local_bs = cfg.buffer.batch_size // E
@@ -383,7 +387,11 @@ def make_batched_epoch_fn(
         def body(c, k):
             env_c, buf_state = c
             k_act, k_step = jax.random.split(k)
-            actions = jax.random.randint(k_act, (E, n_agents), 0, n_act)
+            u = jax.random.uniform(k_act, (E, n_agents))
+            actions = jnp.minimum(
+                (u * act_dims_arr).astype(jnp.int32),
+                act_dims_arr.astype(jnp.int32) - 1,
+            )
             obs_g = tuple(env_c.obs)  # StackedObs fields, [E, A_g, D_g]
             act_groups = tuple(
                 actions[:, jnp.asarray(idxs)] for (_, _), idxs in spec.groups
