@@ -132,3 +132,72 @@ def load_reference_pickle(path: str, spec: AgentSpec) -> Dict[str, Any]:
     with open(path, "rb") as f:
         tree = pickle.load(f)
     return import_reference_params(tree, spec)
+
+
+# --------------------------------------------------------------- torch side
+def _torch_sequential_mlp(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch_ver Decoder/Encoder are nn.Sequential(Linear, ReLU, ...) —
+    Linears sit at even indices (``{prefix}.net.0.weight`` ...).  torch
+    Linear weights are [out, in]; flax kernels are [in, out]."""
+    idxs = sorted(
+        {
+            int(k.split(".")[-2])
+            for k in sd
+            if k.startswith(f"{prefix}.net.") and k.endswith(".weight")
+        }
+    )
+    out = {}
+    for i, li in enumerate(idxs):
+        ours = "out" if i == len(idxs) - 1 else f"fc{i}"
+        out[ours] = {
+            "kernel": jnp.asarray(np.asarray(sd[f"{prefix}.net.{li}.weight"]).T),
+            "bias": jnp.asarray(np.asarray(sd[f"{prefix}.net.{li}.bias"])),
+        }
+    return out
+
+
+def import_torch_state_dict(
+    state_dict: Dict[str, Any], init_variables: Dict[str, Any]
+) -> tuple:
+    """Import the torch reference's saved ``state_dict``
+    (torch_ver/model.py:175-176) on top of freshly-initialized variables.
+
+    IMPORTANT reference caveat (SURVEY §2.1): torch_ver stores its per-agent
+    encoders and action encoders in plain Python dicts, so they are
+    invisible to ``state_dict()`` — the saved file genuinely lacks them.
+    This importer transfers everything that IS saved (idx embedding, both
+    joint decoders, the legacy joint ``decoder`` if the target has one, and
+    the PopArt ``reward_linear`` head) and leaves the missing modules at
+    their initialization, returning their names so callers can warn.
+
+    Accepts a dict of arrays/tensors (call ``.numpy()``-able); returns
+    (variables, missing_module_names)."""
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in state_dict.items()}
+    params = dict(init_variables["params"])
+
+    if "idx_emb.weight" in sd:
+        params["idx_emb"] = {"embedding": jnp.asarray(sd["idx_emb.weight"])}
+    for dec in ("state_decoder", "reward_decoder"):
+        if any(k.startswith(f"{dec}.net.") for k in sd):
+            params[dec] = _torch_sequential_mlp(sd, dec)
+    if "reward_linear.weight" in sd:
+        params["reward_linear"] = {
+            "kernel": jnp.asarray(sd["reward_linear.weight"].T),
+            "bias": jnp.asarray(sd["reward_linear.bias"]),
+        }
+    missing = sorted(
+        k for k in init_variables["params"]
+        if (k.startswith("encoders_") or k.startswith("action_encoders_"))
+    )
+    return {"params": params}, missing
+
+
+def load_torch_checkpoint(
+    path: str, init_variables: Dict[str, Any]
+) -> tuple:
+    """Load the torch reference's ``test.pt`` (torch_ver/main.py:111-112)
+    via torch.load and import it.  Returns (variables, missing_modules)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return import_torch_state_dict(sd, init_variables)

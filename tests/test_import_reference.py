@@ -192,3 +192,95 @@ class TestImportReferenceParams:
         got = jax.tree.map(lambda x: x.shape, imported)
         wantt = jax.tree.map(lambda x: x.shape, init_vars)
         assert got == wantt
+
+
+class TestImportTorchStateDict:
+    """torch_ver migration: its state_dict genuinely lacks the per-agent
+    encoders (plain-dict bug, SURVEY §2.1); everything saved must transfer
+    with exact forward equivalence of the decoder stack."""
+
+    def _torch_modules(self):
+        import torch
+        import torch.nn as tnn
+
+        def seq_mlp(in_dim, hiddens, out_dim):
+            layers, d = [], in_dim
+            for h in hiddens:
+                layers += [tnn.Linear(d, h), tnn.ReLU()]
+                d = h
+            layers.append(tnn.Linear(d, out_dim))
+            return tnn.Sequential(*layers)
+
+        class TorchRef(tnn.Module):
+            # reference torch MAVAE's REGISTERED submodules only (the
+            # plain-dict encoders never reach state_dict anyway)
+            def __init__(self):
+                super().__init__()
+                self.idx_emb = tnn.Embedding(len(AGENTS), IDX_F)
+                self.state_decoder = tnn.Module()
+                self.state_decoder.net = seq_mlp(
+                    (OBS_F + ACT_F) * len(AGENTS), DEC_HIDDEN, sum(OBS.values())
+                )
+                self.reward_decoder = tnn.Module()
+                self.reward_decoder.net = seq_mlp(
+                    (OBS_F + ACT_F) * len(AGENTS), DEC_HIDDEN, len(AGENTS)
+                )
+                self.reward_linear = tnn.Linear(len(AGENTS), len(AGENTS))
+                torch.nn.init.ones_(self.reward_linear.weight)
+                torch.nn.init.zeros_(self.reward_linear.bias)
+
+        return TorchRef()
+
+    def test_decoder_stack_transfers_exactly(self, tmp_path):
+        import torch
+
+        torch.manual_seed(0)
+        ref = self._torch_modules()
+        path = tmp_path / "test.pt"
+        torch.save(ref.state_dict(), str(path))
+
+        spec, model = our_model()
+        obs, act = make_inputs()
+        batch = GroupedBatch(
+            obs=tuple(
+                jnp.stack([obs[spec.agents[i]] for i in idxs], axis=1)
+                for (_, _), idxs in spec.groups
+            ),
+            actions=tuple(
+                jnp.stack([act[spec.agents[i]] for i in idxs], axis=1)
+                for (_, _), idxs in spec.groups
+            ),
+        )
+        init_vars = model.init(
+            jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1)
+        )
+        from mfvae_tpu.models.import_reference import load_torch_checkpoint
+
+        variables, missing = load_torch_checkpoint(str(path), init_vars)
+        assert any(m.startswith("encoders_") for m in missing)
+
+        # decode with imported params == torch decoder stack on the same z
+        rng = np.random.default_rng(1)
+        z = rng.normal(size=(4, len(AGENTS), OBS_F)).astype(np.float32)
+        aemb = rng.normal(size=(4, len(AGENTS), ACT_F)).astype(np.float32)
+        rs, rr = model.apply(
+            variables, jnp.asarray(z), jnp.asarray(aemb), None, None,
+            method=lambda m, z_, a_, s_, d_: m.decode(z_, a_, s_, d_),
+        )
+        flat = np.concatenate([z.reshape(4, -1), aemb.reshape(4, -1)], axis=-1)
+        with torch.no_grad():
+            t_in = torch.from_numpy(flat)
+            want_rs = ref.state_decoder.net(t_in).numpy()
+            want_rr = ref.reward_linear(ref.reward_decoder.net(t_in)).numpy()
+        np.testing.assert_allclose(np.asarray(rs), want_rs, rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rr), want_rr, rtol=2e-5, atol=1e-5)
+        # idx embedding transferred exactly
+        np.testing.assert_allclose(
+            np.asarray(variables["params"]["idx_emb"]["embedding"]),
+            ref.idx_emb.weight.detach().numpy(), rtol=1e-6,
+        )
+        # untouched modules kept their init (the reference save bug)
+        np.testing.assert_allclose(
+            np.asarray(variables["params"]["encoders_0"]["fc0"]["kernel"]),
+            np.asarray(init_vars["params"]["encoders_0"]["fc0"]["kernel"]),
+        )
