@@ -45,10 +45,11 @@ def flagship_batch(spec, batch):
     )
 
 
-def measure(mc: ModelConfig, batch_size: int, n_scan: int = 300, label: str = ""):
+def measure(mc: ModelConfig, batch_size: int, n_scan: int = 300, label: str = "",
+            n_adv: int = 30, n_good: int = 10, n_land: int = 20):
     from mfvae_tpu.envs.mpe import SimpleTagEnv
 
-    env = SimpleTagEnv()
+    env = SimpleTagEnv(num_adversaries=n_adv, num_good_agents=n_good, num_obs=n_land)
     spec = AgentSpec.from_dicts(
         env.agents,
         {a: env.obs_dim(a.startswith("adversary")) for a in env.agents},
@@ -108,6 +109,14 @@ def main():
     rows.append(measure(ModelConfig(fused_decoders=False), 256, label="separate_decoders"))
     rows.append(measure(ModelConfig(det_features=64), 256, label="det64"))
     rows.append(measure(ModelConfig(compute_dtype="float32"), 256, label="f32"))
+    # population scaling: the stacked agent axis is the framework's long
+    # axis; decoder input grows as (64+64)*A
+    for n_adv, n_good in ((60, 20), (120, 40), (240, 80)):
+        rows.append(
+            measure(ModelConfig(), 256, n_scan=100,
+                    label=f"agents_{n_adv + n_good}",
+                    n_adv=n_adv, n_good=n_good, n_land=20)
+        )
     print(json.dumps({"matrix": rows}))
 
 
