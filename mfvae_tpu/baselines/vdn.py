@@ -480,6 +480,7 @@ def _host_callbacks_supported() -> bool:
 
     try:
         jax.block_until_ready(jax.jit(probe)(jnp.float32(0.0)))
+        jax.effects_barrier()  # callbacks are async; drain before checking
     except Exception:
         return False
     return len(seen) > 0
@@ -552,6 +553,12 @@ def main(config_path: Optional[str] = None, **overrides):
         out = jax.jit(jax.vmap(train))(rngs)
         metrics = jax.tree.map(np.asarray, out["metrics"])
     if logger is not None:
+        # debug.callback effects are async; drain them before closing the
+        # sinks or a late callback writes to a closed file
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
         logger.flush()
         logger.close()
         wb.finish()

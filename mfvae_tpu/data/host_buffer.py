@@ -37,7 +37,12 @@ def _build_native() -> Optional[ctypes.CDLL]:
     with _BUILD_LOCK:
         if not so_path.exists():
             so_path.parent.mkdir(parents=True, exist_ok=True)
-            tmp = so_path.with_suffix(".so.tmp")
+            # per-process tmp name: two PROCESSES (the lock is per-process)
+            # racing on one tmp path could install a truncated .so under the
+            # digest name forever
+            import os
+
+            tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
             cmd = [
                 "g++", "-O3", "-march=native", "-std=c++17", "-shared",
                 "-fPIC", str(src), "-o", str(tmp),

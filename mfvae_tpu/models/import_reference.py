@@ -165,13 +165,17 @@ def import_torch_state_dict(
     IMPORTANT reference caveat (SURVEY §2.1): torch_ver stores its per-agent
     encoders and action encoders in plain Python dicts, so they are
     invisible to ``state_dict()`` — the saved file genuinely lacks them.
-    This importer transfers everything that IS saved (idx embedding, both
-    joint decoders, the legacy joint ``decoder`` if the target has one, and
-    the PopArt ``reward_linear`` head) and leaves the missing modules at
-    their initialization, returning their names so callers can warn.
+    This importer transfers everything the target model can hold — the idx
+    embedding, both joint decoders (state/reward), and the PopArt
+    ``reward_linear`` head.  The reference also saves a legacy joint
+    ``decoder`` (constructed but unused, torch_ver/model.py:134); MAVAE has
+    no corresponding module, so it is reported rather than transferred.
 
     Accepts a dict of arrays/tensors (call ``.numpy()``-able); returns
-    (variables, missing_module_names)."""
+    (variables, skipped_names): target modules left at their initialization
+    (the unsaved encoders) plus ``unmapped:<prefix>`` entries for saved
+    modules with no target (e.g. the legacy decoder), so callers can warn
+    precisely."""
     sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in state_dict.items()}
     params = dict(init_variables["params"])
 
@@ -189,6 +193,9 @@ def import_torch_state_dict(
         k for k in init_variables["params"]
         if (k.startswith("encoders_") or k.startswith("action_encoders_"))
     )
+    mapped = ("idx_emb", "state_decoder", "reward_decoder", "reward_linear")
+    unmapped = sorted({k.split(".")[0] for k in sd} - set(mapped))
+    missing += [f"unmapped:{m}" for m in unmapped]
     return {"params": params}, missing
 
 

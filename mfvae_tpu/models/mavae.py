@@ -295,13 +295,18 @@ class MAVAE(nn.Module):
         self,
         batch: GroupedBatch,
         agent_ids: Optional[Tuple[jnp.ndarray, ...]] = None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (mu, logvar, action_emb, shared_experts): the first
+    ) -> Tuple[
+        jnp.ndarray, jnp.ndarray, jnp.ndarray,
+        Optional[Tuple[jnp.ndarray, jnp.ndarray]], Optional[jnp.ndarray],
+    ]:
+        """Returns (mu, logvar, action_emb, shared_experts, det): the first
         three [B, A, ·] in *grouped* agent order (use
         spec.perm_from_grouped to recover agent order);
         ``shared_experts`` is None for latent_structure='private', else the
         per-agent (mu, logvar) experts [B, A, S] over the shared latent —
-        PoE-order-independent, so grouped order is fine."""
+        PoE-order-independent, so grouped order is fine; ``det`` is None
+        when det_features == 0, else the per-agent deterministic features
+        [B, A, D] (grouped order, permute alongside mu)."""
         spec = self.spec
         f = self.obs_features
         shared = self.latent_structure == "shared_private"

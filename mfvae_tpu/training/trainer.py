@@ -50,9 +50,10 @@ class VaeTrainState(flax_train_state.TrainState):
 
 
 def make_lr(cfg: TrainConfig):
-    """LR schedule factory.  'cosine' mirrors the torch reference's
-    CosineAnnealingLR stepped per train step (torch_ver/main.py:52-53,98 —
-    including its odd T_max=50 default, exposed as lr_t_max)."""
+    """LR schedule factory.  'cosine_periodic' is the torch-parity choice
+    (CosineAnnealingLR semantics: oscillates with period 2*lr_t_max,
+    torch_ver/main.py:52-53,98); 'cosine' is a one-shot decay that clamps
+    at lr*lr_min_ratio after lr_t_max steps."""
     if cfg.lr_schedule == "constant":
         return cfg.lr
     if cfg.lr_schedule == "cosine":
