@@ -274,6 +274,24 @@ class Experiment:
             self.setup()
         cfg = self.cfg
         t0 = time.time()
+        # Preemption handling (SURVEY §5.3: TPU pods are preemptible, the
+        # reference has no recovery path): SIGTERM/SIGINT set a flag; the
+        # epoch loop checkpoints the full carry at the next boundary and
+        # returns cleanly with preempted_at set, so a restarted process
+        # resumes exactly (train.resume=true).  Installed only on the main
+        # thread (signal.signal raises elsewhere, e.g. host-experiment
+        # collector threads).
+        import signal
+        import threading
+
+        preempt = {"flag": False}
+        old_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            def _on_signal(signum, frame):
+                preempt["flag"] = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _on_signal)
         # Epochs dispatch without any host sync: metrics stay on device and
         # are fetched in one transfer at the end (each float() read costs a
         # full device round-trip per epoch otherwise — measurable on axon).
@@ -304,7 +322,15 @@ class Experiment:
                 and (epoch + 1) % cfg.train.checkpoint_every == 0
             ):
                 self._save(epoch)
-        self._save(cfg.train.epoch_num - 1)
+            if preempt["flag"]:
+                jax.device_get(metrics.train.loss)  # settle device work
+                print(f"preempted: checkpointing epoch {epoch}, exiting cleanly")
+                break
+        else:
+            epoch = cfg.train.epoch_num - 1
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+        self._save(epoch)
         last = {}
         # Stack pending metrics on-device in chunks and fetch once per chunk:
         # per-scalar device_get would be thousands of round-trips over the
@@ -326,6 +352,8 @@ class Experiment:
         self.ckpt.wait()
         self.logger.flush()
         last["wall_s"] = time.time() - t0
+        if preempt["flag"]:
+            last["preempted_at"] = epoch
         return last
 
     def _save(self, epoch: int):
