@@ -154,8 +154,27 @@ def main():
     float(metrics.train.loss)
     pipelined_epoch_s = (time.perf_counter() - t0) / n_epochs
 
+    # scanned-epochs discipline: K epochs lax.scan'd into ONE dispatch
+    # (train.epochs_per_dispatch — the whole-training-as-one-XLA-program
+    # pattern).  This is the framework's fastest end-to-end configuration:
+    # host involvement is one dispatch + one metrics fetch per K epochs.
+    K = 32
+    cfg_s = ExperimentConfig()
+    cfg_s.train.log_dir = "/tmp/bench_results_scan"
+    cfg_s.train.checkpoint_dir = "/tmp/bench_ckpt_scan"
+    cfg_s.train.epochs_per_dispatch = K
+    exp_s = Experiment(cfg_s).setup()
+    base_key = exp_s.streams["train"].base
+    carry, ms = exp_s._multi_epoch_jit(exp_s.carry, base_key, jnp.arange(K))
+    float(ms.train.loss[-1])  # compile + warmup
+    t0 = time.perf_counter()
+    carry, ms = exp_s._multi_epoch_jit(carry, base_key, jnp.arange(K, 2 * K))
+    float(ms.train.loss[-1])
+    scanned_epoch_s = (time.perf_counter() - t0) / K
+
     epoch_train_samples = cfg.train.batch_size * cfg.train.train_num
     wall_e2e = epoch_train_samples / wall_epoch_s
+    scanned_e2e = epoch_train_samples / scanned_epoch_s
 
     baseline = 19.0  # reference end-to-end trained samples/s (BASELINE.md)
     out = {
@@ -170,6 +189,8 @@ def main():
         "wall_end_to_end_samples_per_sec": round(wall_e2e, 1),
         "wall_end_to_end_vs_baseline": round(wall_e2e / baseline, 1),
         "pipelined_epoch_seconds": round(pipelined_epoch_s, 4),
+        "scanned_epoch_seconds": round(scanned_epoch_s, 4),
+        "scanned_end_to_end_samples_per_sec": round(scanned_e2e, 1),
         "step_flops": step_flops,
         "mfu_pct": round(100 * mfu, 2) if mfu is not None else None,
     }

@@ -155,6 +155,12 @@ class TrainConfig:
     # compile (collect program reused for both collection phases), 4 host
     # dispatches per epoch.
     fused_epoch: bool = True
+    # >1: lax.scan K epochs into ONE dispatch (the reference's own vdn.py
+    # whole-training-in-one-XLA-program pattern, SURVEY §3.4, applied to
+    # the VAE pipeline).  Removes all per-epoch host dispatch; metrics for
+    # the chunk come back stacked.  Checkpoint/preemption granularity
+    # becomes the chunk.  Requires fused_epoch (or n_envs > 1).
+    epochs_per_dispatch: int = 1
     # emit a jax.profiler trace (viewable in TensorBoard) covering epochs
     # [1, 1+profile_epochs) — 0 disables
     profile_epochs: int = 0

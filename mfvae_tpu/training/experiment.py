@@ -76,6 +76,7 @@ class Experiment:
         self.logger: Optional[MetricsLogger] = None
         self.ckpt: Optional[CheckpointManager] = None
         self._epoch_jit = None
+        self._multi_epoch_jit = None
         self.carry: Optional[EpochCarry] = None
         self.start_epoch = 0
 
@@ -147,6 +148,7 @@ class Experiment:
                 self.env, self.spec, self.buffer, self.test_buffer, cfg
             )
             self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
+            self._build_multi_epoch(epoch_fn)
             if cfg.mesh.enable:
                 self._shard_carry_for_dp()
         elif cfg.train.fused_epoch:
@@ -154,6 +156,7 @@ class Experiment:
                 self.env, self.spec, self.buffer, self.test_buffer, cfg
             )
             self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
+            self._build_multi_epoch(epoch_fn)
         else:
             collect, train_phase, test_phase = make_phase_fns(
                 self.env, self.spec, self.buffer, self.test_buffer, cfg
@@ -187,6 +190,25 @@ class Experiment:
         if cfg.train.resume:
             self._try_resume()
         return self
+
+    def _build_multi_epoch(self, epoch_fn):
+        """lax.scan K epochs into one dispatch (train.epochs_per_dispatch).
+        The epoch key is derived in-program (fold_in of the train-stream
+        base with the absolute epoch index — exactly what streams['train']
+        .at(e) computes on the host), so the whole chunk needs zero host
+        involvement; per-epoch metrics come back stacked [K, ...]."""
+        if self.cfg.train.epochs_per_dispatch <= 1:
+            return
+        bug_compat = self.cfg.train.bug_compat_rng
+
+        def multi_epoch(carry, base_key, epoch_idx):
+            def body(c, e):
+                k = base_key if bug_compat else jax.random.fold_in(base_key, e)
+                return epoch_fn(c, k)
+
+            return jax.lax.scan(body, carry, epoch_idx)
+
+        self._multi_epoch_jit = jax.jit(multi_epoch, donate_argnums=0)
 
     def _shard_carry_for_dp(self):
         """Lay the batched carry out over the ('data','model') mesh: env
@@ -296,6 +318,14 @@ class Experiment:
         # are fetched in one transfer at the end (each float() read costs a
         # full device round-trip per epoch otherwise — measurable on axon).
         pending = []
+        if self._multi_epoch_jit is not None:
+            last = self._run_scanned_epochs(pending, preempt)
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+            if preempt["flag"] and "epoch" in last:
+                last["preempted_at"] = last["epoch"]
+            last["wall_s"] = time.time() - t0
+            return last
         prof_from = self.start_epoch + 1 if cfg.train.profile_epochs else None
         BACKPRESSURE = 64  # bound the async dispatch queue: unbounded
         # donated-epoch dispatch exhausts device resources on long runs
@@ -358,6 +388,55 @@ class Experiment:
 
     def _save(self, epoch: int):
         self.ckpt.save(epoch, {"carry": self.carry, "epoch": epoch})
+
+    def _run_scanned_epochs(self, pending, preempt) -> dict:
+        """Chunked whole-training execution: K = train.epochs_per_dispatch
+        epochs per XLA dispatch (lax.scan over the fused epoch program).
+        Host work for a K-epoch chunk is ONE dispatch; stacked per-epoch
+        metrics are fetched lazily after the loop.  Checkpoints land at
+        chunk boundaries (the in-program carry is not addressable
+        mid-chunk)."""
+        import numpy as _np
+
+        cfg = self.cfg
+        K = cfg.train.epochs_per_dispatch
+        base_key = self.streams["train"].base
+        epoch = self.start_epoch
+        last_epoch = epoch
+        while epoch < cfg.train.epoch_num:
+            k = min(K, cfg.train.epoch_num - epoch)
+            idx = jnp.arange(epoch, epoch + k)
+            self.carry, metrics = self._multi_epoch_jit(self.carry, base_key, idx)
+            pending.append((epoch, k, metrics))
+            last_epoch = epoch + k - 1
+            # chunk boundary = natural backpressure point when checkpointing
+            if cfg.train.checkpoint_every and (
+                (epoch + k) % max(cfg.train.checkpoint_every, K) < k
+            ):
+                self._save(last_epoch)
+            epoch += k
+            if preempt["flag"]:
+                jax.device_get(jax.tree.leaves(metrics)[0])
+                print(
+                    f"preempted: checkpointing epoch {last_epoch}, exiting cleanly"
+                )
+                break
+        self._save(last_epoch)
+        last = {}
+        for e0, k, metrics in pending:
+            m_host = jax.device_get(metrics)  # one transfer per chunk
+            for j in range(k):
+                m = jax.tree.map(lambda x: x[j], m_host)
+                self.logger.losses(m.train, e0 + j, "Train")
+                self.logger.losses(m.test, e0 + j, "Test")
+                last = {
+                    "epoch": e0 + j,
+                    "loss_train": float(_np.asarray(m.train.loss)),
+                    "loss_test": float(_np.asarray(m.test.loss)),
+                }
+        self.ckpt.wait()
+        self.logger.flush()
+        return last
 
 
 def run_experiment(cfg: ExperimentConfig) -> dict:
