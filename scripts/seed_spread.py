@@ -33,22 +33,37 @@ from mfvae_tpu.config import ExperimentConfig  # noqa: E402
 from mfvae_tpu.training.experiment import Experiment  # noqa: E402
 
 
-def main(n_seeds: int = 8):
-    finals = []
-    for seed in range(n_seeds):
-        cfg = ExperimentConfig()
-        cfg.train.epoch_num = 256
-        cfg.train.bug_compat_rng = True
-        cfg.model.rng_mode = "reference"
-        cfg.loss.family = "jax"
-        cfg.train.seed = seed
-        cfg.train.run_name = f"seedspread_{seed}"
-        cfg.train.log_dir = "results"
-        cfg.train.checkpoint_dir = f"/tmp/ck_seedspread_{seed}"
-        exp = Experiment(cfg).setup()
-        result = exp.run()
-        finals.append(float(result["loss_train"]))
-        print(f"seed {seed}: Loss/Train final = {finals[-1]:.4f}", flush=True)
+def _spread_cfg(seed: int = 0) -> ExperimentConfig:
+    cfg = ExperimentConfig()
+    cfg.train.epoch_num = 256
+    cfg.train.bug_compat_rng = True
+    cfg.model.rng_mode = "reference"
+    cfg.loss.family = "jax"
+    cfg.train.seed = seed
+    cfg.train.run_name = f"seedspread_{seed}"
+    cfg.train.log_dir = "results"
+    cfg.train.checkpoint_dir = f"/tmp/ck_seedspread_{seed}"
+    return cfg
+
+
+def main(n_seeds: int = 8, vmapped: bool = False):
+    if vmapped:
+        # All seeds advance in lockstep as ONE vmapped program
+        # (training/multiseed.py) — one compile, N x larger matmuls.
+        from mfvae_tpu.training.multiseed import run_multiseed
+
+        out = run_multiseed(_spread_cfg(), seeds=range(n_seeds),
+                            epochs_per_dispatch=32, replica_batch=4)
+        finals = out["loss_train"]
+        for seed, f in zip(out["seeds"], finals):
+            print(f"seed {seed}: Loss/Train final = {f:.4f}", flush=True)
+    else:
+        finals = []
+        for seed in range(n_seeds):
+            exp = Experiment(_spread_cfg(seed)).setup()
+            result = exp.run()
+            finals.append(float(result["loss_train"]))
+            print(f"seed {seed}: Loss/Train final = {finals[-1]:.4f}", flush=True)
     arr = np.array(finals)
     summary = {
         "n_seeds": n_seeds,
@@ -65,4 +80,7 @@ def main(n_seeds: int = 8):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+        vmapped="--vmap" in sys.argv,
+    )
