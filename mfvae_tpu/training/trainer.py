@@ -327,14 +327,18 @@ def make_phase_fns(
         return train_state, mean_outs
 
     def test_phase(train_state, buf_state, key):
-        def body(_, k):
+        def one(k):
             k_sample, k_model = jax.random.split(k)
             batch = test_buffer.sample(buf_state, k_sample)
             vb = vae_batch_from_grouped(spec, batch.experience)
-            return (), test_step(train_state, vb, k_model)
+            return test_step(train_state, vb, k_model)
 
         keys = jax.random.split(key, cfg.train.test_num)
-        _, outs = jax.lax.scan(body, (), keys)
+        # Eval steps are independent given train_state, so vmap batches the
+        # test_num forwards into MXU-sized matmuls (effective batch
+        # test_num x batch_size) instead of a sequential scan of small ones.
+        # Keys, samples, and per-step metrics are identical to the scan.
+        outs = jax.vmap(one)(keys)
         if cfg.train.bug_compat_rng:
             # reference divides test sums by train_num (jax_ver/main.py:228-231)
             denom = cfg.train.train_num
@@ -445,13 +449,15 @@ def make_batched_epoch_fn(
         return train_state, jax.tree.map(jnp.mean, outs)
 
     def test_phase(train_state, buf_state, key):
-        def body(_, k):
+        def one(k):
             k_sample, k_model = jax.random.split(k)
             vb = vae_batch_from_grouped(spec, sample_global(buf_state, k_sample))
-            return (), test_step(train_state, vb, k_model)
+            return test_step(train_state, vb, k_model)
 
         keys = jax.random.split(key, cfg.train.test_num)
-        _, outs = jax.lax.scan(body, (), keys)
+        # independent eval steps -> vmap into one batched forward (see
+        # make_phase_fns.test_phase)
+        outs = jax.vmap(one)(keys)
         return jax.tree.map(jnp.mean, outs)
 
     def epoch(carry: EpochCarry, epoch_key) -> Tuple[EpochCarry, EpochMetrics]:
