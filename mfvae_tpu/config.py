@@ -162,8 +162,14 @@ class TrainConfig:
     # becomes the chunk.  Requires fused_epoch (or n_envs > 1).
     epochs_per_dispatch: int = 1
     # emit a jax.profiler trace (viewable in TensorBoard) covering epochs
-    # [1, 1+profile_epochs) — 0 disables
+    # [1, 1+profile_epochs) — 0 disables.  With epochs_per_dispatch > 1 the
+    # trace covers the first dispatched chunk instead.
     profile_epochs: int = 0
+    # True: the test_num eval steps (independent given the train state) run
+    # as ONE vmapped batched forward — MXU-sized matmuls, but peak eval
+    # memory scales with test_num x batch_size.  False: sequential scan
+    # (reference shape, minimal memory).
+    eval_vmap: bool = True
 
 
 @dataclass

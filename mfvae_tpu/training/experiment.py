@@ -158,6 +158,12 @@ class Experiment:
             self._epoch_jit = jax.jit(epoch_fn, donate_argnums=0)
             self._build_multi_epoch(epoch_fn)
         else:
+            if cfg.train.epochs_per_dispatch > 1:
+                raise ValueError(
+                    "train.epochs_per_dispatch > 1 requires the fused epoch "
+                    "program (train.fused_epoch=true or train.n_envs > 1); "
+                    "the split-phase path dispatches per phase"
+                )
             collect, train_phase, test_phase = make_phase_fns(
                 self.env, self.spec, self.buffer, self.test_buffer, cfg
             )
@@ -402,26 +408,45 @@ class Experiment:
         K = cfg.train.epochs_per_dispatch
         base_key = self.streams["train"].base
         epoch = self.start_epoch
-        last_epoch = epoch
+        # matches the per-epoch path's resume-complete behavior: re-save the
+        # final real epoch, never a phantom one past epoch_num-1
+        last_epoch = min(max(epoch, 1), cfg.train.epoch_num) - 1
+        prev_metrics = None
+        profiling = bool(cfg.train.profile_epochs) and epoch < cfg.train.epoch_num
+        if profiling:
+            # trace granularity is the chunk: covers the first dispatched
+            # chunk (epochs [start, start+k))
+            jax.profiler.start_trace(str(self.logger.run_dir / "profile"))
         while epoch < cfg.train.epoch_num:
+            # depth-1 pipelining: sync the PREVIOUS chunk before dispatching
+            # the next.  Bounds the donated-dispatch queue (the per-epoch
+            # loop's BACKPRESSURE concern) and gives SIGTERM a real
+            # observation point per chunk while the device stays busy.
+            if prev_metrics is not None:
+                jax.device_get(jax.tree.leaves(prev_metrics)[0])
+                if preempt["flag"]:
+                    print(
+                        f"preempted: checkpointing epoch {last_epoch}, "
+                        "exiting cleanly"
+                    )
+                    break
             k = min(K, cfg.train.epoch_num - epoch)
             idx = jnp.arange(epoch, epoch + k)
             self.carry, metrics = self._multi_epoch_jit(self.carry, base_key, idx)
             pending.append((epoch, k, metrics))
+            prev_metrics = metrics
             last_epoch = epoch + k - 1
-            # chunk boundary = natural backpressure point when checkpointing
+            if profiling:
+                jax.device_get(jax.tree.leaves(metrics)[0])
+                jax.profiler.stop_trace()
+                profiling = False
             if cfg.train.checkpoint_every and (
                 (epoch + k) % max(cfg.train.checkpoint_every, K) < k
             ):
                 self._save(last_epoch)
             epoch += k
-            if preempt["flag"]:
-                jax.device_get(jax.tree.leaves(metrics)[0])
-                print(
-                    f"preempted: checkpointing epoch {last_epoch}, exiting cleanly"
-                )
-                break
-        self._save(last_epoch)
+        if self.ckpt.latest_step() != last_epoch:
+            self._save(last_epoch)
         last = {}
         for e0, k, metrics in pending:
             m_host = jax.device_get(metrics)  # one transfer per chunk

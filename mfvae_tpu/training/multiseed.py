@@ -114,16 +114,19 @@ def run_multiseed(
 
     vchunk = jax.jit(jax.vmap(chunk, in_axes=(0, 0, None)), donate_argnums=0)
 
-    pending = []
+    metrics = None
     epoch = 0
     while epoch < cfg.train.epoch_num:
         k = min(K, cfg.train.epoch_num - epoch)
+        if metrics is not None:
+            # depth-1 pipelining: bound the donated-dispatch queue and free
+            # the previous chunk's stacked metrics before the next dispatch
+            jax.device_get(metrics.train.loss)
         carries, metrics = vchunk(carries, train_bases, jnp.arange(epoch, epoch + k))
-        pending.append(metrics)  # [N, k, ...]
         epoch += k
 
-    # One host fetch per chunk; final-epoch losses per seed.
-    final = jax.device_get(pending[-1])
+    # Final-epoch losses per seed from the last chunk ([N, k, ...]).
+    final = jax.device_get(metrics)
     train_final = np.asarray(final.train.loss)[:, -1]
     test_final = np.asarray(final.test.loss)[:, -1]
     return {

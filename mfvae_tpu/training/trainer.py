@@ -337,8 +337,12 @@ def make_phase_fns(
         # Eval steps are independent given train_state, so vmap batches the
         # test_num forwards into MXU-sized matmuls (effective batch
         # test_num x batch_size) instead of a sequential scan of small ones.
-        # Keys, samples, and per-step metrics are identical to the scan.
-        outs = jax.vmap(one)(keys)
+        # Keys, samples, and per-step metrics are identical either way;
+        # eval_vmap=False keeps the scan's minimal memory footprint.
+        if cfg.train.eval_vmap:
+            outs = jax.vmap(one)(keys)
+        else:
+            _, outs = jax.lax.scan(lambda _, k: ((), one(k)), (), keys)
         if cfg.train.bug_compat_rng:
             # reference divides test sums by train_num (jax_ver/main.py:228-231)
             denom = cfg.train.train_num
@@ -456,8 +460,11 @@ def make_batched_epoch_fn(
 
         keys = jax.random.split(key, cfg.train.test_num)
         # independent eval steps -> vmap into one batched forward (see
-        # make_phase_fns.test_phase)
-        outs = jax.vmap(one)(keys)
+        # make_phase_fns.test_phase); eval_vmap=False keeps the scan
+        if cfg.train.eval_vmap:
+            outs = jax.vmap(one)(keys)
+        else:
+            _, outs = jax.lax.scan(lambda _, k: ((), one(k)), (), keys)
         return jax.tree.map(jnp.mean, outs)
 
     def epoch(carry: EpochCarry, epoch_key) -> Tuple[EpochCarry, EpochMetrics]:

@@ -80,7 +80,5 @@ def main(n_seeds: int = 8, vmapped: bool = False):
 
 
 if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 8,
-        vmapped="--vmap" in sys.argv,
-    )
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    main(int(pos[0]) if pos else 8, vmapped="--vmap" in sys.argv)

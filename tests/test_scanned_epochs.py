@@ -50,6 +50,35 @@ def test_scanned_checkpoint_resume(tmp_path):
     assert exp.start_epoch == 4
 
 
+def test_scanned_requires_fused_epoch(tmp_path):
+    import pytest
+
+    cfg = tiny_cfg(tmp_path, epochs_per_dispatch=2, fused_epoch=False)
+    with pytest.raises(ValueError, match="epochs_per_dispatch"):
+        Experiment(cfg).setup()
+
+
+def test_eval_scan_matches_eval_vmap(tmp_path):
+    a = _run(tmp_path, "ev", eval_vmap=True)
+    b = _run(tmp_path, "es", eval_vmap=False)
+    np.testing.assert_allclose(a["loss_test"], b["loss_test"], rtol=1e-6)
+
+
+def test_scanned_resume_complete_run_keeps_checkpoint(tmp_path):
+    """Resuming an already-finished run must not save a phantom epoch past
+    epoch_num-1 (which would skip a real epoch if epoch_num is later raised)."""
+    cfg = tiny_cfg(None, epochs_per_dispatch=2)
+    cfg.train.epoch_num = 4
+    cfg.train.log_dir = str(tmp_path / "rc" / "results")
+    cfg.train.checkpoint_dir = str(tmp_path / "rc" / "ckpt")
+    Experiment(cfg).setup().run()
+    cfg.train.resume = True
+    exp = Experiment(cfg).setup()
+    out = exp.run()  # nothing left to do
+    assert exp.ckpt.latest_step() == 3
+    assert "loss_train" not in out  # no epochs ran; honest empty result
+
+
 def test_scanned_metrics_logged_per_epoch(tmp_path):
     cfg = tiny_cfg(None, epochs_per_dispatch=3)
     cfg.train.epoch_num = 5
