@@ -13,48 +13,16 @@ keeps the API available if no toolchain exists.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import subprocess
-import threading
-from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_BUILD_LOCK = threading.Lock()
+from mfvae_tpu.utils.native_build import build_and_load
 
 
 def _build_native() -> Optional[ctypes.CDLL]:
-    src = _NATIVE_DIR / "ringbuffer.cpp"
-    if not src.exists():
-        return None
-    # Key the build artifact on a content hash of the source so a fresh
-    # clone (or a checkout with equal mtimes) never loads a stale or
-    # foreign-arch binary; build/ is gitignored and rebuilt on first use.
-    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
-    so_path = _NATIVE_DIR / "build" / f"libringbuffer-{digest}.so"
-    with _BUILD_LOCK:
-        if not so_path.exists():
-            so_path.parent.mkdir(parents=True, exist_ok=True)
-            # per-process tmp name: two PROCESSES (the lock is per-process)
-            # racing on one tmp path could install a truncated .so under the
-            # digest name forever
-            import os
-
-            tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
-            cmd = [
-                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                "-fPIC", str(src), "-o", str(tmp),
-            ]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True)
-                tmp.replace(so_path)
-            except (subprocess.CalledProcessError, FileNotFoundError):
-                return None
-    try:
-        lib = ctypes.CDLL(str(so_path))
-    except OSError:
+    lib = build_and_load("ringbuffer.cpp")
+    if lib is None:
         return None
     lib.rb_create.restype = ctypes.c_void_p
     lib.rb_create.argtypes = [

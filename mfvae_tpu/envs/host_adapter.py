@@ -101,8 +101,10 @@ def create_env(
 ):
     """Host env factory (torch_ver/src/env.py:24-39 surface: returns
     (env, obs_dims, act_dims, obs, infos)).  Uses PettingZoo's MPE when
-    installed (pettingzoo.mpe, or the split-out mpe2 package), falling back
-    to the in-repo LocalHostEnv."""
+    installed (pettingzoo.mpe, or the split-out mpe2 package); otherwise the
+    first-party native C++ engine (envs/native_engine.py — microsecond host
+    steps, fidelity-tested against the JAX env); last resort is the
+    jitted-JAX LocalHostEnv (pays device dispatch per host step)."""
     if env_name != "simple_tag_v3":
         raise NotImplementedError(env_name)
     env = None
@@ -122,7 +124,17 @@ def create_env(
         except ImportError:
             continue
     if env is None:
-        env = LocalHostEnv(num_good, num_adversaries, num_obstacles, max_cycles)
+        from mfvae_tpu.envs.native_engine import (
+            NativeHostEnv,
+            native_engine_available,
+        )
+
+        if native_engine_available():
+            env = NativeHostEnv(
+                num_good, num_adversaries, num_obstacles, max_cycles, seed=seed
+            )
+        else:
+            env = LocalHostEnv(num_good, num_adversaries, num_obstacles, max_cycles)
     obs, infos = env.reset(seed=seed)
     obs_dims = {a: get_space_size(env.observation_space(a)) for a in env.agents}
     act_dims = {a: get_space_size(env.action_space(a)) for a in env.agents}

@@ -1,0 +1,244 @@
+"""Batched host MPE engine backed by the native C++ core
+(native/mpe_engine.cpp).
+
+The reference's host env path is PettingZoo's per-agent numpy loops
+(torch_ver/src/env.py:24-39; the 128-step collection loop at
+torch_ver/main.py:67-76 is the host hot loop SURVEY §3.1 flags).  This
+module provides the same capability as a first-party native component: a
+structure-of-arrays simple_tag physics engine, batched over environments
+with a worker pool, stepping in microseconds instead of the ~4 ms
+TPU-tunnel RTT the jitted-JAX host fallback pays per step.
+
+Fidelity: the engine implements the same published simple_tag dynamics as
+the in-repo JAX env (envs/mpe.py, oracle-verified); equivalence is enforced
+by state-injection tests (tests/test_native_engine.py) that step both from
+identical states and compare observations, rewards, and state trajectories.
+
+Two surfaces:
+
+- ``NativeSimpleTagEnv`` — batched array API for high-throughput host
+  collection (``reset() -> obs``, ``step(actions) -> (obs, rew, done)``).
+- ``NativeHostEnv`` — single-env PettingZoo parallel-API adapter, a drop-in
+  for the host experiment path (envs/host_adapter.py create_env).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from mfvae_tpu.utils.native_build import build_and_load
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+_F32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    lib = build_and_load("mpe_engine.cpp")
+    if lib is None:
+        _LIB = None
+        return None
+    c = ctypes
+    lib.mpe_create.restype = c.c_void_p
+    lib.mpe_create.argtypes = [c.c_int32] * 5 + [c.c_uint64, c.c_int32]
+    lib.mpe_destroy.argtypes = [c.c_void_p]
+    for fn in (lib.mpe_obs_dim_adv, lib.mpe_obs_dim_good, lib.mpe_obs_stride):
+        fn.restype = c.c_int32
+        fn.argtypes = [c.c_void_p]
+    lib.mpe_reset.argtypes = [c.c_void_p, _F32]
+    lib.mpe_reset_masked.argtypes = [c.c_void_p, _U8]
+    lib.mpe_observe.argtypes = [c.c_void_p, _F32]
+    lib.mpe_step.argtypes = [c.c_void_p, _I32, _F32, _F32, _U8, c.c_int32]
+    lib.mpe_get_state.argtypes = [
+        c.c_void_p, c.c_int32, _F32, _F32, _F32, c.POINTER(c.c_int32)
+    ]
+    lib.mpe_set_state.argtypes = [c.c_void_p, c.c_int32, _F32, _F32, _F32, c.c_int32]
+    _LIB = lib
+    return lib
+
+
+def native_engine_available() -> bool:
+    return _get_lib() is not None
+
+
+class NativeSimpleTagEnv:
+    """Batched simple_tag on the native engine.
+
+    Agent order matches envs/mpe.py: adversaries first, then good agents.
+    ``step`` takes int32 actions [n_envs, A] in [0, 5) and returns
+    (obs [n_envs, obs_stride], rewards [n_envs, A], done [n_envs]); split
+    per-class views via :meth:`split_obs`.
+    """
+
+    def __init__(
+        self,
+        n_envs: int = 1,
+        num_good_agents: int = 10,
+        num_adversaries: int = 30,
+        num_obs: int = 20,
+        max_steps: int = 1000,
+        seed: int = 0,
+        n_threads: int = 0,
+        auto_reset: bool = True,
+    ):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError(
+                "native MPE engine unavailable (no g++ toolchain or build "
+                "failed); use envs.mpe.SimpleTagEnv instead"
+            )
+        self._lib = lib
+        self.n_envs = int(n_envs)
+        self.num_good_agents = int(num_good_agents)
+        self.num_adversaries = int(num_adversaries)
+        self.num_obs = int(num_obs)
+        self.max_steps = int(max_steps)
+        self.num_agents = self.num_adversaries + self.num_good_agents
+        self.auto_reset = bool(auto_reset)
+        self._h = lib.mpe_create(
+            self.n_envs, self.num_good_agents, self.num_adversaries,
+            self.num_obs, self.max_steps, seed, n_threads,
+        )
+        self.obs_dim_adv = int(lib.mpe_obs_dim_adv(self._h))
+        self.obs_dim_good = int(lib.mpe_obs_dim_good(self._h))
+        self.obs_stride = int(lib.mpe_obs_stride(self._h))
+        self._obs = np.empty((self.n_envs, self.obs_stride), np.float32)
+        self._rew = np.empty((self.n_envs, self.num_agents), np.float32)
+        self._done = np.empty((self.n_envs,), np.uint8)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.mpe_destroy(h)
+            self._h = None
+
+    @property
+    def agents(self) -> Tuple[str, ...]:
+        return tuple(f"adversary_{i}" for i in range(self.num_adversaries)) + tuple(
+            f"agent_{i}" for i in range(self.num_good_agents)
+        )
+
+    # ------------------------------------------------------------- core API
+    def reset(self) -> np.ndarray:
+        self._lib.mpe_reset(self._h, self._obs)
+        return self._obs
+
+    def reset_where(self, mask: np.ndarray) -> None:
+        self._lib.mpe_reset_masked(self._h, np.ascontiguousarray(mask, np.uint8))
+
+    def observe(self) -> np.ndarray:
+        self._lib.mpe_observe(self._h, self._obs)
+        return self._obs
+
+    def step(self, actions: np.ndarray):
+        """actions: [n_envs, A] integer (any int dtype)."""
+        acts = np.ascontiguousarray(actions, np.int32)
+        if acts.shape != (self.n_envs, self.num_agents):
+            raise ValueError(
+                f"actions shape {acts.shape} != {(self.n_envs, self.num_agents)}"
+            )
+        self._lib.mpe_step(
+            self._h, acts, self._obs, self._rew, self._done,
+            1 if self.auto_reset else 0,
+        )
+        return self._obs, self._rew, self._done.astype(bool)
+
+    def split_obs(self, obs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[n_envs, obs_stride] -> (adversary [n_envs, n_adv, d_adv],
+        good [n_envs, n_good, d_good]) views."""
+        cut = self.num_adversaries * self.obs_dim_adv
+        adv = obs[:, :cut].reshape(-1, self.num_adversaries, self.obs_dim_adv)
+        good = obs[:, cut:].reshape(-1, self.num_good_agents, self.obs_dim_good)
+        return adv, good
+
+    # ------------------------------------------------- state injection (tests)
+    def get_state(self, env: int = 0):
+        pos = np.empty((self.num_agents, 2), np.float32)
+        vel = np.empty((self.num_agents, 2), np.float32)
+        lmk = np.empty((self.num_obs, 2), np.float32)
+        step = ctypes.c_int32(0)
+        self._lib.mpe_get_state(self._h, env, pos, vel, lmk, ctypes.byref(step))
+        return pos, vel, lmk, int(step.value)
+
+    def set_state(self, env: int, pos, vel, lmk, step: int = 0) -> None:
+        self._lib.mpe_set_state(
+            self._h, env,
+            np.ascontiguousarray(pos, np.float32),
+            np.ascontiguousarray(vel, np.float32),
+            np.ascontiguousarray(lmk, np.float32),
+            int(step),
+        )
+
+
+class NativeHostEnv:
+    """PettingZoo parallel-API adapter over one native env — the same
+    surface the reference's host path consumes (torch_ver/src/env.py:24-39:
+    reset(seed) -> (obs, infos), step(actions) -> (obs, rewards,
+    terminations, truncations, infos), agents, observation_space /
+    action_space)."""
+
+    def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles, seed=0):
+        self._env = NativeSimpleTagEnv(
+            n_envs=1,
+            num_good_agents=num_good,
+            num_adversaries=num_adversaries,
+            num_obs=num_obstacles,
+            max_steps=max_cycles,
+            seed=seed,
+            n_threads=1,
+            auto_reset=False,
+        )
+        self.agents = list(self._env.agents)
+
+    def observation_space(self, agent):
+        import gymnasium
+
+        d = (
+            self._env.obs_dim_adv
+            if agent.startswith("adversary")
+            else self._env.obs_dim_good
+        )
+        return gymnasium.spaces.Box(-np.inf, np.inf, (d,), np.float32)
+
+    def action_space(self, agent):
+        import gymnasium
+
+        return gymnasium.spaces.Discrete(5)
+
+    def _obs_dict(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        adv, good = self._env.split_obs(flat)
+        out = {}
+        for i in range(self._env.num_adversaries):
+            out[f"adversary_{i}"] = adv[0, i].copy()
+        for i in range(self._env.num_good_agents):
+            out[f"agent_{i}"] = good[0, i].copy()
+        return out
+
+    def reset(self, seed: Optional[int] = None):
+        # seed only reseeds episode layout indirectly (the engine owns its
+        # per-env rng); a fresh engine is cheap if exact reseeding is needed
+        obs = self._env.reset()
+        return self._obs_dict(obs), {a: {} for a in self.agents}
+
+    def step(self, actions: Dict[str, int]):
+        acts = np.asarray(
+            [[int(actions[a]) for a in self.agents]], np.int32
+        )
+        obs, rew, done = self._env.step(acts)
+        obs_d = self._obs_dict(obs)
+        rewards = {a: float(rew[0, i]) for i, a in enumerate(self.agents)}
+        truncs = {a: bool(done[0]) for a in self.agents}  # time-limit only
+        terms = {a: False for a in self.agents}
+        # no internal auto-reset: the PettingZoo contract has the caller
+        # reset after truncation (AsyncCollector._one_step does)
+        return obs_d, rewards, terms, truncs, {a: {} for a in self.agents}

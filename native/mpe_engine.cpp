@@ -1,0 +1,397 @@
+// Host-side batched MPE simple_tag physics engine.
+//
+// The reference steps MPE on the host through PettingZoo's per-agent numpy
+// loops (torch_ver/src/env.py:24-39 creates the env; torch_ver/main.py:67-76
+// is the 128-step hot loop SURVEY §3.1 flags).  PettingZoo is not a
+// dependency of this framework; the host path instead gets a first-party
+// C++ engine implementing the same published simple_tag dynamics as the
+// in-repo JAX env (mfvae_tpu/envs/mpe.py, itself oracle-verified in
+// tests/test_env_fidelity.py).  Fidelity of THIS engine is established by
+// state-injection equivalence against that JAX env (tests/test_native_engine.py).
+//
+// Design: structure-of-arrays state per environment, batched over n_envs
+// with a persistent worker pool (one worker owns a contiguous env range, so
+// no false sharing on the per-env state).  All math in float32 to mirror
+// the XLA f32 compute of the JAX env.
+//
+// Observation layout per agent (identical to mpe.py _observe):
+//   [self_vel(2), self_pos(2), landmark_rel(2L),
+//    other_rel(2(A-1), agent order, self dropped),
+//    good_vel(2G for adversaries; 2(G-1) for good agents, self dropped)]
+// Per-env output layout: adversaries' obs rows first, then good agents',
+// concatenated flat (caller reshapes).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Public simple_tag scenario constants (must match mfvae_tpu/envs/mpe.py).
+constexpr float kDt = 0.1f;
+constexpr float kDamping = 0.25f;
+constexpr float kContactForce = 1e2f;
+constexpr float kContactMargin = 1e-3f;
+constexpr float kAdvSize = 0.075f, kGoodSize = 0.05f, kLandmarkSize = 0.2f;
+constexpr float kAdvAccel = 3.0f, kGoodAccel = 4.0f;
+constexpr float kAdvMaxSpeed = 1.0f, kGoodMaxSpeed = 1.3f;
+constexpr float kCollisionReward = 10.0f;
+
+struct EnvState {
+  std::vector<float> pos;   // [A][2]
+  std::vector<float> vel;   // [A][2]
+  std::vector<float> lmk;   // [L][2]
+  int32_t step = 0;
+  std::mt19937_64 rng;
+};
+
+struct Engine {
+  int n_envs, n_good, n_adv, n_lmk, max_steps;
+  int n_agents;        // n_adv + n_good (adversaries first, like mpe.py)
+  int d_adv, d_good;   // per-class obs widths
+  int obs_stride;      // floats per env in obs output
+  std::vector<EnvState> envs;
+  // scratch per env is tiny; workers keep their own
+  // --- worker pool ---
+  int n_threads;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  uint64_t generation = 0;
+  int pending = 0;
+  bool shutdown = false;
+  // current job
+  const int32_t* job_actions = nullptr;
+  float* job_obs = nullptr;
+  float* job_rew = nullptr;
+  uint8_t* job_done = nullptr;
+  bool job_step = false;  // false: observe only
+  bool job_auto_reset = false;
+};
+
+inline float softplus_pen(float dist, float dist_min) {
+  // jnp.logaddexp(0, -(dist - dist_min)/k) * k — numerically stable softplus
+  const float x = -(dist - dist_min) / kContactMargin;
+  const float sp = x > 0.0f ? x + std::log1p(std::exp(-x)) : std::log1p(std::exp(x));
+  return sp * kContactMargin;
+}
+
+void reset_env(const Engine& e, EnvState& s) {
+  std::uniform_real_distribution<float> u_agent(-1.0f, 1.0f);
+  std::uniform_real_distribution<float> u_lmk(-0.9f, 0.9f);
+  for (int i = 0; i < e.n_agents * 2; ++i) s.pos[i] = u_agent(s.rng);
+  std::fill(s.vel.begin(), s.vel.end(), 0.0f);
+  for (int i = 0; i < e.n_lmk * 2; ++i) s.lmk[i] = u_lmk(s.rng);
+  s.step = 0;
+}
+
+// Observation for one env into out[obs_stride] (layout in file header).
+void observe_env(const Engine& e, const EnvState& s, float* out) {
+  const int A = e.n_agents, L = e.n_lmk, G = e.n_good, ADV = e.n_adv;
+  float* o = out;
+  for (int i = 0; i < A; ++i) {
+    const bool adversary = i < ADV;
+    *o++ = s.vel[2 * i];
+    *o++ = s.vel[2 * i + 1];
+    *o++ = s.pos[2 * i];
+    *o++ = s.pos[2 * i + 1];
+    for (int l = 0; l < L; ++l) {
+      *o++ = s.lmk[2 * l] - s.pos[2 * i];
+      *o++ = s.lmk[2 * l + 1] - s.pos[2 * i + 1];
+    }
+    for (int j = 0; j < A; ++j) {
+      if (j == i) continue;
+      *o++ = s.pos[2 * j] - s.pos[2 * i];
+      *o++ = s.pos[2 * j + 1] - s.pos[2 * i + 1];
+    }
+    if (adversary) {
+      for (int g = 0; g < G; ++g) {
+        *o++ = s.vel[2 * (ADV + g)];
+        *o++ = s.vel[2 * (ADV + g) + 1];
+      }
+    } else {
+      for (int g = 0; g < G; ++g) {
+        if (ADV + g == i) continue;
+        *o++ = s.vel[2 * (ADV + g)];
+        *o++ = s.vel[2 * (ADV + g) + 1];
+      }
+    }
+  }
+}
+
+void step_env(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
+              uint8_t* done, bool auto_reset, float* obs_out) {
+  const int A = e.n_agents, L = e.n_lmk, ADV = e.n_adv, G = e.n_good;
+  const int N = A + L;  // collidable entities: agents + landmarks
+
+  // p_force = action_force * accel + contact forces (from the OLD state,
+  // matching mpe.py step_stacked)
+  static thread_local std::vector<float> force;
+  force.assign(A * 2, 0.0f);
+
+  static const float dirs[5][2] = {
+      {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
+  for (int i = 0; i < A; ++i) {
+    const float accel = i < ADV ? kAdvAccel : kGoodAccel;
+    const int32_t a = actions[i];
+    force[2 * i] = dirs[a][0] * accel;
+    force[2 * i + 1] = dirs[a][1] * accel;
+  }
+
+  // pairwise soft-penetration contact among all entities; only agent rows
+  // (movable) receive force.  delta_ij = pos_i - pos_j, force_i += delta *
+  // contact_force * penetration / dist  (mpe.py _contact_forces)
+  auto ent_pos = [&](int k, int c) -> float {
+    return k < A ? s.pos[2 * k + c] : s.lmk[2 * (k - A) + c];
+  };
+  auto ent_size = [&](int k) -> float {
+    if (k < ADV) return kAdvSize;
+    if (k < A) return kGoodSize;
+    return kLandmarkSize;
+  };
+  for (int i = 0; i < A; ++i) {
+    float fx = 0.0f, fy = 0.0f;
+    for (int j = 0; j < N; ++j) {
+      if (j == i) continue;
+      const float dx = ent_pos(i, 0) - ent_pos(j, 0);
+      const float dy = ent_pos(i, 1) - ent_pos(j, 1);
+      const float dist = std::sqrt(dx * dx + dy * dy + 1e-12f);
+      const float dmin = ent_size(i) + ent_size(j);
+      const float mag = kContactForce * softplus_pen(dist, dmin) / dist;
+      fx += dx * mag;
+      fy += dy * mag;
+    }
+    force[2 * i] += fx;
+    force[2 * i + 1] += fy;
+  }
+
+  // integrate: vel = vel*(1-damping) + F*dt (unit mass); clip speed; move
+  for (int i = 0; i < A; ++i) {
+    float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
+    float vy = s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
+    const float max_speed = i < ADV ? kAdvMaxSpeed : kGoodMaxSpeed;
+    const float speed = std::sqrt(vx * vx + vy * vy);
+    const float scale =
+        speed > 1e-8f ? std::min(1.0f, max_speed / speed)
+                      : std::min(1.0f, max_speed / 1e-8f);
+    vx *= scale;
+    vy *= scale;
+    s.vel[2 * i] = vx;
+    s.vel[2 * i + 1] = vy;
+    s.pos[2 * i] += vx * kDt;
+    s.pos[2 * i + 1] += vy * kDt;
+  }
+  s.step += 1;
+
+  // rewards from the NEW state (mpe.py _rewards): team collision totals +
+  // boundary penalty on good agents
+  float total_coll = 0.0f;
+  static thread_local std::vector<float> touch;  // per-good adversary touches
+  touch.assign(G, 0.0f);
+  const float coll_dist = kAdvSize + kGoodSize;
+  for (int i = 0; i < ADV; ++i) {
+    for (int g = 0; g < G; ++g) {
+      const float dx = s.pos[2 * i] - s.pos[2 * (ADV + g)];
+      const float dy = s.pos[2 * i + 1] - s.pos[2 * (ADV + g) + 1];
+      if (std::sqrt(dx * dx + dy * dy) < coll_dist) {
+        total_coll += 1.0f;
+        touch[g] += 1.0f;
+      }
+    }
+  }
+  for (int i = 0; i < ADV; ++i) rew[i] = kCollisionReward * total_coll;
+  for (int g = 0; g < G; ++g) {
+    float r = -kCollisionReward * touch[g];
+    for (int c = 0; c < 2; ++c) {
+      const float x = std::fabs(s.pos[2 * (ADV + g) + c]);
+      float bound = 0.0f;
+      if (x >= 1.0f)
+        bound = std::min(std::exp(2.0f * x - 2.0f), 10.0f);
+      else if (x >= 0.9f)
+        bound = (x - 0.9f) * 10.0f;
+      r -= bound;
+    }
+    rew[ADV + g] = r;
+  }
+
+  const bool episode_done = s.step >= e.max_steps;
+  *done = episode_done ? 1 : 0;
+  if (episode_done && auto_reset) reset_env(e, s);
+  if (obs_out != nullptr) observe_env(e, s, obs_out);
+}
+
+void run_range(Engine* e, int lo, int hi) {
+  for (int k = lo; k < hi; ++k) {
+    EnvState& s = e->envs[k];
+    if (e->job_step) {
+      step_env(*e, s, e->job_actions + (size_t)k * e->n_agents,
+               e->job_rew + (size_t)k * e->n_agents, e->job_done + k,
+               e->job_auto_reset,
+               e->job_obs ? e->job_obs + (size_t)k * e->obs_stride : nullptr);
+    } else {
+      observe_env(*e, s, e->job_obs + (size_t)k * e->obs_stride);
+    }
+  }
+}
+
+void worker_main(Engine* e, int tid) {
+  uint64_t seen = 0;
+  const int per = (e->n_envs + e->n_threads - 1) / e->n_threads;
+  const int lo = tid * per;
+  const int hi = std::min(e->n_envs, lo + per);
+  for (;;) {
+    {
+      std::unique_lock<std::mutex> lk(e->mu);
+      e->cv_work.wait(lk, [&] { return e->shutdown || e->generation != seen; });
+      if (e->shutdown) return;
+      seen = e->generation;
+    }
+    if (lo < hi) run_range(e, lo, hi);
+    {
+      std::lock_guard<std::mutex> lk(e->mu);
+      if (--e->pending == 0) e->cv_done.notify_one();
+    }
+  }
+}
+
+void dispatch(Engine* e) {
+  if (e->workers.empty()) {  // single-threaded: run inline
+    run_range(e, 0, e->n_envs);
+    return;
+  }
+  {
+    std::lock_guard<std::mutex> lk(e->mu);
+    e->pending = (int)e->workers.size();
+    ++e->generation;
+  }
+  e->cv_work.notify_all();
+  std::unique_lock<std::mutex> lk(e->mu);
+  e->cv_done.wait(lk, [&] { return e->pending == 0; });
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mpe_create(int32_t n_envs, int32_t n_good, int32_t n_adv, int32_t n_lmk,
+                 int32_t max_steps, uint64_t seed, int32_t n_threads) {
+  auto* e = new Engine();
+  e->n_envs = n_envs;
+  e->n_good = n_good;
+  e->n_adv = n_adv;
+  e->n_lmk = n_lmk;
+  e->max_steps = max_steps;
+  e->n_agents = n_adv + n_good;
+  const int A = e->n_agents;
+  e->d_adv = 4 + 2 * n_lmk + 2 * (A - 1) + 2 * n_good;
+  e->d_good = 4 + 2 * n_lmk + 2 * (A - 1) + 2 * (n_good - 1);
+  e->obs_stride = n_adv * e->d_adv + n_good * e->d_good;
+  e->envs.resize(n_envs);
+  for (int k = 0; k < n_envs; ++k) {
+    EnvState& s = e->envs[k];
+    s.pos.assign(A * 2, 0.0f);
+    s.vel.assign(A * 2, 0.0f);
+    s.lmk.assign(n_lmk * 2, 0.0f);
+    s.rng.seed(seed + (uint64_t)k * 0x9E3779B97F4A7C15ull);
+    reset_env(*e, s);
+  }
+  // a pool only pays off when each worker owns several envs
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > n_envs) n_threads = n_envs;
+  if (n_threads > 1) {
+    e->n_threads = n_threads;
+    for (int t = 0; t < n_threads; ++t)
+      e->workers.emplace_back(worker_main, e, t);
+  } else {
+    e->n_threads = 1;
+  }
+  return e;
+}
+
+void mpe_destroy(void* handle) {
+  auto* e = static_cast<Engine*>(handle);
+  if (!e->workers.empty()) {
+    {
+      std::lock_guard<std::mutex> lk(e->mu);
+      e->shutdown = true;
+    }
+    e->cv_work.notify_all();
+    for (auto& w : e->workers) w.join();
+  }
+  delete e;
+}
+
+int32_t mpe_obs_dim_adv(void* h) { return static_cast<Engine*>(h)->d_adv; }
+int32_t mpe_obs_dim_good(void* h) { return static_cast<Engine*>(h)->d_good; }
+int32_t mpe_obs_stride(void* h) { return static_cast<Engine*>(h)->obs_stride; }
+
+// Fresh random episode in every env; obs_out: [n_envs * obs_stride].
+void mpe_reset(void* handle, float* obs_out) {
+  auto* e = static_cast<Engine*>(handle);
+  for (auto& s : e->envs) reset_env(*e, s);
+  e->job_step = false;
+  e->job_obs = obs_out;
+  dispatch(e);
+}
+
+// Reset only envs with mask[k] != 0 (no obs output).
+void mpe_reset_masked(void* handle, const uint8_t* mask) {
+  auto* e = static_cast<Engine*>(handle);
+  for (int k = 0; k < e->n_envs; ++k)
+    if (mask[k]) reset_env(*e, e->envs[k]);
+}
+
+// Observations of the current state for all envs.
+void mpe_observe(void* handle, float* obs_out) {
+  auto* e = static_cast<Engine*>(handle);
+  e->job_step = false;
+  e->job_obs = obs_out;
+  dispatch(e);
+}
+
+// Step all envs.  actions: [n_envs * A] int32 in [0, 5); obs_out may be
+// null; rew_out: [n_envs * A]; done_out: [n_envs].  With auto_reset, a
+// finished env is reset and obs_out carries the new episode's first obs
+// (rew/done still describe the terminal step).
+void mpe_step(void* handle, const int32_t* actions, float* obs_out,
+              float* rew_out, uint8_t* done_out, int32_t auto_reset) {
+  auto* e = static_cast<Engine*>(handle);
+  e->job_step = true;
+  e->job_actions = actions;
+  e->job_obs = obs_out;
+  e->job_rew = rew_out;
+  e->job_done = done_out;
+  e->job_auto_reset = auto_reset != 0;
+  dispatch(e);
+  e->job_step = false;
+}
+
+// State injection/extraction for fidelity tests and checkpointing.
+// pos/vel: [A*2], lmk: [L*2].
+void mpe_get_state(void* handle, int32_t env, float* pos, float* vel,
+                   float* lmk, int32_t* step) {
+  auto* e = static_cast<Engine*>(handle);
+  const EnvState& s = e->envs[env];
+  std::memcpy(pos, s.pos.data(), s.pos.size() * sizeof(float));
+  std::memcpy(vel, s.vel.data(), s.vel.size() * sizeof(float));
+  std::memcpy(lmk, s.lmk.data(), s.lmk.size() * sizeof(float));
+  *step = s.step;
+}
+
+void mpe_set_state(void* handle, int32_t env, const float* pos,
+                   const float* vel, const float* lmk, int32_t step) {
+  auto* e = static_cast<Engine*>(handle);
+  EnvState& s = e->envs[env];
+  std::memcpy(s.pos.data(), pos, s.pos.size() * sizeof(float));
+  std::memcpy(s.vel.data(), vel, s.vel.size() * sizeof(float));
+  std::memcpy(s.lmk.data(), lmk, s.lmk.size() * sizeof(float));
+  s.step = step;
+}
+
+}  // extern "C"

@@ -1,0 +1,231 @@
+"""Native C++ MPE engine: build, batched stepping, and state-injection
+equivalence against the (oracle-verified) JAX env.
+
+The JAX env's physics are themselves checked step-for-step against an
+independent per-entity-loop oracle of the published MPE dynamics
+(tests/test_env_fidelity.py); proving the native engine equal to the JAX
+env from identical states transitively grounds it in the same spec."""
+
+import ctypes
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfvae_tpu.envs.mpe import MPEState, SimpleTagEnv
+from mfvae_tpu.envs.native_engine import (
+    NativeHostEnv,
+    NativeSimpleTagEnv,
+    native_engine_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_engine_available(), reason="no native toolchain"
+)
+
+POP = dict(num_good_agents=2, num_adversaries=3, num_obs=3)
+
+
+def make_pair(n_envs=1, max_steps=50, seed=3):
+    jenv = SimpleTagEnv(max_steps=max_steps, **POP)
+    nenv = NativeSimpleTagEnv(
+        n_envs=n_envs, max_steps=max_steps, seed=seed, n_threads=1,
+        auto_reset=False, **POP,
+    )
+    return jenv, nenv
+
+
+def random_state(jenv, seed):
+    rng = np.random.default_rng(seed)
+    return MPEState(
+        agent_pos=jnp.asarray(
+            rng.uniform(-1, 1, (jenv.num_agents, 2)), jnp.float32
+        ),
+        agent_vel=jnp.asarray(
+            rng.uniform(-0.5, 0.5, (jenv.num_agents, 2)), jnp.float32
+        ),
+        landmark_pos=jnp.asarray(
+            rng.uniform(-0.9, 0.9, (jenv.num_obs, 2)), jnp.float32
+        ),
+        step=jnp.int32(0),
+    )
+
+
+class TestEquivalence:
+    def test_trajectory_matches_jax_env(self):
+        """20 steps from an injected state: obs, rewards, and state must
+        track the JAX env within float32 tolerance."""
+        jenv, nenv = make_pair()
+        state = random_state(jenv, seed=0)
+        nenv.set_state(0, state.agent_pos, state.agent_vel, state.landmark_pos, 0)
+
+        step_j = jax.jit(jenv.step_stacked)
+        rng = np.random.default_rng(1)
+        key = jax.random.PRNGKey(0)
+        for t in range(20):
+            acts = rng.integers(0, 5, size=(jenv.num_agents,))
+            jobs, state, jrew, jdone, _ = step_j(key, state, jnp.asarray(acts))
+            nobs, nrew, ndone = nenv.step(np.asarray([acts], np.int32))
+            adv, good = nenv.split_obs(nobs)
+            np.testing.assert_allclose(
+                adv[0], np.asarray(jobs.adversary), rtol=2e-4, atol=2e-5,
+                err_msg=f"adversary obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                good[0], np.asarray(jobs.good), rtol=2e-4, atol=2e-5,
+                err_msg=f"good obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                nrew[0], np.asarray(jrew), rtol=1e-5, atol=1e-5,
+                err_msg=f"rewards diverged at step {t}",
+            )
+            assert bool(ndone[0]) == bool(np.asarray(jdone)[0])
+            pos, vel, _, stp = nenv.get_state(0)
+            np.testing.assert_allclose(
+                pos, np.asarray(state.agent_pos), rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                vel, np.asarray(state.agent_vel), rtol=2e-4, atol=2e-5
+            )
+            assert stp == int(state.step)
+
+    def test_contact_regime_matches(self):
+        """Overlapping entities (deep penetration) exercise the softplus
+        contact branch; forces must still agree."""
+        jenv, nenv = make_pair()
+        state = random_state(jenv, seed=2)
+        # put adversary 0 on top of good agent 0, and agent 1 on a landmark
+        pos = np.asarray(state.agent_pos).copy()
+        pos[0] = pos[3] + np.float32(0.01)
+        lmk = np.asarray(state.landmark_pos).copy()
+        pos[4] = lmk[0] + np.float32(0.05)
+        state = state._replace(agent_pos=jnp.asarray(pos))
+        nenv.set_state(0, pos, state.agent_vel, lmk, 0)
+        state = state._replace(landmark_pos=jnp.asarray(lmk))
+
+        acts = np.zeros((jenv.num_agents,), np.int64)
+        _, jstate, jrew, _, _ = jenv.step_stacked(
+            jax.random.PRNGKey(0), state, jnp.asarray(acts)
+        )
+        _, nrew, _ = nenv.step(np.asarray([acts], np.int32))
+        npos, nvel, _, _ = nenv.get_state(0)
+        np.testing.assert_allclose(
+            npos, np.asarray(jstate.agent_pos), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(nrew[0], np.asarray(jrew), rtol=1e-5, atol=1e-5)
+
+    def test_reference_population_one_step(self):
+        """Full 40-agent reference population (10 good + 30 adv + 20
+        landmarks, jax_ver/main.py:59-62)."""
+        jenv = SimpleTagEnv()
+        nenv = NativeSimpleTagEnv(
+            n_envs=1, max_steps=1000, auto_reset=False, n_threads=1
+        )
+        state = random_state(jenv, seed=4)
+        nenv.set_state(0, state.agent_pos, state.agent_vel, state.landmark_pos, 0)
+        acts = np.random.default_rng(5).integers(0, 5, size=(jenv.num_agents,))
+        jobs, jstate, jrew, _, _ = jax.jit(jenv.step_stacked)(
+            jax.random.PRNGKey(0), state, jnp.asarray(acts)
+        )
+        nobs, nrew, _ = nenv.step(np.asarray([acts], np.int32))
+        adv, good = nenv.split_obs(nobs)
+        assert adv.shape == (1, 30, jenv.obs_dim(True))
+        assert good.shape == (1, 10, jenv.obs_dim(False))
+        np.testing.assert_allclose(
+            adv[0], np.asarray(jobs.adversary), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            good[0], np.asarray(jobs.good), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(nrew[0], np.asarray(jrew), rtol=1e-5, atol=1e-5)
+
+
+class TestBatching:
+    def test_envs_are_independent(self):
+        """Stepping env 1 must not perturb env 0's state."""
+        _, nenv = make_pair(n_envs=2)
+        jenv = SimpleTagEnv(max_steps=50, **POP)
+        s0, s1 = random_state(jenv, 10), random_state(jenv, 11)
+        nenv.set_state(0, s0.agent_pos, s0.agent_vel, s0.landmark_pos, 0)
+        nenv.set_state(1, s1.agent_pos, s1.agent_vel, s1.landmark_pos, 0)
+        before = nenv.get_state(0)
+        # act only in env 1 (env 0 gets no-ops, but physics still runs —
+        # so compare env0 against a single-env run instead)
+        acts = np.stack([
+            np.zeros((jenv.num_agents,), np.int32),
+            np.full((jenv.num_agents,), 2, np.int32),
+        ])
+        nenv.step(acts)
+        solo = NativeSimpleTagEnv(
+            n_envs=1, max_steps=50, auto_reset=False, n_threads=1, **POP
+        )
+        solo.set_state(0, *before[:3], before[3])
+        solo.step(np.zeros((1, jenv.num_agents), np.int32))
+        np.testing.assert_array_equal(nenv.get_state(0)[0], solo.get_state(0)[0])
+
+    def test_threaded_matches_single_threaded(self):
+        jenv = SimpleTagEnv(max_steps=50, **POP)
+        a = NativeSimpleTagEnv(n_envs=8, max_steps=50, n_threads=1,
+                               auto_reset=False, **POP)
+        b = NativeSimpleTagEnv(n_envs=8, max_steps=50, n_threads=4,
+                               auto_reset=False, **POP)
+        for k in range(8):
+            s = random_state(jenv, 20 + k)
+            for env in (a, b):
+                env.set_state(k, s.agent_pos, s.agent_vel, s.landmark_pos, 0)
+        acts = np.random.default_rng(6).integers(0, 5, size=(8, jenv.num_agents))
+        oa, ra, da = a.step(acts)
+        ob, rb, db = b.step(acts)
+        np.testing.assert_array_equal(oa, ob)
+        np.testing.assert_array_equal(ra, rb)
+        np.testing.assert_array_equal(da, db)
+
+    def test_auto_reset(self):
+        nenv = NativeSimpleTagEnv(
+            n_envs=2, max_steps=3, auto_reset=True, n_threads=1, **POP
+        )
+        nenv.reset()
+        acts = np.ones((2, nenv.num_agents), np.int32)
+        for _ in range(2):
+            _, _, done = nenv.step(acts)
+            assert not done.any()
+        _, _, done = nenv.step(acts)
+        assert done.all()
+        # after auto-reset the state is a fresh episode
+        assert nenv.get_state(0)[3] == 0
+        assert np.allclose(nenv.get_state(0)[1], 0.0)  # velocities zeroed
+
+
+class TestHostSurface:
+    def test_pettingzoo_parallel_surface(self):
+        env = NativeHostEnv(
+            num_good=2, num_adversaries=3, num_obstacles=3, max_cycles=5
+        )
+        obs, infos = env.reset(seed=0)
+        assert set(obs) == set(env.agents)
+        assert obs["adversary_0"].shape == (env.observation_space("adversary_0").shape[0],)
+        acts = {a: 1 for a in env.agents}
+        for t in range(5):
+            obs, rew, terms, truncs, infos = env.step(acts)
+        assert all(truncs.values())  # max_cycles reached
+        assert not any(terms.values())
+        assert isinstance(rew["agent_0"], float)
+
+    def test_host_buffer_round_trip(self):
+        from mfvae_tpu.envs.host_adapter import MultiAgentHostBuffer
+
+        env = NativeHostEnv(
+            num_good=2, num_adversaries=3, num_obstacles=3, max_cycles=100
+        )
+        buf = MultiAgentHostBuffer(env, max_size=64, batch_size=4)
+        obs, _ = env.reset()
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            acts = {a: int(rng.integers(0, 5)) for a in env.agents}
+            nobs, rew, terms, truncs, _ = env.step(acts)
+            buf.add(obs, acts, rew, nobs, terms, truncs)
+            obs = nobs
+        batch = buf.sample()
+        assert batch["adversary_0_observations"].shape == (4, env._env.obs_dim_adv)
+        assert batch["mask"].shape == (4, 1)
