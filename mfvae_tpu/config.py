@@ -182,6 +182,10 @@ class EnvConfig:
     num_obs: int = 20  # obstacles
     max_steps: int = 1000  # torch_ver/src/env.py:27 max_cycles
     backend: str = "jax"  # 'jax' (on-device) | 'host' (PettingZoo adapter)
+    # host backend only: >1 collects with the native C++ engine stepping
+    # n_host_envs environments per batched call (NativeBatchedCollector);
+    # 1 keeps the single-env AsyncCollector over whatever create_env picked
+    n_host_envs: int = 1
 
 
 @dataclass

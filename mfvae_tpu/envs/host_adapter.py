@@ -189,6 +189,25 @@ class MultiAgentHostBuffer:
     def sample(self) -> Dict[str, np.ndarray]:
         return self.buffer.sample(self.batch_size)
 
+    def add_batch(self, obs, actions, rewards, next_obs, truncations) -> None:
+        """Vectorized add: every argument is {agent: [K, ...]} (or [K] for
+        scalars) — K transitions land in the ring with one native call.
+        Terminals are always False on the MPE host path (time-limit
+        truncation only, matching AsyncCollector)."""
+        k = len(next(iter(truncations.values())))
+        item = {}
+        for a in self.agents:
+            item[f"{a}_observations"] = np.asarray(obs[a], np.float32)
+            item[f"{a}_next_observations"] = np.asarray(next_obs[a], np.float32)
+            item[f"{a}_actions"] = np.asarray(actions[a], np.int64)
+            item[f"{a}_rewards"] = np.asarray(rewards[a], np.float32).reshape(k, 1)
+            item[f"{a}_terminals"] = np.zeros((k, 1), np.float32)
+            item[f"{a}_truncations"] = np.asarray(
+                truncations[a], np.float32
+            ).reshape(k, 1)
+        item["mask"] = np.ones((k, 1), np.float32)
+        self.buffer.add(item)
+
     def on_episode_end(self) -> None:
         """Episode-boundary hook (reference surface:
         torch_ver/src/replay_buffer.py:104-105, where cpprb flushes n-step
@@ -229,6 +248,107 @@ class AsyncCollector:
         self._steps += 1
         if any(terms.values()) or any(truncs.values()) or not env.agents:
             self._obs, _ = env.reset()
+
+    def start(self, max_steps: Optional[int] = None):
+        def loop():
+            while not self._stop.is_set():
+                if max_steps is not None and self._steps >= max_steps:
+                    break
+                self._one_step()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    @property
+    def steps(self) -> int:
+        return self._steps
+
+
+class NativeBatchedCollector:
+    """Vectorized host collection on the native C++ engine
+    (envs/native_engine.py): K environments stepped as ONE batched native
+    call per iteration, K transitions landing in the ring with one batched
+    add — the host-side analog of the device path's vmapped env batch.
+
+    Exposes the AsyncCollector surface (collect/start/stop/steps, with
+    ``steps`` counting env-transitions so HostExperiment's per-epoch
+    sample targets mean the same thing at any K)."""
+
+    def __init__(
+        self,
+        buffer: MultiAgentHostBuffer,
+        n_envs: int = 16,
+        num_good: int = 10,
+        num_adversaries: int = 30,
+        num_obstacles: int = 20,
+        max_cycles: int = 1000,
+        seed: int = 0,
+        n_threads: int = 0,
+    ):
+        from mfvae_tpu.envs.native_engine import NativeSimpleTagEnv
+
+        # auto_reset=False: a finished env's terminal obs must be recorded
+        # as next_obs BEFORE the reset (auto-reset would hand us the new
+        # episode's first obs instead)
+        self.env = NativeSimpleTagEnv(
+            n_envs=n_envs,
+            num_good_agents=num_good,
+            num_adversaries=num_adversaries,
+            num_obs=num_obstacles,
+            max_steps=max_cycles,
+            seed=seed,
+            n_threads=n_threads,
+            auto_reset=False,
+        )
+        self.buffer = buffer
+        self.n_envs = n_envs
+        self.rng = np.random.default_rng(seed)
+        self._stop = threading.Event()
+        self._steps = 0
+        self._thread: Optional[threading.Thread] = None
+        self._obs = self.env.reset().copy()
+
+    def _split_named(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        adv, good = self.env.split_obs(flat)
+        out = {}
+        for i in range(self.env.num_adversaries):
+            out[f"adversary_{i}"] = adv[:, i]
+        for i in range(self.env.num_good_agents):
+            out[f"agent_{i}"] = good[:, i]
+        return out
+
+    def _one_step(self):
+        env = self.env
+        acts = self.rng.integers(
+            0, 5, size=(self.n_envs, env.num_agents)
+        ).astype(np.int32)
+        next_obs, rew, done = env.step(acts)
+        agents = env.agents
+        self.buffer.add_batch(
+            obs=self._split_named(self._obs),
+            actions={a: acts[:, i] for i, a in enumerate(agents)},
+            rewards={a: rew[:, i] for i, a in enumerate(agents)},
+            next_obs=self._split_named(next_obs),
+            truncations={a: done.astype(np.float32) for a in agents},
+        )
+        if done.any():
+            env.reset_where(done.astype(np.uint8))
+            self._obs = env.observe().copy()
+        else:
+            self._obs = next_obs.copy()
+        self._steps += self.n_envs
+
+    def collect(self, n_steps: int) -> int:
+        """Synchronous collection of at least n_steps transitions."""
+        target = self._steps + n_steps
+        while self._steps < target:
+            self._one_step()
+        return self._steps
 
     def start(self, max_steps: Optional[int] = None):
         def loop():

@@ -58,7 +58,20 @@ class HostExperiment:
             batch_size=cfg.buffer.batch_size,
             seed=cfg.train.seed,
         )
-        self.collector = AsyncCollector(self.env, self.buffer, seed=cfg.train.seed)
+        if cfg.env.n_host_envs > 1:
+            from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
+
+            self.collector = NativeBatchedCollector(
+                self.buffer,
+                n_envs=cfg.env.n_host_envs,
+                num_good=cfg.env.num_good_agents,
+                num_adversaries=cfg.env.num_adversaries,
+                num_obstacles=cfg.env.num_obs,
+                max_cycles=cfg.env.max_steps,
+                seed=cfg.train.seed,
+            )
+        else:
+            self.collector = AsyncCollector(self.env, self.buffer, seed=cfg.train.seed)
         self.streams = make_streams(cfg.train.seed)
         self.logger: Optional[MetricsLogger] = None
         self.train_state = None
