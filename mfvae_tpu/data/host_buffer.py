@@ -17,13 +17,13 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from mfvae_tpu.utils.native_build import build_and_load
+from mfvae_tpu.utils.native_build import load_cached
 
 
-def _build_native() -> Optional[ctypes.CDLL]:
-    lib = build_and_load("ringbuffer.cpp")
-    if lib is None:
-        return None
+def _get_lib() -> Optional[ctypes.CDLL]:
+    lib = load_cached("ringbuffer.cpp")
+    if lib is None or getattr(lib, "_rb_configured", False):
+        return lib
     lib.rb_create.restype = ctypes.c_void_p
     lib.rb_create.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64,
@@ -44,19 +44,8 @@ def _build_native() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
     ]
+    lib._rb_configured = True
     return lib
-
-
-_LIB: Optional[ctypes.CDLL] = None
-_LIB_TRIED = False
-
-
-def _get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _LIB_TRIED
-    if not _LIB_TRIED:
-        _LIB = _build_native()
-        _LIB_TRIED = True
-    return _LIB
 
 
 class HostRingBuffer:

@@ -218,36 +218,24 @@ class MultiAgentHostBuffer:
         return len(self.buffer)
 
 
-class AsyncCollector:
-    """Background thread stepping a host env with random actions and feeding
-    the buffer, so device train steps never wait on host physics."""
+class _CollectorLoop:
+    """Shared collect/start/stop machinery; subclasses implement
+    ``_one_step`` (which must advance ``self._steps``)."""
 
-    def __init__(self, env, buffer: MultiAgentHostBuffer, seed: int = 0):
-        self.env = env
-        self.buffer = buffer
-        self.rng = np.random.default_rng(seed)
+    def __init__(self):
         self._stop = threading.Event()
         self._steps = 0
         self._thread: Optional[threading.Thread] = None
-        self._obs, _ = env.reset(seed=seed)
+
+    def _one_step(self):  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def collect(self, n_steps: int) -> int:
-        """Synchronous collection of n_steps transitions."""
-        for _ in range(n_steps):
+        """Synchronous collection of at least n_steps transitions."""
+        target = self._steps + n_steps
+        while self._steps < target:
             self._one_step()
         return self._steps
-
-    def _one_step(self):
-        env = self.env
-        actions = {
-            a: int(self.rng.integers(0, env.action_space(a).n)) for a in env.agents
-        }
-        next_obs, rewards, terms, truncs, _ = env.step(actions)
-        self.buffer.add(self._obs, actions, rewards, next_obs, terms, truncs)
-        self._obs = next_obs
-        self._steps += 1
-        if any(terms.values()) or any(truncs.values()) or not env.agents:
-            self._obs, _ = env.reset()
 
     def start(self, max_steps: Optional[int] = None):
         def loop():
@@ -269,7 +257,31 @@ class AsyncCollector:
         return self._steps
 
 
-class NativeBatchedCollector:
+class AsyncCollector(_CollectorLoop):
+    """Background thread stepping a host env with random actions and feeding
+    the buffer, so device train steps never wait on host physics."""
+
+    def __init__(self, env, buffer: MultiAgentHostBuffer, seed: int = 0):
+        super().__init__()
+        self.env = env
+        self.buffer = buffer
+        self.rng = np.random.default_rng(seed)
+        self._obs, _ = env.reset(seed=seed)
+
+    def _one_step(self):
+        env = self.env
+        actions = {
+            a: int(self.rng.integers(0, env.action_space(a).n)) for a in env.agents
+        }
+        next_obs, rewards, terms, truncs, _ = env.step(actions)
+        self.buffer.add(self._obs, actions, rewards, next_obs, terms, truncs)
+        self._obs = next_obs
+        self._steps += 1
+        if any(terms.values()) or any(truncs.values()) or not env.agents:
+            self._obs, _ = env.reset()
+
+
+class NativeBatchedCollector(_CollectorLoop):
     """Vectorized host collection on the native C++ engine
     (envs/native_engine.py): K environments stepped as ONE batched native
     call per iteration, K transitions landing in the ring with one batched
@@ -292,6 +304,7 @@ class NativeBatchedCollector:
     ):
         from mfvae_tpu.envs.native_engine import NativeSimpleTagEnv
 
+        super().__init__()
         # auto_reset=False: a finished env's terminal obs must be recorded
         # as next_obs BEFORE the reset (auto-reset would hand us the new
         # episode's first obs instead)
@@ -308,9 +321,6 @@ class NativeBatchedCollector:
         self.buffer = buffer
         self.n_envs = n_envs
         self.rng = np.random.default_rng(seed)
-        self._stop = threading.Event()
-        self._steps = 0
-        self._thread: Optional[threading.Thread] = None
         self._obs = self.env.reset().copy()
 
     def _split_named(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
@@ -342,29 +352,3 @@ class NativeBatchedCollector:
         else:
             self._obs = next_obs.copy()
         self._steps += self.n_envs
-
-    def collect(self, n_steps: int) -> int:
-        """Synchronous collection of at least n_steps transitions."""
-        target = self._steps + n_steps
-        while self._steps < target:
-            self._one_step()
-        return self._steps
-
-    def start(self, max_steps: Optional[int] = None):
-        def loop():
-            while not self._stop.is_set():
-                if max_steps is not None and self._steps >= max_steps:
-                    break
-                self._one_step()
-
-        self._thread = threading.Thread(target=loop, daemon=True)
-        self._thread.start()
-
-    def stop(self):
-        self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=10)
-
-    @property
-    def steps(self) -> int:
-        return self._steps

@@ -29,10 +29,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from mfvae_tpu.utils.native_build import build_and_load
-
-_LIB: Optional[ctypes.CDLL] = None
-_LIB_TRIED = False
+from mfvae_tpu.utils.native_build import load_cached
 
 _F32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -40,14 +37,9 @@ _U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _LIB, _LIB_TRIED
-    if _LIB_TRIED:
-        return _LIB
-    _LIB_TRIED = True
-    lib = build_and_load("mpe_engine.cpp")
-    if lib is None:
-        _LIB = None
-        return None
+    lib = load_cached("mpe_engine.cpp")
+    if lib is None or getattr(lib, "_mpe_configured", False):
+        return lib
     c = ctypes
     lib.mpe_create.restype = c.c_void_p
     lib.mpe_create.argtypes = [c.c_int32] * 5 + [c.c_uint64, c.c_int32]
@@ -63,7 +55,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         c.c_void_p, c.c_int32, _F32, _F32, _F32, c.POINTER(c.c_int32)
     ]
     lib.mpe_set_state.argtypes = [c.c_void_p, c.c_int32, _F32, _F32, _F32, c.c_int32]
-    _LIB = lib
+    lib._mpe_configured = True
     return lib
 
 
@@ -78,6 +70,10 @@ class NativeSimpleTagEnv:
     ``step`` takes int32 actions [n_envs, A] in [0, 5) and returns
     (obs [n_envs, obs_stride], rewards [n_envs, A], done [n_envs]); split
     per-class views via :meth:`split_obs`.
+
+    Zero-copy contract: ``reset``/``observe``/``step`` return views into
+    reusable internal buffers that the NEXT call overwrites — ``.copy()``
+    anything retained across calls (NativeBatchedCollector does).
     """
 
     def __init__(
@@ -147,6 +143,13 @@ class NativeSimpleTagEnv:
             raise ValueError(
                 f"actions shape {acts.shape} != {(self.n_envs, self.num_agents)}"
             )
+        # the C core indexes a 5-entry direction table without a bounds
+        # check; out-of-range actions would be undefined behavior
+        if acts.size and (acts.min() < 0 or acts.max() >= 5):
+            raise ValueError(
+                f"actions must be in [0, 5); got range "
+                f"[{acts.min()}, {acts.max()}]"
+            )
         self._lib.mpe_step(
             self._h, acts, self._obs, self._rew, self._done,
             1 if self.auto_reset else 0,
@@ -188,16 +191,16 @@ class NativeHostEnv:
     action_space)."""
 
     def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles, seed=0):
-        self._env = NativeSimpleTagEnv(
+        self._ctor = dict(
             n_envs=1,
             num_good_agents=num_good,
             num_adversaries=num_adversaries,
             num_obs=num_obstacles,
             max_steps=max_cycles,
-            seed=seed,
             n_threads=1,
             auto_reset=False,
         )
+        self._env = NativeSimpleTagEnv(seed=seed, **self._ctor)
         self.agents = list(self._env.agents)
 
     def observation_space(self, agent):
@@ -225,8 +228,10 @@ class NativeHostEnv:
         return out
 
     def reset(self, seed: Optional[int] = None):
-        # seed only reseeds episode layout indirectly (the engine owns its
-        # per-env rng); a fresh engine is cheap if exact reseeding is needed
+        if seed is not None:
+            # honor the PettingZoo contract: reset(seed=s) must reproduce
+            # the episode; the engine rng is per-instance, so rebuild
+            self._env = NativeSimpleTagEnv(seed=seed, **self._ctor)
         obs = self._env.reset()
         return self._obs_dict(obs), {a: {} for a in self.agents}
 

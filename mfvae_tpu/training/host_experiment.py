@@ -58,19 +58,28 @@ class HostExperiment:
             batch_size=cfg.buffer.batch_size,
             seed=cfg.train.seed,
         )
+        self.collector = None
         if cfg.env.n_host_envs > 1:
+            # NOTE: the batched collector always steps the native engine —
+            # even when create_env picked PettingZoo above — the two are
+            # fidelity-equivalent for simple_tag (tests/test_native_engine.py)
+            # and only the native engine steps in batch.
             from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
 
-            self.collector = NativeBatchedCollector(
-                self.buffer,
-                n_envs=cfg.env.n_host_envs,
-                num_good=cfg.env.num_good_agents,
-                num_adversaries=cfg.env.num_adversaries,
-                num_obstacles=cfg.env.num_obs,
-                max_cycles=cfg.env.max_steps,
-                seed=cfg.train.seed,
-            )
-        else:
+            try:
+                self.collector = NativeBatchedCollector(
+                    self.buffer,
+                    n_envs=cfg.env.n_host_envs,
+                    num_good=cfg.env.num_good_agents,
+                    num_adversaries=cfg.env.num_adversaries,
+                    num_obstacles=cfg.env.num_obs,
+                    max_cycles=cfg.env.max_steps,
+                    seed=cfg.train.seed,
+                )
+            except RuntimeError as e:  # no toolchain: degrade, keep running
+                print(f"n_host_envs={cfg.env.n_host_envs} unavailable ({e}); "
+                      "falling back to single-env AsyncCollector")
+        if self.collector is None:
             self.collector = AsyncCollector(self.env, self.buffer, seed=cfg.train.seed)
         self.streams = make_streams(cfg.train.seed)
         self.logger: Optional[MetricsLogger] = None

@@ -23,6 +23,15 @@ from typing import Optional
 
 NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _BUILD_LOCK = threading.Lock()
+_LOAD_CACHE: dict = {}
+
+
+def load_cached(source_name: str) -> Optional[ctypes.CDLL]:
+    """Once-per-process build_and_load, cached by source name (None results
+    cached too, so a missing toolchain is probed once)."""
+    if source_name not in _LOAD_CACHE:
+        _LOAD_CACHE[source_name] = build_and_load(source_name)
+    return _LOAD_CACHE[source_name]
 
 
 def build_and_load(source_name: str) -> Optional[ctypes.CDLL]:

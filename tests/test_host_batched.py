@@ -58,11 +58,18 @@ class TestNativeBatchedCollector:
         truncs = rows["adversary_0_truncations"].ravel()
         # the 3rd step of each env is truncated
         assert truncs.sum() == 2
-        # terminal next_obs must differ from the post-reset first obs the
-        # collector continues from (velocities reset to 0, positions redrawn)
+        # terminal next_obs must be the TERMINAL observation, not the
+        # post-reset obs the collector continues from: the collector's
+        # current _obs is the reset state (velocities zeroed, positions
+        # redrawn), so the stored terminal row must differ from it
         term = np.where(truncs > 0)[0][0]
         terminal_next = rows["adversary_0_next_observations"][term]
-        assert not np.allclose(terminal_next[:2], 0.0) or True  # vel may be 0
+        post_reset = col._split_named(col._obs)["adversary_0"][term % 2]
+        assert not np.allclose(terminal_next, post_reset)
+        # and after two moves the terminal velocity is non-zero, while a
+        # reset obs would carry exactly-zero self velocity
+        assert np.abs(terminal_next[:2]).max() > 0
+        assert np.abs(post_reset[:2]).max() == 0
         # after the reset the engine's state step counter restarted
         assert col.env.get_state(0)[3] < 3
 

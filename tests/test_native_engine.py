@@ -197,7 +197,39 @@ class TestBatching:
         assert np.allclose(nenv.get_state(0)[1], 0.0)  # velocities zeroed
 
 
+class TestGuards:
+    def test_out_of_range_actions_rejected(self):
+        _, nenv = make_pair()
+        bad = np.full((1, nenv.num_agents), 5, np.int32)
+        with pytest.raises(ValueError, match=r"\[0, 5\)"):
+            nenv.step(bad)
+        with pytest.raises(ValueError, match=r"\[0, 5\)"):
+            nenv.step(-np.ones((1, nenv.num_agents), np.int32))
+
+    def test_returned_buffers_are_reused(self):
+        """The documented zero-copy contract: step output aliases internal
+        storage overwritten by the next call."""
+        _, nenv = make_pair()
+        obs1, _, _ = nenv.step(np.ones((1, nenv.num_agents), np.int32))
+        snapshot = obs1.copy()
+        nenv.step(np.full((1, nenv.num_agents), 2, np.int32))
+        assert not np.array_equal(obs1, snapshot)  # view moved under us
+
+
 class TestHostSurface:
+    def test_reset_seed_reproduces_episode(self):
+        env = NativeHostEnv(
+            num_good=2, num_adversaries=3, num_obstacles=3, max_cycles=50
+        )
+        obs_a, _ = env.reset(seed=7)
+        acts = {a: 2 for a in env.agents}
+        step_a, _, _, _, _ = env.step(acts)
+        obs_b, _ = env.reset(seed=7)
+        step_b, _, _, _, _ = env.step(acts)
+        for a in env.agents:
+            np.testing.assert_array_equal(obs_a[a], obs_b[a])
+            np.testing.assert_array_equal(step_a[a], step_b[a])
+
     def test_pettingzoo_parallel_surface(self):
         env = NativeHostEnv(
             num_good=2, num_adversaries=3, num_obstacles=3, max_cycles=5
