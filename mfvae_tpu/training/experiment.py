@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from mfvae_tpu.config import ExperimentConfig
+from mfvae_tpu.config import ExperimentConfig, save_config
 from mfvae_tpu.data.buffer import ItemBuffer
 from mfvae_tpu.data.transitions import GroupedTransition
 from mfvae_tpu.envs.mpe import make
@@ -192,6 +192,10 @@ class Experiment:
             self._epoch_jit = split_epoch
 
         self.logger = MetricsLogger(cfg.train.log_dir, cfg.train.run_name)
+        # reproducibility: snapshot the RESOLVED config (defaults + YAML +
+        # overrides) next to the run's metrics; reloading it reproduces the
+        # run exactly (python main.py <run_dir>/config.yaml)
+        save_config(cfg, str(self.logger.run_dir / "config.yaml"))
         self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
         if cfg.train.resume:
             self._try_resume()

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mfvae_tpu.config import ExperimentConfig
+from mfvae_tpu.config import ExperimentConfig, save_config
 from mfvae_tpu.data.transitions import VaeBatch
 from mfvae_tpu.envs.host_adapter import (
     AsyncCollector,
@@ -103,6 +103,7 @@ class HostExperiment:
         )
         self._test_jit = jax.jit(make_test_step(cfg.loss, cfg.train.mode))
         self.logger = MetricsLogger(cfg.train.log_dir, cfg.train.run_name or "host_run")
+        save_config(cfg, str(self.logger.run_dir / "config.yaml"))
         return self
 
     def _fake_batch(self, batch_size: int) -> VaeBatch:

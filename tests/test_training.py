@@ -196,6 +196,11 @@ class TestEndToEnd:
         tags = {json.loads(l)["tag"] for l in lines}
         assert {"Loss/Train", "Loss/State_Train", "Loss/Reward_Train", "Loss/KL_Train",
                 "Loss/Test", "Loss/State_Test", "Loss/Reward_Test", "Loss/KL_Test"} <= tags
+        # resolved-config snapshot lands in the run dir and reloads equal
+        from mfvae_tpu.config import load_config
+
+        snap = load_config(str(exp.logger.run_dir / "config.yaml"))
+        assert snap == cfg
 
     def test_world_model_on_simple_spread(self, tmp_path):
         """The MAVAE pipeline runs unchanged on the second env family
