@@ -104,34 +104,53 @@ def create_env(
     installed (pettingzoo.mpe, or the split-out mpe2 package); otherwise the
     first-party native C++ engine (envs/native_engine.py — microsecond host
     steps, fidelity-tested against the JAX env); last resort is the
-    jitted-JAX LocalHostEnv (pays device dispatch per host step)."""
-    if env_name != "simple_tag_v3":
+    jitted-JAX LocalHostEnv (pays device dispatch per host step).
+
+    Supports simple_tag_v3 (the reference's scenario) and simple_spread_v3
+    (num_good becomes the agent count)."""
+    if env_name not in ("simple_tag_v3", "simple_spread_v3"):
         raise NotImplementedError(env_name)
+    spread = env_name == "simple_spread_v3"
     env = None
     for modname in ("pettingzoo.mpe", "mpe2"):
         try:
             import importlib
 
-            mod = importlib.import_module(f"{modname}.simple_tag_v3")
-            env = mod.parallel_env(
-                num_good=num_good,
-                num_adversaries=num_adversaries,
-                num_obstacles=num_obstacles,
-                max_cycles=max_cycles,
-                continuous_actions=False,
-            )
+            mod = importlib.import_module(f"{modname}.{env_name}")
+            if spread:
+                env = mod.parallel_env(
+                    N=num_good, max_cycles=max_cycles, continuous_actions=False
+                )
+            else:
+                env = mod.parallel_env(
+                    num_good=num_good,
+                    num_adversaries=num_adversaries,
+                    num_obstacles=num_obstacles,
+                    max_cycles=max_cycles,
+                    continuous_actions=False,
+                )
             break
         except ImportError:
             continue
     if env is None:
         from mfvae_tpu.envs.native_engine import (
             NativeHostEnv,
+            NativeSpreadHostEnv,
             native_engine_available,
         )
 
         if native_engine_available():
-            env = NativeHostEnv(
-                num_good, num_adversaries, num_obstacles, max_cycles, seed=seed
+            env = (
+                NativeSpreadHostEnv(num_good, max_cycles, seed=seed)
+                if spread
+                else NativeHostEnv(
+                    num_good, num_adversaries, num_obstacles, max_cycles, seed=seed
+                )
+            )
+        elif spread:
+            raise NotImplementedError(
+                "simple_spread_v3 host path requires PettingZoo or the "
+                "native engine (no jitted-JAX fallback wrapper)"
             )
         else:
             env = LocalHostEnv(num_good, num_adversaries, num_obstacles, max_cycles)

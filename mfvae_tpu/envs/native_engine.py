@@ -43,6 +43,8 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     c = ctypes
     lib.mpe_create.restype = c.c_void_p
     lib.mpe_create.argtypes = [c.c_int32] * 5 + [c.c_uint64, c.c_int32]
+    lib.mpe_create_spread.restype = c.c_void_p
+    lib.mpe_create_spread.argtypes = [c.c_int32] * 3 + [c.c_uint64, c.c_int32]
     lib.mpe_destroy.argtypes = [c.c_void_p]
     for fn in (lib.mpe_obs_dim_adv, lib.mpe_obs_dim_good, lib.mpe_obs_stride):
         fn.restype = c.c_int32
@@ -183,6 +185,65 @@ class NativeSimpleTagEnv:
         )
 
 
+class NativeSimpleSpreadEnv:
+    """Batched simple_spread on the native engine (homogeneous agents; one
+    obs class of width 4 + 2L + 4(A-1)).  Same zero-copy contract and
+    surface as NativeSimpleTagEnv."""
+
+    def __init__(
+        self,
+        n_envs: int = 1,
+        num_agents: int = 3,
+        max_steps: int = 25,
+        seed: int = 0,
+        n_threads: int = 0,
+        auto_reset: bool = True,
+    ):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError(
+                "native MPE engine unavailable (no g++ toolchain or build "
+                "failed); use envs.mpe.SimpleSpreadEnv instead"
+            )
+        self._lib = lib
+        self.n_envs = int(n_envs)
+        self.num_agents = int(num_agents)
+        self.max_steps = int(max_steps)
+        self.auto_reset = bool(auto_reset)
+        self._h = lib.mpe_create_spread(
+            self.n_envs, self.num_agents, self.max_steps, seed, n_threads
+        )
+        self.obs_dim = int(lib.mpe_obs_dim_good(self._h))
+        self.obs_stride = int(lib.mpe_obs_stride(self._h))
+        self._obs = np.empty((self.n_envs, self.obs_stride), np.float32)
+        self._rew = np.empty((self.n_envs, self.num_agents), np.float32)
+        self._done = np.empty((self.n_envs,), np.uint8)
+
+    __del__ = NativeSimpleTagEnv.__del__
+    reset = NativeSimpleTagEnv.reset
+    reset_where = NativeSimpleTagEnv.reset_where
+    observe = NativeSimpleTagEnv.observe
+    step = NativeSimpleTagEnv.step
+
+    @property
+    def agents(self) -> Tuple[str, ...]:
+        return tuple(f"agent_{i}" for i in range(self.num_agents))
+
+    def split_obs(self, obs: np.ndarray) -> np.ndarray:
+        """[n_envs, obs_stride] -> [n_envs, A, obs_dim] view."""
+        return obs.reshape(-1, self.num_agents, self.obs_dim)
+
+    def get_state(self, env: int = 0):
+        pos = np.empty((self.num_agents, 2), np.float32)
+        vel = np.empty((self.num_agents, 2), np.float32)
+        lmk = np.empty((self.num_agents, 2), np.float32)  # L == A
+        step = ctypes.c_int32(0)
+        self._lib.mpe_get_state(self._h, env, pos, vel, lmk, ctypes.byref(step))
+        return pos, vel, lmk, int(step.value)
+
+    set_state = NativeSimpleTagEnv.set_state
+
+
 class NativeHostEnv:
     """PettingZoo parallel-API adapter over one native env — the same
     surface the reference's host path consumes (torch_ver/src/env.py:24-39:
@@ -191,6 +252,7 @@ class NativeHostEnv:
     action_space)."""
 
     def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles, seed=0):
+        self._cls = NativeSimpleTagEnv
         self._ctor = dict(
             n_envs=1,
             num_good_agents=num_good,
@@ -200,7 +262,7 @@ class NativeHostEnv:
             n_threads=1,
             auto_reset=False,
         )
-        self._env = NativeSimpleTagEnv(seed=seed, **self._ctor)
+        self._env = self._cls(seed=seed, **self._ctor)
         self.agents = list(self._env.agents)
 
     def observation_space(self, agent):
@@ -231,7 +293,7 @@ class NativeHostEnv:
         if seed is not None:
             # honor the PettingZoo contract: reset(seed=s) must reproduce
             # the episode; the engine rng is per-instance, so rebuild
-            self._env = NativeSimpleTagEnv(seed=seed, **self._ctor)
+            self._env = self._cls(seed=seed, **self._ctor)
         obs = self._env.reset()
         return self._obs_dict(obs), {a: {} for a in self.agents}
 
@@ -247,3 +309,30 @@ class NativeHostEnv:
         # no internal auto-reset: the PettingZoo contract has the caller
         # reset after truncation (AsyncCollector._one_step does)
         return obs_d, rewards, terms, truncs, {a: {} for a in self.agents}
+
+
+class NativeSpreadHostEnv(NativeHostEnv):
+    """PettingZoo parallel-API adapter over one native simple_spread env."""
+
+    def __init__(self, num_agents=3, max_cycles=25, seed=0):
+        self._cls = NativeSimpleSpreadEnv
+        self._ctor = dict(
+            n_envs=1,
+            num_agents=num_agents,
+            max_steps=max_cycles,
+            n_threads=1,
+            auto_reset=False,
+        )
+        self._env = self._cls(seed=seed, **self._ctor)
+        self.agents = list(self._env.agents)
+
+    def observation_space(self, agent):
+        import gymnasium
+
+        return gymnasium.spaces.Box(
+            -np.inf, np.inf, (self._env.obs_dim,), np.float32
+        )
+
+    def _obs_dict(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        rows = self._env.split_obs(flat)
+        return {a: rows[0, i].copy() for i, a in enumerate(self.agents)}

@@ -40,7 +40,9 @@ from mfvae_tpu.training.trainer import create_train_state, make_test_step, make_
 class HostExperiment:
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
-        env_name = "simple_tag_v3"
+        # map the jax-path env name (MPE_simple_tag_v3) onto the host
+        # factory's PettingZoo-style name
+        env_name = cfg.env.name.replace("MPE_", "")
         self.env, obs_dims, act_dims, _, _ = create_env(
             env_name,
             num_good=cfg.env.num_good_agents,
@@ -59,7 +61,12 @@ class HostExperiment:
             seed=cfg.train.seed,
         )
         self.collector = None
-        if cfg.env.n_host_envs > 1:
+        if cfg.env.n_host_envs > 1 and env_name != "simple_tag_v3":
+            print(
+                f"n_host_envs>1 batched collection supports simple_tag only; "
+                f"using single-env AsyncCollector for {env_name}"
+            )
+        elif cfg.env.n_host_envs > 1:
             # NOTE: the batched collector always steps the native engine —
             # even when create_env picked PettingZoo above — the two are
             # fidelity-equivalent for simple_tag (tests/test_native_engine.py)

@@ -26,6 +26,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <mutex>
 #include <random>
 #include <thread>
@@ -33,7 +34,7 @@
 
 namespace {
 
-// Public simple_tag scenario constants (must match mfvae_tpu/envs/mpe.py).
+// Public MPE scenario constants (must match mfvae_tpu/envs/mpe.py).
 constexpr float kDt = 0.1f;
 constexpr float kDamping = 0.25f;
 constexpr float kContactForce = 1e2f;
@@ -42,6 +43,12 @@ constexpr float kAdvSize = 0.075f, kGoodSize = 0.05f, kLandmarkSize = 0.2f;
 constexpr float kAdvAccel = 3.0f, kGoodAccel = 4.0f;
 constexpr float kAdvMaxSpeed = 1.0f, kGoodMaxSpeed = 1.3f;
 constexpr float kCollisionReward = 10.0f;
+// simple_spread: homogeneous agents (size .15, accel 5, no speed clip),
+// non-collidable target landmarks (.05)
+constexpr float kSpreadAgentSize = 0.15f;
+constexpr float kSpreadAccel = 5.0f;
+
+enum Scenario { kTag = 0, kSpread = 1 };
 
 struct EnvState {
   std::vector<float> pos;   // [A][2]
@@ -52,9 +59,10 @@ struct EnvState {
 };
 
 struct Engine {
+  Scenario scenario = kTag;
   int n_envs, n_good, n_adv, n_lmk, max_steps;
   int n_agents;        // n_adv + n_good (adversaries first, like mpe.py)
-  int d_adv, d_good;   // per-class obs widths
+  int d_adv, d_good;   // per-class obs widths (spread: d_adv unused)
   int obs_stride;      // floats per env in obs output
   std::vector<EnvState> envs;
   // scratch per env is tiny; workers keep their own
@@ -91,8 +99,9 @@ void reset_env(const Engine& e, EnvState& s) {
   s.step = 0;
 }
 
-// Observation for one env into out[obs_stride] (layout in file header).
-void observe_env(const Engine& e, const EnvState& s, float* out) {
+// simple_tag observation for one env into out[obs_stride] (layout in file
+// header).
+void observe_tag(const Engine& e, const EnvState& s, float* out) {
   const int A = e.n_agents, L = e.n_lmk, G = e.n_good, ADV = e.n_adv;
   float* o = out;
   for (int i = 0; i < A; ++i) {
@@ -125,7 +134,106 @@ void observe_env(const Engine& e, const EnvState& s, float* out) {
   }
 }
 
-void step_env(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
+// simple_spread observation (mpe.py SimpleSpreadEnv._observe):
+// [self_vel(2), self_pos(2), landmark_rel(2L), other_rel(2(A-1)),
+//  comm zeros(2(A-1))].
+void observe_spread(const Engine& e, const EnvState& s, float* out) {
+  const int A = e.n_agents, L = e.n_lmk;
+  float* o = out;
+  for (int i = 0; i < A; ++i) {
+    *o++ = s.vel[2 * i];
+    *o++ = s.vel[2 * i + 1];
+    *o++ = s.pos[2 * i];
+    *o++ = s.pos[2 * i + 1];
+    for (int l = 0; l < L; ++l) {
+      *o++ = s.lmk[2 * l] - s.pos[2 * i];
+      *o++ = s.lmk[2 * l + 1] - s.pos[2 * i + 1];
+    }
+    for (int j = 0; j < A; ++j) {
+      if (j == i) continue;
+      *o++ = s.pos[2 * j] - s.pos[2 * i];
+      *o++ = s.pos[2 * j + 1] - s.pos[2 * i + 1];
+    }
+    for (int j = 0; j < 2 * (A - 1); ++j) *o++ = 0.0f;  // comm channel
+  }
+}
+
+void observe_env(const Engine& e, const EnvState& s, float* out) {
+  if (e.scenario == kSpread)
+    observe_spread(e, s, out);
+  else
+    observe_tag(e, s, out);
+}
+
+// simple_spread step (mpe.py SimpleSpreadEnv.step_stacked): agent-agent
+// contact only, accel 5, NO speed clip; shared coverage reward minus
+// per-agent collision count.
+void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
+                 float* rew, uint8_t* done, bool auto_reset, float* obs_out) {
+  const int A = e.n_agents, L = e.n_lmk;
+  static const float dirs[5][2] = {
+      {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
+  static thread_local std::vector<float> force;
+  force.assign(A * 2, 0.0f);
+  for (int i = 0; i < A; ++i) {
+    force[2 * i] = dirs[actions[i]][0] * kSpreadAccel;
+    force[2 * i + 1] = dirs[actions[i]][1] * kSpreadAccel;
+  }
+  const float dmin = 2.0f * kSpreadAgentSize;
+  for (int i = 0; i < A; ++i) {
+    float fx = 0.0f, fy = 0.0f;
+    for (int j = 0; j < A; ++j) {
+      if (j == i) continue;
+      const float dx = s.pos[2 * i] - s.pos[2 * j];
+      const float dy = s.pos[2 * i + 1] - s.pos[2 * j + 1];
+      const float dist = std::sqrt(dx * dx + dy * dy + 1e-12f);
+      const float mag = kContactForce * softplus_pen(dist, dmin) / dist;
+      fx += dx * mag;
+      fy += dy * mag;
+    }
+    force[2 * i] += fx;
+    force[2 * i + 1] += fy;
+  }
+  for (int i = 0; i < A; ++i) {
+    const float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
+    const float vy =
+        s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
+    s.vel[2 * i] = vx;
+    s.vel[2 * i + 1] = vy;
+    s.pos[2 * i] += vx * kDt;
+    s.pos[2 * i + 1] += vy * kDt;
+  }
+  s.step += 1;
+
+  // shared coverage reward from the NEW state
+  float coverage = 0.0f;
+  for (int l = 0; l < L; ++l) {
+    float best = std::numeric_limits<float>::infinity();
+    for (int i = 0; i < A; ++i) {
+      const float dx = s.lmk[2 * l] - s.pos[2 * i];
+      const float dy = s.lmk[2 * l + 1] - s.pos[2 * i + 1];
+      best = std::min(best, std::sqrt(dx * dx + dy * dy));
+    }
+    coverage -= best;
+  }
+  for (int i = 0; i < A; ++i) {
+    float coll = 0.0f;
+    for (int j = 0; j < A; ++j) {
+      if (j == i) continue;
+      const float dx = s.pos[2 * i] - s.pos[2 * j];
+      const float dy = s.pos[2 * i + 1] - s.pos[2 * j + 1];
+      if (std::sqrt(dx * dx + dy * dy) < dmin) coll += 1.0f;
+    }
+    rew[i] = coverage - coll;
+  }
+
+  const bool episode_done = s.step >= e.max_steps;
+  *done = episode_done ? 1 : 0;
+  if (episode_done && auto_reset) reset_env(e, s);
+  if (obs_out != nullptr) observe_env(e, s, obs_out);
+}
+
+void step_tag(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
               uint8_t* done, bool auto_reset, float* obs_out) {
   const int A = e.n_agents, L = e.n_lmk, ADV = e.n_adv, G = e.n_good;
   const int N = A + L;  // collidable entities: agents + landmarks
@@ -226,6 +334,14 @@ void step_env(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
   if (obs_out != nullptr) observe_env(e, s, obs_out);
 }
 
+void step_env(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
+              uint8_t* done, bool auto_reset, float* obs_out) {
+  if (e.scenario == kSpread)
+    step_spread(e, s, actions, rew, done, auto_reset, obs_out);
+  else
+    step_tag(e, s, actions, rew, done, auto_reset, obs_out);
+}
+
 void run_range(Engine* e, int lo, int hi) {
   for (int k = lo; k < hi; ++k) {
     EnvState& s = e->envs[k];
@@ -277,11 +393,36 @@ void dispatch(Engine* e) {
 
 }  // namespace
 
+// Allocate per-env state and spin up the pool (shared by both scenarios).
+void finish_create(Engine* e, uint64_t seed, int n_threads) {
+  const int A = e->n_agents;
+  e->envs.resize(e->n_envs);
+  for (int k = 0; k < e->n_envs; ++k) {
+    EnvState& s = e->envs[k];
+    s.pos.assign(A * 2, 0.0f);
+    s.vel.assign(A * 2, 0.0f);
+    s.lmk.assign(e->n_lmk * 2, 0.0f);
+    s.rng.seed(seed + (uint64_t)k * 0x9E3779B97F4A7C15ull);
+    reset_env(*e, s);
+  }
+  // a pool only pays off when each worker owns several envs
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads > e->n_envs) n_threads = e->n_envs;
+  if (n_threads > 1) {
+    e->n_threads = n_threads;
+    for (int t = 0; t < n_threads; ++t)
+      e->workers.emplace_back(worker_main, e, t);
+  } else {
+    e->n_threads = 1;
+  }
+}
+
 extern "C" {
 
 void* mpe_create(int32_t n_envs, int32_t n_good, int32_t n_adv, int32_t n_lmk,
                  int32_t max_steps, uint64_t seed, int32_t n_threads) {
   auto* e = new Engine();
+  e->scenario = kTag;
   e->n_envs = n_envs;
   e->n_good = n_good;
   e->n_adv = n_adv;
@@ -292,25 +433,25 @@ void* mpe_create(int32_t n_envs, int32_t n_good, int32_t n_adv, int32_t n_lmk,
   e->d_adv = 4 + 2 * n_lmk + 2 * (A - 1) + 2 * n_good;
   e->d_good = 4 + 2 * n_lmk + 2 * (A - 1) + 2 * (n_good - 1);
   e->obs_stride = n_adv * e->d_adv + n_good * e->d_good;
-  e->envs.resize(n_envs);
-  for (int k = 0; k < n_envs; ++k) {
-    EnvState& s = e->envs[k];
-    s.pos.assign(A * 2, 0.0f);
-    s.vel.assign(A * 2, 0.0f);
-    s.lmk.assign(n_lmk * 2, 0.0f);
-    s.rng.seed(seed + (uint64_t)k * 0x9E3779B97F4A7C15ull);
-    reset_env(*e, s);
-  }
-  // a pool only pays off when each worker owns several envs
-  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
-  if (n_threads > n_envs) n_threads = n_envs;
-  if (n_threads > 1) {
-    e->n_threads = n_threads;
-    for (int t = 0; t < n_threads; ++t)
-      e->workers.emplace_back(worker_main, e, t);
-  } else {
-    e->n_threads = 1;
-  }
+  finish_create(e, seed, n_threads);
+  return e;
+}
+
+// simple_spread: n_agents homogeneous agents covering n_agents landmarks.
+void* mpe_create_spread(int32_t n_envs, int32_t n_agents, int32_t max_steps,
+                        uint64_t seed, int32_t n_threads) {
+  auto* e = new Engine();
+  e->scenario = kSpread;
+  e->n_envs = n_envs;
+  e->n_good = n_agents;
+  e->n_adv = 0;
+  e->n_lmk = n_agents;
+  e->max_steps = max_steps;
+  e->n_agents = n_agents;
+  e->d_adv = 0;
+  e->d_good = 4 + 2 * e->n_lmk + 4 * (n_agents - 1);
+  e->obs_stride = n_agents * e->d_good;
+  finish_create(e, seed, n_threads);
   return e;
 }
 

@@ -18,3 +18,23 @@ class TestHostExperiment:
         assert np.isfinite(result["loss_train"])
         assert result["host_steps"] >= cfg.train.epoch_num * cfg.train.sample_num
         assert result["epoch"] == 1
+
+    def test_simple_spread_host_backend(self, tmp_path):
+        """Host pipeline on the second scenario family (native spread
+        engine through create_env)."""
+        import pytest
+
+        from mfvae_tpu.envs.native_engine import native_engine_available
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        if not native_engine_available():
+            pytest.skip("no native toolchain")
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=6, train_num=2)
+        cfg.env.name = "MPE_simple_spread_v3"
+        cfg.env.num_good_agents = 3
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        exp = HostExperiment(cfg).setup()
+        assert len(exp.agents) == 3
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])

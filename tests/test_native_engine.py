@@ -197,6 +197,60 @@ class TestBatching:
         assert np.allclose(nenv.get_state(0)[1], 0.0)  # velocities zeroed
 
 
+class TestSpreadEquivalence:
+    def test_trajectory_matches_jax_env(self):
+        from mfvae_tpu.envs.mpe import SimpleSpreadEnv
+        from mfvae_tpu.envs.native_engine import NativeSimpleSpreadEnv
+
+        jenv = SimpleSpreadEnv(num_agents=3, max_steps=25)
+        nenv = NativeSimpleSpreadEnv(
+            n_envs=1, num_agents=3, max_steps=25, n_threads=1, auto_reset=False
+        )
+        rng = np.random.default_rng(0)
+        state = MPEState(
+            agent_pos=jnp.asarray(rng.uniform(-1, 1, (3, 2)), jnp.float32),
+            agent_vel=jnp.asarray(rng.uniform(-0.5, 0.5, (3, 2)), jnp.float32),
+            landmark_pos=jnp.asarray(rng.uniform(-0.9, 0.9, (3, 2)), jnp.float32),
+            step=jnp.int32(0),
+        )
+        nenv.set_state(0, state.agent_pos, state.agent_vel, state.landmark_pos, 0)
+        step_j = jax.jit(jenv.step_stacked)
+        for t in range(15):
+            acts = rng.integers(0, 5, size=(3,))
+            jobs, state, jrew, jdone, _ = step_j(
+                jax.random.PRNGKey(0), state, jnp.asarray(acts)
+            )
+            nobs, nrew, ndone = nenv.step(np.asarray([acts], np.int32))
+            np.testing.assert_allclose(
+                nenv.split_obs(nobs)[0], np.asarray(jobs.agent),
+                rtol=2e-4, atol=2e-5, err_msg=f"obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                nrew[0], np.asarray(jrew), rtol=1e-4, atol=1e-5,
+                err_msg=f"rewards diverged at step {t}",
+            )
+            assert bool(ndone[0]) == bool(np.asarray(jdone)[0])
+
+    def test_shared_coverage_reward_closed_form(self):
+        """With well-separated agents (no contact, no collisions) every
+        agent receives exactly -sum_l min_a dist(l, a) from the post-step
+        state."""
+        from mfvae_tpu.envs.native_engine import NativeSimpleSpreadEnv
+
+        nenv = NativeSimpleSpreadEnv(
+            n_envs=1, num_agents=3, max_steps=25, n_threads=1, auto_reset=False
+        )
+        pos = np.array([[-0.8, -0.8], [0.0, 0.0], [0.8, 0.8]], np.float32)
+        vel = np.zeros((3, 2), np.float32)
+        lmk = np.array([[0.0, 0.1], [0.5, 0.5], [-0.5, -0.5]], np.float32)
+        nenv.set_state(0, pos, vel, lmk, 0)
+        _, rew, _ = nenv.step(np.zeros((1, 3), np.int32))
+        npos = nenv.get_state(0)[0]
+        d = np.linalg.norm(lmk[:, None, :] - npos[None, :, :], axis=-1)
+        expected = -d.min(axis=1).sum()
+        np.testing.assert_allclose(rew[0], np.full(3, expected), rtol=1e-5)
+
+
 class TestGuards:
     def test_out_of_range_actions_rejected(self):
         _, nenv = make_pair()
