@@ -43,13 +43,9 @@ from mfvae_tpu.models.qlearning import eps_greedy, epsilon_by_step
 
 @dataclass
 class QmixConfig(VdnConfig):
+    # from_yaml is inherited: VdnConfig.from_yaml builds cls(**data)
     mixing_dim: int = 32
     hypernet_dim: int = 64
-
-    @classmethod
-    def from_yaml(cls, path: str) -> "QmixConfig":
-        with open(path) as f:
-            return cls(**(yaml.safe_load(f) or {}))
 
 
 class MixingNetwork(nn.Module):

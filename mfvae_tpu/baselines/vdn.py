@@ -201,7 +201,15 @@ def td_lambda_targets(
     return targets
 
 
-def make_train(config: VdnConfig, env=None, metrics_callback=None):
+def make_train(
+    config: VdnConfig,
+    env=None,
+    metrics_callback=None,
+    *,
+    reward_fn=None,
+    example_reward=None,
+    loss_fn_builder=None,
+):
     """Build the compiled training function (reference surface:
     make_train(config, env) -> train(rng), vdn.py:133-139).
 
@@ -211,7 +219,17 @@ def make_train(config: VdnConfig, env=None, metrics_callback=None):
     arrive as numpy scalars; keep the callback cheap (it rides the async
     dispatch stream).  Some PJRT backends (the axon TPU tunnel) don't
     support host callbacks; there the driver streams via the chunked API
-    instead (train.init_runner / train.update_chunk — see main())."""
+    instead (train.init_runner / train.update_chunk — see main()).
+
+    Variant hooks (how baselines.iql reuses this machinery with a different
+    value decomposition):
+    - reward_fn(rew_dict, agents) -> stored reward array [B, ...]
+      (default: reward_scale * team sum, the VDN objective);
+    - example_reward(n_agents) -> zero reward example for the buffer schema
+      (default: scalar);
+    - loss_fn_builder(network, init_hidden, q_of_actions, config, n_agents)
+      -> loss_fn(params, target_params, seq) (default: double-DQN / TD(λ)
+      over the summed VDN joint Q)."""
     base_env = env or make_env(
         config.env_name,
         num_good_agents=config.num_good_agents,
@@ -274,7 +292,11 @@ def make_train(config: VdnConfig, env=None, metrics_callback=None):
         example_step = Timestep(
             obs=obs[0],
             actions=jnp.zeros((n_agents,), jnp.int32),
-            rewards=jnp.float32(0.0),
+            rewards=(
+                example_reward(n_agents)
+                if example_reward is not None
+                else jnp.float32(0.0)
+            ),
             done=jnp.bool_(False),
         )
         buffer_state = buffer.init(example_step)
@@ -304,13 +326,18 @@ def make_train(config: VdnConfig, env=None, metrics_callback=None):
             k_step, env_states, act_dict
         )
         next_obs = _pack_obs(base_env, next_obs_d, n_agents)
-        team_rew = config.reward_scale * sum(rew[a] for a in base_env.agents)
+        if reward_fn is not None:
+            stored_rew = reward_fn(rew, base_env.agents)
+        else:
+            stored_rew = config.reward_scale * sum(
+                rew[a] for a in base_env.agents
+            )
         done_all = done["__all__"]
         hidden = jnp.where(done_all[:, None, None], 0.0, hidden)
-        ts = Timestep(obs=obs, actions=actions, rewards=team_rew, done=done_all)
+        ts = Timestep(obs=obs, actions=actions, rewards=stored_rew, done=done_all)
         return (params, env_states, next_obs, hidden, eps), (ts, info)
 
-    def loss_fn(params, target_params, seq: Timestep):
+    def vdn_loss_fn(params, target_params, seq: Timestep):
         """seq leaves: [S, L, ...] sampled windows (batch-major)."""
         obs_t = jnp.swapaxes(seq.obs, 0, 1)  # [L, S, N, D]
         act_t = jnp.swapaxes(seq.actions, 0, 1)  # [L, S, N]
@@ -347,6 +374,12 @@ def make_train(config: VdnConfig, env=None, metrics_callback=None):
             targets = rew_t[:-1] + config.gamma * not_done * vdn_target_next[1:]
         td = vdn_q[:-1] - jax.lax.stop_gradient(targets)
         return jnp.mean(td * td)
+
+    loss_fn = (
+        loss_fn_builder(network, init_hidden, q_of_actions, config, n_agents)
+        if loss_fn_builder is not None
+        else vdn_loss_fn
+    )
 
     def update_step(runner: Runner, _):
         rng, k_roll, k_sample = jax.random.split(runner.rng, 3)
@@ -486,27 +519,41 @@ def _host_callbacks_supported() -> bool:
     return len(seen) > 0
 
 
-def main(config_path: Optional[str] = None, **overrides):
+def main(
+    config_path: Optional[str] = None,
+    _config_cls=VdnConfig,
+    _make_train=None,
+    _tag: str = "vdn",
+    **overrides,
+):
     """CLI driver (reference surface: hydra main, vdn.py:529-573; here a
     plain YAML + kwargs config).  Saves final params with safetensors like
-    the reference (vdn.py:576-587) when available."""
-    cfg = VdnConfig.from_yaml(config_path) if config_path else VdnConfig()
+    the reference (vdn.py:576-587) when available.
+
+    The underscore-prefixed parameters let variant baselines (IQL) reuse
+    this driver — logging sinks, host-callback probing, chunked streaming,
+    multi-seed vmap, param save — with their own config class and
+    make_train."""
+    cfg = _config_cls.from_yaml(config_path) if config_path else _config_cls()
     for k, v in overrides.items():
         setattr(cfg, k, v)
+    make_train_fn = _make_train or make_train
 
     callback = None
     logger = wb = None
     if cfg.log_during_training:
         from mfvae_tpu.training.metrics import MetricsLogger, WandbLogger
 
-        logger = MetricsLogger(cfg.log_dir, cfg.run_name or "vdn")
+        logger = MetricsLogger(cfg.log_dir, cfg.run_name or _tag)
         wb = WandbLogger(project=cfg.wandb_project, mode=cfg.wandb_mode)
 
         def callback(metrics, update_i):
             step = int(update_i)
             for k, v in metrics.items():
-                logger.scalar(f"vdn/{k}", float(v), step)
-            wb.log({f"vdn/{k}": float(v) for k, v in metrics.items()}, step=step)
+                logger.scalar(f"{_tag}/{k}", float(v), step)
+            wb.log(
+                {f"{_tag}/{k}": float(v) for k, v in metrics.items()}, step=step
+            )
 
     rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.num_seeds)
     # Host callbacks are unsupported on some PJRT backends (the axon TPU
@@ -514,7 +561,7 @@ def main(config_path: Optional[str] = None, **overrides):
     # platform 'tpu'); feature-probe and stream chunk-wise there instead.
     supports_callback = callback is None or _host_callbacks_supported()
     if callback is not None and not supports_callback:
-        train = make_train(cfg)
+        train = make_train_fn(cfg)
         init_v = jax.jit(jax.vmap(train.init_runner))
         chunk_jits = {}
 
@@ -549,7 +596,7 @@ def main(config_path: Optional[str] = None, **overrides):
         # vdn.py:570-573: jax.jit(jax.vmap(train))); with num_seeds > 1 the
         # per-update callback fires once per seed at each step, like the
         # reference's wandb callback under its seed vmap
-        train = make_train(cfg, metrics_callback=callback)
+        train = make_train_fn(cfg, metrics_callback=callback)
         out = jax.jit(jax.vmap(train))(rngs)
         metrics = jax.tree.map(np.asarray, out["metrics"])
     if logger is not None:
@@ -574,7 +621,7 @@ def main(config_path: Optional[str] = None, **overrides):
 
         params = jax.tree.map(np.asarray, out["runner"].train_state.params)
         flat = {"/".join(k): v for k, v in flatten_dict(params).items()}
-        save_file(flat, "vdn_params.safetensors")
+        save_file(flat, f"{_tag}_params.safetensors")
     except ImportError:
         pass
     return out

@@ -107,21 +107,21 @@ def create_env(
     jitted-JAX LocalHostEnv (pays device dispatch per host step).
 
     Supports simple_tag_v3 (the reference's scenario) and simple_spread_v3
-    (num_good becomes the agent count)."""
+    (num_good becomes the agent count).  Spread always uses the in-repo
+    engines, NOT PettingZoo: PettingZoo's simple_spread defaults to
+    local_ratio=0.5 (reward = half global + half local) where the in-repo
+    envs use the full coverage-minus-collisions sum — mixing backends would
+    silently train on 2x-different reward targets."""
     if env_name not in ("simple_tag_v3", "simple_spread_v3"):
         raise NotImplementedError(env_name)
     spread = env_name == "simple_spread_v3"
     env = None
-    for modname in ("pettingzoo.mpe", "mpe2"):
-        try:
-            import importlib
+    if not spread:
+        for modname in ("pettingzoo.mpe", "mpe2"):
+            try:
+                import importlib
 
-            mod = importlib.import_module(f"{modname}.{env_name}")
-            if spread:
-                env = mod.parallel_env(
-                    N=num_good, max_cycles=max_cycles, continuous_actions=False
-                )
-            else:
+                mod = importlib.import_module(f"{modname}.{env_name}")
                 env = mod.parallel_env(
                     num_good=num_good,
                     num_adversaries=num_adversaries,
@@ -129,9 +129,9 @@ def create_env(
                     max_cycles=max_cycles,
                     continuous_actions=False,
                 )
-            break
-        except ImportError:
-            continue
+                break
+            except ImportError:
+                continue
     if env is None:
         from mfvae_tpu.envs.native_engine import (
             NativeHostEnv,
@@ -149,8 +149,8 @@ def create_env(
             )
         elif spread:
             raise NotImplementedError(
-                "simple_spread_v3 host path requires PettingZoo or the "
-                "native engine (no jitted-JAX fallback wrapper)"
+                "simple_spread_v3 host path requires the native engine "
+                "(no jitted-JAX fallback wrapper)"
             )
         else:
             env = LocalHostEnv(num_good, num_adversaries, num_obstacles, max_cycles)

@@ -56,17 +56,27 @@ class TestIqlTrain:
         """When adversaries collide with prey, stored adversary rewards are
         positive while the touched good agent's is negative — the signal
         VDN's team sum destroys."""
-        cfg = tiny_config(num_updates=8, num_steps=16, reward_scale=1.0)
+        # dense population so tagging events are certain within the rollout
+        cfg = tiny_config(
+            num_updates=8,
+            num_steps=25,
+            num_adversaries=8,
+            num_good_agents=4,
+            num_envs=4,
+            reward_scale=1.0,
+        )
         train = make_train(cfg)
         runner = jax.jit(train.init_runner)(jax.random.PRNGKey(2))
         runner, _ = jax.jit(lambda r: train.update_chunk(r, 8))(runner)
         rew = np.asarray(runner.buffer_state.data.rewards)  # [B, T, N]
-        adv = rew[..., :2]
-        good = rew[..., 2:]
-        if (adv > 0).any():  # collisions occurred in the rollout
-            # wherever adversaries scored, prey lost
-            mask = adv[..., 0] > 0
-            assert (good[mask] < 0).any()
+        adv = rew[..., :8]
+        good = rew[..., 8:]
+        # fail LOUDLY if no collision happened — a silent guard here once
+        # let the property pass unverified
+        assert (adv > 0).any(), "no adversary collision reward in rollout"
+        # wherever the adversary team scored, at least one prey lost
+        mask = adv[..., 0] > 0
+        assert (good[mask] < 0).any(axis=-1).all()
 
     def test_td_lambda_variant_runs(self):
         cfg = tiny_config(td_lambda_loss=True, td_lambda=0.6)
