@@ -106,17 +106,21 @@ def create_env(
     steps, fidelity-tested against the JAX env); last resort is the
     jitted-JAX LocalHostEnv (pays device dispatch per host step).
 
-    Supports simple_tag_v3 (the reference's scenario) and simple_spread_v3
-    (num_good becomes the agent count).  Spread always uses the in-repo
-    engines, NOT PettingZoo: PettingZoo's simple_spread defaults to
-    local_ratio=0.5 (reward = half global + half local) where the in-repo
-    envs use the full coverage-minus-collisions sum — mixing backends would
-    silently train on 2x-different reward targets."""
-    if env_name not in ("simple_tag_v3", "simple_spread_v3"):
+    Supports simple_tag_v3 (the reference's scenario), simple_spread_v3
+    (num_good becomes the agent count), and simple_world_comm_v3.  The
+    non-tag scenarios always use the in-repo engines, NOT PettingZoo:
+    PettingZoo's simple_spread defaults to local_ratio=0.5 (reward = half
+    global + half local) where the in-repo envs use the full
+    coverage-minus-collisions sum — mixing backends would silently train
+    on differently-scaled reward targets."""
+    if env_name not in (
+        "simple_tag_v3", "simple_spread_v3", "simple_world_comm_v3"
+    ):
         raise NotImplementedError(env_name)
     spread = env_name == "simple_spread_v3"
+    world_comm = env_name == "simple_world_comm_v3"
     env = None
-    if not spread:
+    if not spread and not world_comm:
         for modname in ("pettingzoo.mpe", "mpe2"):
             try:
                 import importlib
@@ -136,20 +140,26 @@ def create_env(
         from mfvae_tpu.envs.native_engine import (
             NativeHostEnv,
             NativeSpreadHostEnv,
+            NativeWorldCommHostEnv,
             native_engine_available,
         )
 
         if native_engine_available():
-            env = (
-                NativeSpreadHostEnv(num_good, max_cycles, seed=seed)
-                if spread
-                else NativeHostEnv(
-                    num_good, num_adversaries, num_obstacles, max_cycles, seed=seed
+            if spread:
+                env = NativeSpreadHostEnv(num_good, max_cycles, seed=seed)
+            elif world_comm:
+                env = NativeWorldCommHostEnv(
+                    num_good, num_adversaries, num_obstacles, max_cycles,
+                    seed=seed,
                 )
-            )
-        elif spread:
+            else:
+                env = NativeHostEnv(
+                    num_good, num_adversaries, num_obstacles, max_cycles,
+                    seed=seed,
+                )
+        elif spread or world_comm:
             raise NotImplementedError(
-                "simple_spread_v3 host path requires the native engine "
+                f"{env_name} host path requires the native engine "
                 "(no jitted-JAX fallback wrapper)"
             )
         else:

@@ -45,6 +45,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     lib.mpe_create.argtypes = [c.c_int32] * 5 + [c.c_uint64, c.c_int32]
     lib.mpe_create_spread.restype = c.c_void_p
     lib.mpe_create_spread.argtypes = [c.c_int32] * 3 + [c.c_uint64, c.c_int32]
+    lib.mpe_create_worldcomm.restype = c.c_void_p
+    lib.mpe_create_worldcomm.argtypes = [c.c_int32] * 8 + [c.c_uint64, c.c_int32]
+    lib.mpe_obs_dim_lead.restype = c.c_int32
+    lib.mpe_obs_dim_lead.argtypes = [c.c_void_p]
+    lib.mpe_get_comm.argtypes = [c.c_void_p, c.c_int32, _F32]
+    lib.mpe_set_comm.argtypes = [c.c_void_p, c.c_int32, _F32]
     lib.mpe_destroy.argtypes = [c.c_void_p]
     for fn in (lib.mpe_obs_dim_adv, lib.mpe_obs_dim_good, lib.mpe_obs_stride):
         fn.restype = c.c_int32
@@ -244,6 +250,123 @@ class NativeSimpleSpreadEnv:
     set_state = NativeSimpleTagEnv.set_state
 
 
+class NativeSimpleWorldCommEnv:
+    """Batched simple_world_comm on the native engine (leader comm channel,
+    food, forest-visibility masking).  Agent order: leadadversary_0,
+    adversary_0..n-2, agent_0..G-1.  The leader's action is in
+    [0, 5*dim_c) = movement (a % 5) x comm (a // 5); everyone else [0, 5).
+    Same zero-copy contract as NativeSimpleTagEnv."""
+
+    def __init__(
+        self,
+        n_envs: int = 1,
+        num_good_agents: int = 2,
+        num_adversaries: int = 4,  # includes the leader
+        num_obs: int = 1,
+        num_food: int = 2,
+        num_forests: int = 2,
+        dim_c: int = 4,
+        max_steps: int = 25,
+        seed: int = 0,
+        n_threads: int = 0,
+        auto_reset: bool = True,
+    ):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError(
+                "native MPE engine unavailable (no g++ toolchain or build "
+                "failed); use envs.mpe.SimpleWorldCommEnv instead"
+            )
+        self._lib = lib
+        self.n_envs = int(n_envs)
+        self.num_good_agents = int(num_good_agents)
+        self.num_adversaries = int(num_adversaries)
+        self.num_obs = int(num_obs)
+        self.num_food = int(num_food)
+        self.num_forests = int(num_forests)
+        self.dim_c = int(dim_c)
+        self.max_steps = int(max_steps)
+        self.num_agents = self.num_adversaries + self.num_good_agents
+        self.num_landmarks = self.num_obs + self.num_food + self.num_forests
+        self.auto_reset = bool(auto_reset)
+        self._h = lib.mpe_create_worldcomm(
+            self.n_envs, self.num_good_agents, self.num_adversaries,
+            self.num_obs, self.num_food, self.num_forests, self.dim_c,
+            self.max_steps, seed, n_threads,
+        )
+        self.obs_dim_lead = int(lib.mpe_obs_dim_lead(self._h))
+        self.obs_dim_adv = int(lib.mpe_obs_dim_adv(self._h))
+        self.obs_dim_good = int(lib.mpe_obs_dim_good(self._h))
+        self.obs_stride = int(lib.mpe_obs_stride(self._h))
+        self._obs = np.empty((self.n_envs, self.obs_stride), np.float32)
+        self._rew = np.empty((self.n_envs, self.num_agents), np.float32)
+        self._done = np.empty((self.n_envs,), np.uint8)
+
+    __del__ = NativeSimpleTagEnv.__del__
+    reset = NativeSimpleTagEnv.reset
+    reset_where = NativeSimpleTagEnv.reset_where
+    observe = NativeSimpleTagEnv.observe
+
+    @property
+    def agents(self) -> Tuple[str, ...]:
+        return (
+            ("leadadversary_0",)
+            + tuple(f"adversary_{i}" for i in range(self.num_adversaries - 1))
+            + tuple(f"agent_{i}" for i in range(self.num_good_agents))
+        )
+
+    def step(self, actions: np.ndarray):
+        """actions: [n_envs, A]; column 0 (leader) in [0, 5*dim_c), rest
+        in [0, 5)."""
+        acts = np.ascontiguousarray(actions, np.int32)
+        if acts.shape != (self.n_envs, self.num_agents):
+            raise ValueError(
+                f"actions shape {acts.shape} != {(self.n_envs, self.num_agents)}"
+            )
+        lead, rest = acts[:, 0], acts[:, 1:]
+        if acts.size and (
+            lead.min() < 0
+            or lead.max() >= 5 * self.dim_c
+            or (rest.size and (rest.min() < 0 or rest.max() >= 5))
+        ):
+            raise ValueError(
+                f"leader action must be in [0, {5 * self.dim_c}), others in "
+                f"[0, 5)"
+            )
+        self._lib.mpe_step(
+            self._h, acts, self._obs, self._rew, self._done,
+            1 if self.auto_reset else 0,
+        )
+        return self._obs, self._rew, self._done.astype(bool)
+
+    def split_obs(self, obs: np.ndarray):
+        """[n_envs, stride] -> (lead [n_envs, 1, d_lead],
+        adversary [n_envs, n_adv-1, d_adv], good [n_envs, G, d_good])."""
+        c1 = self.obs_dim_lead
+        c2 = c1 + (self.num_adversaries - 1) * self.obs_dim_adv
+        lead = obs[:, :c1].reshape(-1, 1, self.obs_dim_lead)
+        adv = obs[:, c1:c2].reshape(-1, self.num_adversaries - 1, self.obs_dim_adv)
+        good = obs[:, c2:].reshape(-1, self.num_good_agents, self.obs_dim_good)
+        return lead, adv, good
+
+    def get_state(self, env: int = 0):
+        pos = np.empty((self.num_agents, 2), np.float32)
+        vel = np.empty((self.num_agents, 2), np.float32)
+        lmk = np.empty((self.num_landmarks, 2), np.float32)
+        comm = np.empty((self.dim_c,), np.float32)
+        step = ctypes.c_int32(0)
+        self._lib.mpe_get_state(self._h, env, pos, vel, lmk, ctypes.byref(step))
+        self._lib.mpe_get_comm(self._h, env, comm)
+        return pos, vel, lmk, comm, int(step.value)
+
+    def set_state(self, env: int, pos, vel, lmk, comm=None, step: int = 0) -> None:
+        NativeSimpleTagEnv.set_state(self, env, pos, vel, lmk, step)
+        if comm is not None:
+            self._lib.mpe_set_comm(
+                self._h, env, np.ascontiguousarray(comm, np.float32)
+            )
+
+
 class NativeHostEnv:
     """PettingZoo parallel-API adapter over one native env — the same
     surface the reference's host path consumes (torch_ver/src/env.py:24-39:
@@ -309,6 +432,54 @@ class NativeHostEnv:
         # no internal auto-reset: the PettingZoo contract has the caller
         # reset after truncation (AsyncCollector._one_step does)
         return obs_d, rewards, terms, truncs, {a: {} for a in self.agents}
+
+
+class NativeWorldCommHostEnv(NativeHostEnv):
+    """PettingZoo parallel-API adapter over one native simple_world_comm
+    env (leader action space Discrete(5*dim_c), others Discrete(5))."""
+
+    def __init__(self, num_good=2, num_adversaries=4, num_obstacles=1,
+                 max_cycles=25, seed=0):
+        self._cls = NativeSimpleWorldCommEnv
+        self._ctor = dict(
+            n_envs=1,
+            num_good_agents=num_good,
+            num_adversaries=num_adversaries,
+            num_obs=num_obstacles,
+            max_steps=max_cycles,
+            n_threads=1,
+            auto_reset=False,
+        )
+        self._env = self._cls(seed=seed, **self._ctor)
+        self.agents = list(self._env.agents)
+
+    def observation_space(self, agent):
+        import gymnasium
+
+        env = self._env
+        d = (
+            env.obs_dim_lead
+            if agent.startswith("leadadversary")
+            else env.obs_dim_adv
+            if agent.startswith("adversary")
+            else env.obs_dim_good
+        )
+        return gymnasium.spaces.Box(-np.inf, np.inf, (d,), np.float32)
+
+    def action_space(self, agent):
+        import gymnasium
+
+        n = 5 * self._env.dim_c if agent.startswith("leadadversary") else 5
+        return gymnasium.spaces.Discrete(n)
+
+    def _obs_dict(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        lead, adv, good = self._env.split_obs(flat)
+        out = {"leadadversary_0": lead[0, 0].copy()}
+        for i in range(self._env.num_adversaries - 1):
+            out[f"adversary_{i}"] = adv[0, i].copy()
+        for i in range(self._env.num_good_agents):
+            out[f"agent_{i}"] = good[0, i].copy()
+        return out
 
 
 class NativeSpreadHostEnv(NativeHostEnv):

@@ -47,13 +47,22 @@ constexpr float kCollisionReward = 10.0f;
 // non-collidable target landmarks (.05)
 constexpr float kSpreadAgentSize = 0.15f;
 constexpr float kSpreadAccel = 5.0f;
+// simple_world_comm: good agents are smaller (.045); food/forests are
+// non-collidable; leader broadcasts a dim_c one-hot channel
+constexpr float kGoodSizeWc = 0.045f;
+constexpr float kFoodSize = 0.03f;
+constexpr float kForestSize = 0.3f;
+constexpr float kWcCollisionReward = 5.0f;
+constexpr float kFoodReward = 2.0f;
+constexpr float kBoundaryExitPenalty = 10.0f;
 
-enum Scenario { kTag = 0, kSpread = 1 };
+enum Scenario { kTag = 0, kSpread = 1, kWorldComm = 2 };
 
 struct EnvState {
   std::vector<float> pos;   // [A][2]
   std::vector<float> vel;   // [A][2]
   std::vector<float> lmk;   // [L][2]
+  std::vector<float> comm;  // [dim_c] leader channel (world_comm only)
   int32_t step = 0;
   std::mt19937_64 rng;
 };
@@ -63,6 +72,8 @@ struct Engine {
   int n_envs, n_good, n_adv, n_lmk, max_steps;
   int n_agents;        // n_adv + n_good (adversaries first, like mpe.py)
   int d_adv, d_good;   // per-class obs widths (spread: d_adv unused)
+  int d_lead = 0;      // world_comm: leader obs width (leader = agent 0)
+  int n_obs_lmk = 0, n_food = 0, n_forests = 0, dim_c = 0;  // world_comm
   int obs_stride;      // floats per env in obs output
   std::vector<EnvState> envs;
   // scratch per env is tiny; workers keep their own
@@ -96,6 +107,7 @@ void reset_env(const Engine& e, EnvState& s) {
   for (int i = 0; i < e.n_agents * 2; ++i) s.pos[i] = u_agent(s.rng);
   std::fill(s.vel.begin(), s.vel.end(), 0.0f);
   for (int i = 0; i < e.n_lmk * 2; ++i) s.lmk[i] = u_lmk(s.rng);
+  std::fill(s.comm.begin(), s.comm.end(), 0.0f);
   s.step = 0;
 }
 
@@ -158,9 +170,99 @@ void observe_spread(const Engine& e, const EnvState& s, float* out) {
   }
 }
 
+// simple_world_comm observation (mpe.py SimpleWorldCommEnv._observe).
+// Landmark layout: [obstacles | food | forests].  Visibility: same forest,
+// both outside all forests, or observer is the leader (agent 0).
+void observe_wc(const Engine& e, const EnvState& s, float* out) {
+  const int A = e.n_agents, E = e.n_lmk, ADV = e.n_adv, G = e.n_good;
+  const int F = e.n_forests, C = e.dim_c;
+  const int forest0 = e.n_obs_lmk + e.n_food;
+
+  static thread_local std::vector<uint8_t> in_f, vis;
+  static thread_local std::vector<uint8_t> in_any;
+  in_f.assign(A * F, 0);
+  in_any.assign(A, 0);
+  for (int i = 0; i < A; ++i) {
+    const float size_i = i < ADV ? kAdvSize : kGoodSizeWc;
+    for (int f = 0; f < F; ++f) {
+      const float dx = s.pos[2 * i] - s.lmk[2 * (forest0 + f)];
+      const float dy = s.pos[2 * i + 1] - s.lmk[2 * (forest0 + f) + 1];
+      if (std::sqrt(dx * dx + dy * dy) < size_i + kForestSize) {
+        in_f[i * F + f] = 1;
+        in_any[i] = 1;
+      }
+    }
+  }
+  vis.assign(A * A, 0);
+  for (int i = 0; i < A; ++i) {
+    for (int j = 0; j < A; ++j) {
+      bool same = false;
+      for (int f = 0; f < F; ++f)
+        if (in_f[i * F + f] && in_f[j * F + f]) same = true;
+      vis[i * A + j] = same || (!in_any[i] && !in_any[j]);
+    }
+  }
+  for (int j = 0; j < A; ++j) vis[0 * A + j] = 1;  // leader sees everyone
+
+  const auto pm = [](bool b) { return b ? 1.0f : -1.0f; };
+  float* o = out;
+  for (int i = 0; i < A; ++i) {
+    *o++ = s.vel[2 * i];
+    *o++ = s.vel[2 * i + 1];
+    *o++ = s.pos[2 * i];
+    *o++ = s.pos[2 * i + 1];
+    for (int l = 0; l < E; ++l) {
+      *o++ = s.lmk[2 * l] - s.pos[2 * i];
+      *o++ = s.lmk[2 * l + 1] - s.pos[2 * i + 1];
+    }
+    if (i >= ADV) {
+      // good agents: own in-forest flags come BEFORE other_rel (mpe.py
+      // good-row concat order)
+      for (int f = 0; f < F; ++f) *o++ = pm(in_f[i * F + f]);
+    }
+    for (int j = 0; j < A; ++j) {
+      if (j == i) continue;
+      const float v = vis[i * A + j] ? 1.0f : 0.0f;
+      *o++ = (s.pos[2 * j] - s.pos[2 * i]) * v;
+      *o++ = (s.pos[2 * j + 1] - s.pos[2 * i + 1]) * v;
+    }
+    if (i < ADV) {
+      // adversaries (incl leader): visibility-masked good velocities
+      for (int g = 0; g < G; ++g) {
+        const int j = ADV + g;
+        const float v = vis[i * A + j] ? 1.0f : 0.0f;
+        *o++ = s.vel[2 * j] * v;
+        *o++ = s.vel[2 * j + 1] * v;
+      }
+      if (i == 0) {
+        for (int f = 0; f < F; ++f) {  // per-forest any-prey flag
+          bool any_prey = false;
+          for (int g = 0; g < G; ++g)
+            if (in_f[(ADV + g) * F + f]) any_prey = true;
+          *o++ = pm(any_prey);
+        }
+      } else {
+        for (int g = 0; g < G; ++g) *o++ = pm(in_any[ADV + g]);
+      }
+      for (int c = 0; c < C; ++c) *o++ = s.comm[c];
+    } else {
+      // good agents: other good agents' visibility-masked velocities
+      for (int g = 0; g < G; ++g) {
+        const int j = ADV + g;
+        if (j == i) continue;
+        const float v = vis[i * A + j] ? 1.0f : 0.0f;
+        *o++ = s.vel[2 * j] * v;
+        *o++ = s.vel[2 * j + 1] * v;
+      }
+    }
+  }
+}
+
 void observe_env(const Engine& e, const EnvState& s, float* out) {
   if (e.scenario == kSpread)
     observe_spread(e, s, out);
+  else if (e.scenario == kWorldComm)
+    observe_wc(e, s, out);
   else
     observe_tag(e, s, out);
 }
@@ -334,10 +436,128 @@ void step_tag(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
   if (obs_out != nullptr) observe_env(e, s, obs_out);
 }
 
+// simple_world_comm step (mpe.py SimpleWorldCommEnv.step_stacked): same
+// integrator as tag with good size .045; collidable entities = agents +
+// obstacles; leader comm = one_hot(action0 // 5); published reward
+// structure incl. the +0.05*min-food-dist sign quirk.
+void step_wc(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
+             uint8_t* done, bool auto_reset, float* obs_out) {
+  const int A = e.n_agents, ADV = e.n_adv, G = e.n_good;
+  const int N = A + e.n_obs_lmk;  // collidable: agents + obstacles
+  static const float dirs[5][2] = {
+      {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
+  static thread_local std::vector<float> force;
+  force.assign(A * 2, 0.0f);
+  for (int i = 0; i < A; ++i) {
+    const float accel = i < ADV ? kAdvAccel : kGoodAccel;
+    const int32_t m = actions[i] % 5;  // published splitter: move = a % 5
+    force[2 * i] = dirs[m][0] * accel;
+    force[2 * i + 1] = dirs[m][1] * accel;
+  }
+  auto ent_pos = [&](int k, int c) -> float {
+    return k < A ? s.pos[2 * k + c] : s.lmk[2 * (k - A) + c];
+  };
+  auto ent_size = [&](int k) -> float {
+    if (k < ADV) return kAdvSize;
+    if (k < A) return kGoodSizeWc;
+    return kLandmarkSize;
+  };
+  for (int i = 0; i < A; ++i) {
+    float fx = 0.0f, fy = 0.0f;
+    for (int j = 0; j < N; ++j) {
+      if (j == i) continue;
+      const float dx = ent_pos(i, 0) - ent_pos(j, 0);
+      const float dy = ent_pos(i, 1) - ent_pos(j, 1);
+      const float dist = std::sqrt(dx * dx + dy * dy + 1e-12f);
+      const float mag =
+          kContactForce * softplus_pen(dist, ent_size(i) + ent_size(j)) / dist;
+      fx += dx * mag;
+      fy += dy * mag;
+    }
+    force[2 * i] += fx;
+    force[2 * i + 1] += fy;
+  }
+  for (int i = 0; i < A; ++i) {
+    float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
+    float vy = s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
+    const float max_speed = i < ADV ? kAdvMaxSpeed : kGoodMaxSpeed;
+    const float speed = std::sqrt(vx * vx + vy * vy);
+    const float scale =
+        speed > 1e-8f ? std::min(1.0f, max_speed / speed)
+                      : std::min(1.0f, max_speed / 1e-8f);
+    vx *= scale;
+    vy *= scale;
+    s.vel[2 * i] = vx;
+    s.vel[2 * i + 1] = vy;
+    s.pos[2 * i] += vx * kDt;
+    s.pos[2 * i + 1] += vy * kDt;
+  }
+  const int comm_idx =
+      std::min(std::max(actions[0] / 5, 0), e.dim_c - 1);
+  std::fill(s.comm.begin(), s.comm.end(), 0.0f);
+  s.comm[comm_idx] = 1.0f;
+  s.step += 1;
+
+  // rewards from the NEW state
+  const float coll_dist = kAdvSize + kGoodSizeWc;
+  float total_coll = 0.0f;
+  static thread_local std::vector<float> touch;
+  touch.assign(G, 0.0f);
+  for (int i = 0; i < ADV; ++i) {
+    float min_d = std::numeric_limits<float>::infinity();
+    for (int g = 0; g < G; ++g) {
+      const float dx = s.pos[2 * i] - s.pos[2 * (ADV + g)];
+      const float dy = s.pos[2 * i + 1] - s.pos[2 * (ADV + g) + 1];
+      const float d = std::sqrt(dx * dx + dy * dy);
+      min_d = std::min(min_d, d);
+      if (d < coll_dist) {
+        total_coll += 1.0f;
+        touch[g] += 1.0f;
+      }
+    }
+    rew[i] = -0.1f * min_d;  // shaping; team term added below
+  }
+  for (int i = 0; i < ADV; ++i) rew[i] += kWcCollisionReward * total_coll;
+  const int food0 = e.n_obs_lmk;
+  for (int g = 0; g < G; ++g) {
+    float r = -kWcCollisionReward * touch[g];
+    for (int c = 0; c < 2; ++c) {
+      const float x = std::fabs(s.pos[2 * (ADV + g) + c]);
+      float bound = 0.0f;
+      if (x >= 1.0f)
+        bound = std::min(std::exp(2.0f * x - 2.0f), 10.0f);
+      else if (x >= 0.9f)
+        bound = (x - 0.9f) * 10.0f;
+      r -= 2.0f * bound;
+    }
+    float min_food = std::numeric_limits<float>::infinity();
+    for (int f = 0; f < e.n_food; ++f) {
+      const float dx = s.pos[2 * (ADV + g)] - s.lmk[2 * (food0 + f)];
+      const float dy = s.pos[2 * (ADV + g) + 1] - s.lmk[2 * (food0 + f) + 1];
+      const float d = std::sqrt(dx * dx + dy * dy);
+      min_food = std::min(min_food, d);
+      if (d < kGoodSizeWc + kFoodSize) r += kFoodReward;
+    }
+    r += 0.05f * min_food;  // published positive-shaping quirk
+    rew[ADV + g] = r;
+  }
+  for (int i = 0; i < A; ++i) {
+    if (std::fabs(s.pos[2 * i]) > 1.0f || std::fabs(s.pos[2 * i + 1]) > 1.0f)
+      rew[i] -= kBoundaryExitPenalty;
+  }
+
+  const bool episode_done = s.step >= e.max_steps;
+  *done = episode_done ? 1 : 0;
+  if (episode_done && auto_reset) reset_env(e, s);
+  if (obs_out != nullptr) observe_env(e, s, obs_out);
+}
+
 void step_env(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
               uint8_t* done, bool auto_reset, float* obs_out) {
   if (e.scenario == kSpread)
     step_spread(e, s, actions, rew, done, auto_reset, obs_out);
+  else if (e.scenario == kWorldComm)
+    step_wc(e, s, actions, rew, done, auto_reset, obs_out);
   else
     step_tag(e, s, actions, rew, done, auto_reset, obs_out);
 }
@@ -402,6 +622,7 @@ void finish_create(Engine* e, uint64_t seed, int n_threads) {
     s.pos.assign(A * 2, 0.0f);
     s.vel.assign(A * 2, 0.0f);
     s.lmk.assign(e->n_lmk * 2, 0.0f);
+    s.comm.assign(e->dim_c, 0.0f);
     s.rng.seed(seed + (uint64_t)k * 0x9E3779B97F4A7C15ull);
     reset_env(*e, s);
   }
@@ -433,6 +654,35 @@ void* mpe_create(int32_t n_envs, int32_t n_good, int32_t n_adv, int32_t n_lmk,
   e->d_adv = 4 + 2 * n_lmk + 2 * (A - 1) + 2 * n_good;
   e->d_good = 4 + 2 * n_lmk + 2 * (A - 1) + 2 * (n_good - 1);
   e->obs_stride = n_adv * e->d_adv + n_good * e->d_good;
+  finish_create(e, seed, n_threads);
+  return e;
+}
+
+// simple_world_comm: n_adv adversaries (index 0 = the leader with a dim_c
+// comm channel), n_good prey; landmarks = [n_obs obstacles | n_food food |
+// n_forests forests].
+void* mpe_create_worldcomm(int32_t n_envs, int32_t n_good, int32_t n_adv,
+                           int32_t n_obs, int32_t n_food, int32_t n_forests,
+                           int32_t dim_c, int32_t max_steps, uint64_t seed,
+                           int32_t n_threads) {
+  auto* e = new Engine();
+  e->scenario = kWorldComm;
+  e->n_envs = n_envs;
+  e->n_good = n_good;
+  e->n_adv = n_adv;
+  e->n_obs_lmk = n_obs;
+  e->n_food = n_food;
+  e->n_forests = n_forests;
+  e->dim_c = dim_c;
+  e->n_lmk = n_obs + n_food + n_forests;
+  e->max_steps = max_steps;
+  e->n_agents = n_adv + n_good;
+  const int A = e->n_agents, E = e->n_lmk, G = n_good;
+  const int base = 4 + 2 * E + 2 * (A - 1);
+  e->d_lead = base + 2 * G + n_forests + dim_c;
+  e->d_adv = base + 2 * G + G + dim_c;
+  e->d_good = base + 2 * (G - 1) + n_forests;
+  e->obs_stride = e->d_lead + (n_adv - 1) * e->d_adv + n_good * e->d_good;
   finish_create(e, seed, n_threads);
   return e;
 }
@@ -470,7 +720,21 @@ void mpe_destroy(void* handle) {
 
 int32_t mpe_obs_dim_adv(void* h) { return static_cast<Engine*>(h)->d_adv; }
 int32_t mpe_obs_dim_good(void* h) { return static_cast<Engine*>(h)->d_good; }
+int32_t mpe_obs_dim_lead(void* h) { return static_cast<Engine*>(h)->d_lead; }
 int32_t mpe_obs_stride(void* h) { return static_cast<Engine*>(h)->obs_stride; }
+
+// Leader channel accessors (world_comm; comm: [dim_c]).
+void mpe_get_comm(void* handle, int32_t env, float* comm) {
+  auto* e = static_cast<Engine*>(handle);
+  const EnvState& s = e->envs[env];
+  std::memcpy(comm, s.comm.data(), s.comm.size() * sizeof(float));
+}
+
+void mpe_set_comm(void* handle, int32_t env, const float* comm) {
+  auto* e = static_cast<Engine*>(handle);
+  EnvState& s = e->envs[env];
+  std::memcpy(s.comm.data(), comm, s.comm.size() * sizeof(float));
+}
 
 // Fresh random episode in every env; obs_out: [n_envs * obs_stride].
 void mpe_reset(void* handle, float* obs_out) {

@@ -38,3 +38,27 @@ class TestHostExperiment:
         assert len(exp.agents) == 3
         result = exp.run()
         assert np.isfinite(result["loss_train"])
+
+    def test_simple_world_comm_host_backend(self, tmp_path):
+        """Host pipeline on the third scenario family, exercising
+        HETEROGENEOUS action spaces (leader Discrete(20)) through the
+        collector and the MAVAE act-dim groups."""
+        import pytest
+
+        from mfvae_tpu.envs.native_engine import native_engine_available
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        if not native_engine_available():
+            pytest.skip("no native toolchain")
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=6, train_num=2)
+        cfg.env.name = "MPE_simple_world_comm_v3"
+        cfg.env.num_good_agents = 2
+        cfg.env.num_adversaries = 4
+        cfg.env.num_obs = 1
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        exp = HostExperiment(cfg).setup()
+        assert len(exp.agents) == 6
+        assert exp.spec.act_dims[0] == 20  # the leader's composite space
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])

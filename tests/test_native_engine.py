@@ -251,6 +251,106 @@ class TestSpreadEquivalence:
         np.testing.assert_allclose(rew[0], np.full(3, expected), rtol=1e-5)
 
 
+class TestWorldCommEquivalence:
+    def test_trajectory_matches_jax_env(self):
+        """Default published population (4 adversaries incl. leader, 2 good,
+        1 obstacle + 2 food + 2 forests): 15 steps from an injected state
+        must match the JAX env — including forest-visibility masking and
+        the leader channel."""
+        from mfvae_tpu.envs.mpe import SimpleWorldCommEnv, WorldCommState
+        from mfvae_tpu.envs.native_engine import NativeSimpleWorldCommEnv
+
+        jenv = SimpleWorldCommEnv()
+        nenv = NativeSimpleWorldCommEnv(
+            n_envs=1, max_steps=25, n_threads=1, auto_reset=False
+        )
+        assert nenv.obs_dim_lead == jenv.obs_dim("leadadversary_0") == 34
+        assert nenv.obs_dim_adv == jenv.obs_dim("adversary_0") == 34
+        assert nenv.obs_dim_good == jenv.obs_dim("agent_0") == 28
+
+        rng = np.random.default_rng(0)
+        state = WorldCommState(
+            agent_pos=jnp.asarray(rng.uniform(-1, 1, (6, 2)), jnp.float32),
+            agent_vel=jnp.asarray(rng.uniform(-0.5, 0.5, (6, 2)), jnp.float32),
+            landmark_pos=jnp.asarray(rng.uniform(-0.9, 0.9, (5, 2)), jnp.float32),
+            leader_comm=jnp.zeros((4,), jnp.float32),
+            step=jnp.int32(0),
+        )
+        nenv.set_state(
+            0, state.agent_pos, state.agent_vel, state.landmark_pos,
+            comm=state.leader_comm, step=0,
+        )
+        step_j = jax.jit(jenv.step_stacked)
+        for t in range(15):
+            acts = np.concatenate(
+                [rng.integers(0, 20, size=(1,)), rng.integers(0, 5, size=(5,))]
+            )
+            jobs, state, jrew, jdone, _ = step_j(
+                jax.random.PRNGKey(0), state, jnp.asarray(acts)
+            )
+            nobs, nrew, ndone = nenv.step(np.asarray([acts], np.int32))
+            lead, adv, good = nenv.split_obs(nobs)
+            np.testing.assert_allclose(
+                lead[0], np.asarray(jobs.lead), rtol=2e-4, atol=2e-5,
+                err_msg=f"leader obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                adv[0], np.asarray(jobs.adversary), rtol=2e-4, atol=2e-5,
+                err_msg=f"adversary obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                good[0], np.asarray(jobs.good), rtol=2e-4, atol=2e-5,
+                err_msg=f"good obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                nrew[0], np.asarray(jrew), rtol=1e-4, atol=1e-5,
+                err_msg=f"rewards diverged at step {t}",
+            )
+            assert bool(ndone[0]) == bool(np.asarray(jdone)[0])
+            # the leader channel follows action0 // 5 in both
+            comm = nenv.get_state(0)[3]
+            np.testing.assert_array_equal(comm, np.asarray(state.leader_comm))
+
+    def test_forest_hides_prey(self):
+        """A prey inside a forest is invisible to a non-leader adversary
+        outside it (masked zeros in other_rel), but the leader still sees
+        it — the scenario's defining mechanic."""
+        from mfvae_tpu.envs.native_engine import NativeSimpleWorldCommEnv
+
+        nenv = NativeSimpleWorldCommEnv(
+            n_envs=1, max_steps=50, n_threads=1, auto_reset=False
+        )
+        # landmarks: [obstacle, food, food, forest, forest]
+        lmk = np.array(
+            [[0.9, 0.9], [-0.9, 0.9], [0.9, -0.9], [0.0, 0.0], [-0.9, -0.9]],
+            np.float32,
+        )
+        # prey agent_0 (index 4) sits in forest 0 at origin; all others
+        # far outside any forest
+        pos = np.array(
+            [[0.8, 0.8], [0.7, -0.7], [-0.7, 0.7], [0.8, -0.8],
+             [0.0, 0.0], [-0.6, 0.6]],
+            np.float32,
+        )
+        vel = np.zeros((6, 2), np.float32)
+        nenv.set_state(0, pos, vel, lmk, comm=np.zeros(4, np.float32), step=0)
+        obs = nenv.observe()
+        lead, adv, good = nenv.split_obs(obs)
+        # other_rel block starts after [vel(2), pos(2), entity_rel(10)]
+        # and runs over the 5 other agents in order; prey agent_0 is the
+        # 5th agent overall -> for observers with smaller index its slot
+        # is index 3 of the "others" (skip self among 0..3? adversary_0 is
+        # agent 1: others = [0,2,3,4,5] -> prey at slot 3)
+        o_adv0 = adv[0, 0]
+        prey_slot = 14 + 2 * 3
+        assert np.allclose(o_adv0[prey_slot:prey_slot + 2], 0.0)  # hidden
+        o_lead = lead[0, 0]
+        lead_prey = o_lead[14 + 2 * 3:14 + 2 * 3 + 2]
+        np.testing.assert_allclose(
+            lead_prey, pos[4] - pos[0], rtol=1e-5
+        )  # leader sees through
+
+
 class TestGuards:
     def test_out_of_range_actions_rejected(self):
         _, nenv = make_pair()
