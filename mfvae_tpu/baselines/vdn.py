@@ -108,7 +108,9 @@ class Timestep(NamedTuple):
 
 
 def _pad_width(env) -> int:
-    return max(env.obs_dim(a.startswith("adversary")) for a in env.agents)
+    # every in-repo env's obs_dim accepts the agent name (world_comm is
+    # name-keyed; tag/spread accept either form)
+    return max(env.obs_dim(a) for a in env.agents)
 
 
 def _pack_obs(env, obs_dict: Dict[str, jnp.ndarray], n_agents: int) -> jnp.ndarray:

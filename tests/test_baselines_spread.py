@@ -41,3 +41,30 @@ def test_compiled_training_on_spread(algo):
     # spread rewards are shared negative coverage; stored rewards must be
     # strictly negative (tag would have zeros/positives)
     assert float(m["mean_reward"][-1]) < 0.0
+
+
+def test_vdn_on_world_comm():
+    """The leader's composite Discrete(20) space flows through the shared
+    Q-head (movement = a % 5 for every agent, per the published splitter)."""
+    from mfvae_tpu.baselines.vdn import VdnConfig, make_train
+
+    cfg = VdnConfig(
+        env_name="MPE_simple_world_comm_v3",
+        num_good_agents=2,
+        num_adversaries=4,
+        num_obs=1,
+        max_env_steps=8,
+        num_envs=2,
+        num_steps=8,
+        num_updates=3,
+        buffer_size_time=64,
+        min_buffer_time=8,
+        batch_size=4,
+        sample_sequence_length=4,
+        hidden_dim=16,
+        test_during_training=False,
+        reward_scale=0.05,
+    )
+    out = jax.jit(make_train(cfg))(jax.random.PRNGKey(0))
+    m = jax.tree.map(np.asarray, out["metrics"])
+    assert np.isfinite(m["loss"]).all()
