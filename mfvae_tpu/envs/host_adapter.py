@@ -316,6 +316,10 @@ class NativeBatchedCollector(_CollectorLoop):
     call per iteration, K transitions landing in the ring with one batched
     add — the host-side analog of the device path's vmapped env batch.
 
+    Works with any batched native env (tag/spread/world_comm) through the
+    shared ``named_obs`` / ``action_highs`` surface; pass ``env=`` to use a
+    pre-built one, or the tag population kwargs to build simple_tag.
+
     Exposes the AsyncCollector surface (collect/start/stop/steps, with
     ``steps`` counting env-transitions so HostExperiment's per-epoch
     sample targets mean the same thing at any K)."""
@@ -330,49 +334,47 @@ class NativeBatchedCollector(_CollectorLoop):
         max_cycles: int = 1000,
         seed: int = 0,
         n_threads: int = 0,
+        env=None,
     ):
-        from mfvae_tpu.envs.native_engine import NativeSimpleTagEnv
-
         super().__init__()
-        # auto_reset=False: a finished env's terminal obs must be recorded
-        # as next_obs BEFORE the reset (auto-reset would hand us the new
-        # episode's first obs instead)
-        self.env = NativeSimpleTagEnv(
-            n_envs=n_envs,
-            num_good_agents=num_good,
-            num_adversaries=num_adversaries,
-            num_obs=num_obstacles,
-            max_steps=max_cycles,
-            seed=seed,
-            n_threads=n_threads,
-            auto_reset=False,
+        if env is None:
+            from mfvae_tpu.envs.native_engine import NativeSimpleTagEnv
+
+            # auto_reset=False: a finished env's terminal obs must be
+            # recorded as next_obs BEFORE the reset (auto-reset would hand
+            # us the new episode's first obs instead)
+            env = NativeSimpleTagEnv(
+                n_envs=n_envs,
+                num_good_agents=num_good,
+                num_adversaries=num_adversaries,
+                num_obs=num_obstacles,
+                max_steps=max_cycles,
+                seed=seed,
+                n_threads=n_threads,
+                auto_reset=False,
+            )
+        assert not env.auto_reset, (
+            "NativeBatchedCollector requires auto_reset=False (terminal obs "
+            "must be recorded before the reset)"
         )
+        self.env = env
         self.buffer = buffer
-        self.n_envs = n_envs
+        self.n_envs = env.n_envs
         self.rng = np.random.default_rng(seed)
         self._obs = self.env.reset().copy()
-
-    def _split_named(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
-        adv, good = self.env.split_obs(flat)
-        out = {}
-        for i in range(self.env.num_adversaries):
-            out[f"adversary_{i}"] = adv[:, i]
-        for i in range(self.env.num_good_agents):
-            out[f"agent_{i}"] = good[:, i]
-        return out
 
     def _one_step(self):
         env = self.env
         acts = self.rng.integers(
-            0, 5, size=(self.n_envs, env.num_agents)
+            0, env.action_highs[None, :], size=(self.n_envs, env.num_agents)
         ).astype(np.int32)
         next_obs, rew, done = env.step(acts)
         agents = env.agents
         self.buffer.add_batch(
-            obs=self._split_named(self._obs),
+            obs=env.named_obs(self._obs),
             actions={a: acts[:, i] for i, a in enumerate(agents)},
             rewards={a: rew[:, i] for i, a in enumerate(agents)},
-            next_obs=self._split_named(next_obs),
+            next_obs=env.named_obs(next_obs),
             truncations={a: done.astype(np.float32) for a in agents},
         )
         if done.any():

@@ -172,6 +172,21 @@ class NativeSimpleTagEnv:
         good = obs[:, cut:].reshape(-1, self.num_good_agents, self.obs_dim_good)
         return adv, good
 
+    def named_obs(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        """[n_envs, obs_stride] -> {agent: [n_envs, D_a]} views."""
+        adv, good = self.split_obs(flat)
+        out = {}
+        for i in range(self.num_adversaries):
+            out[f"adversary_{i}"] = adv[:, i]
+        for i in range(self.num_good_agents):
+            out[f"agent_{i}"] = good[:, i]
+        return out
+
+    @property
+    def action_highs(self) -> np.ndarray:
+        """Exclusive upper action bound per agent (for random collection)."""
+        return np.full((self.num_agents,), 5, np.int64)
+
     # ------------------------------------------------- state injection (tests)
     def get_state(self, env: int = 0):
         pos = np.empty((self.num_agents, 2), np.float32)
@@ -238,6 +253,14 @@ class NativeSimpleSpreadEnv:
     def split_obs(self, obs: np.ndarray) -> np.ndarray:
         """[n_envs, obs_stride] -> [n_envs, A, obs_dim] view."""
         return obs.reshape(-1, self.num_agents, self.obs_dim)
+
+    def named_obs(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        rows = self.split_obs(flat)
+        return {a: rows[:, i] for i, a in enumerate(self.agents)}
+
+    @property
+    def action_highs(self) -> np.ndarray:
+        return np.full((self.num_agents,), 5, np.int64)
 
     def get_state(self, env: int = 0):
         pos = np.empty((self.num_agents, 2), np.float32)
@@ -348,6 +371,21 @@ class NativeSimpleWorldCommEnv:
         adv = obs[:, c1:c2].reshape(-1, self.num_adversaries - 1, self.obs_dim_adv)
         good = obs[:, c2:].reshape(-1, self.num_good_agents, self.obs_dim_good)
         return lead, adv, good
+
+    def named_obs(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        lead, adv, good = self.split_obs(flat)
+        out = {"leadadversary_0": lead[:, 0]}
+        for i in range(self.num_adversaries - 1):
+            out[f"adversary_{i}"] = adv[:, i]
+        for i in range(self.num_good_agents):
+            out[f"agent_{i}"] = good[:, i]
+        return out
+
+    @property
+    def action_highs(self) -> np.ndarray:
+        highs = np.full((self.num_agents,), 5, np.int64)
+        highs[0] = 5 * self.dim_c  # leader: movement x comm
+        return highs
 
     def get_state(self, env: int = 0):
         pos = np.empty((self.num_agents, 2), np.float32)

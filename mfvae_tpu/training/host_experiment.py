@@ -61,26 +61,17 @@ class HostExperiment:
             seed=cfg.train.seed,
         )
         self.collector = None
-        if cfg.env.n_host_envs > 1 and env_name != "simple_tag_v3":
-            print(
-                f"n_host_envs>1 batched collection supports simple_tag only; "
-                f"using single-env AsyncCollector for {env_name}"
-            )
-        elif cfg.env.n_host_envs > 1:
+        if cfg.env.n_host_envs > 1:
             # NOTE: the batched collector always steps the native engine —
             # even when create_env picked PettingZoo above — the two are
-            # fidelity-equivalent for simple_tag (tests/test_native_engine.py)
-            # and only the native engine steps in batch.
+            # fidelity-equivalent (tests/test_native_engine.py) and only
+            # the native engine steps in batch.
             from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
 
             try:
                 self.collector = NativeBatchedCollector(
                     self.buffer,
-                    n_envs=cfg.env.n_host_envs,
-                    num_good=cfg.env.num_good_agents,
-                    num_adversaries=cfg.env.num_adversaries,
-                    num_obstacles=cfg.env.num_obs,
-                    max_cycles=cfg.env.max_steps,
+                    env=self._make_batched_native_env(env_name),
                     seed=cfg.train.seed,
                 )
             except RuntimeError as e:  # no toolchain: degrade, keep running
@@ -93,6 +84,36 @@ class HostExperiment:
         self.train_state = None
         self._train_jit = None
         self._test_jit = None
+
+    def _make_batched_native_env(self, env_name: str):
+        """Batched native engine instance for n_host_envs collection,
+        matching the scenario create_env resolved."""
+        from mfvae_tpu.envs import native_engine as ne
+
+        cfg = self.cfg
+        common = dict(
+            n_envs=cfg.env.n_host_envs,
+            max_steps=cfg.env.max_steps,
+            seed=cfg.train.seed,
+            auto_reset=False,
+        )
+        if env_name == "simple_spread_v3":
+            return ne.NativeSimpleSpreadEnv(
+                num_agents=cfg.env.num_good_agents, **common
+            )
+        if env_name == "simple_world_comm_v3":
+            return ne.NativeSimpleWorldCommEnv(
+                num_good_agents=cfg.env.num_good_agents,
+                num_adversaries=cfg.env.num_adversaries,
+                num_obs=cfg.env.num_obs,
+                **common,
+            )
+        return ne.NativeSimpleTagEnv(
+            num_good_agents=cfg.env.num_good_agents,
+            num_adversaries=cfg.env.num_adversaries,
+            num_obs=cfg.env.num_obs,
+            **common,
+        )
 
     def setup(self):
         cfg = self.cfg

@@ -64,7 +64,7 @@ class TestNativeBatchedCollector:
         # redrawn), so the stored terminal row must differ from it
         term = np.where(truncs > 0)[0][0]
         terminal_next = rows["adversary_0_next_observations"][term]
-        post_reset = col._split_named(col._obs)["adversary_0"][term % 2]
+        post_reset = col.env.named_obs(col._obs)["adversary_0"][term % 2]
         assert not np.allclose(terminal_next, post_reset)
         # and after two moves the terminal velocity is non-zero, while a
         # reset obs would carry exactly-zero self velocity
@@ -72,6 +72,36 @@ class TestNativeBatchedCollector:
         assert np.abs(post_reset[:2]).max() == 0
         # after the reset the engine's state step counter restarted
         assert col.env.get_state(0)[3] < 3
+
+    def test_batched_collection_on_spread_and_world_comm(self, tmp_path):
+        """n_host_envs > 1 now batches every scenario family; world_comm's
+        leader samples its composite Discrete(20) space."""
+        from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        for name, n_agents in (
+            ("MPE_simple_spread_v3", 3),
+            ("MPE_simple_world_comm_v3", 6),
+        ):
+            cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=8, train_num=1)
+            cfg.env.name = name
+            cfg.env.num_good_agents = 3 if "spread" in name else 2
+            cfg.env.num_adversaries = 4
+            cfg.env.num_obs = 1
+            cfg.env.n_host_envs = 4
+            cfg.buffer.min_size = 4
+            cfg.buffer.batch_size = 4
+            exp = HostExperiment(cfg).setup()
+            assert isinstance(exp.collector, NativeBatchedCollector)
+            assert len(exp.agents) == n_agents
+            result = exp.run()
+            assert np.isfinite(result["loss_train"])
+            if "world_comm" in name:
+                # the leader actually explored its composite space
+                acts = exp.buffer.buffer.gather(
+                    np.arange(len(exp.buffer))
+                )["leadadversary_0_actions"]
+                assert acts.max() >= 5
 
     def test_host_experiment_with_batched_collector(self, tmp_path):
         from mfvae_tpu.training.host_experiment import HostExperiment
