@@ -327,49 +327,65 @@ class NativeBatchedCollector(_CollectorLoop):
     def __init__(
         self,
         buffer: MultiAgentHostBuffer,
-        n_envs: int = 16,
-        num_good: int = 10,
-        num_adversaries: int = 30,
-        num_obstacles: int = 20,
-        max_cycles: int = 1000,
+        n_envs: Optional[int] = None,
+        num_good: Optional[int] = None,
+        num_adversaries: Optional[int] = None,
+        num_obstacles: Optional[int] = None,
+        max_cycles: Optional[int] = None,
         seed: int = 0,
-        n_threads: int = 0,
+        n_threads: Optional[int] = None,
         env=None,
     ):
         super().__init__()
-        if env is None:
+        pop_kwargs = dict(
+            n_envs=n_envs, num_good=num_good, num_adversaries=num_adversaries,
+            num_obstacles=num_obstacles, max_cycles=max_cycles,
+            n_threads=n_threads,
+        )
+        if env is not None:
+            given = [k for k, v in pop_kwargs.items() if v is not None]
+            if given:
+                raise ValueError(
+                    f"env= and population kwargs are mutually exclusive "
+                    f"(got env plus {given}); configure the env instance "
+                    "instead"
+                )
+            if env.auto_reset:
+                raise ValueError(
+                    "NativeBatchedCollector requires auto_reset=False "
+                    "(the terminal obs must be recorded as next_obs BEFORE "
+                    "the reset; auto-reset would substitute the new "
+                    "episode's first obs)"
+                )
+        else:
             from mfvae_tpu.envs.native_engine import NativeSimpleTagEnv
 
-            # auto_reset=False: a finished env's terminal obs must be
-            # recorded as next_obs BEFORE the reset (auto-reset would hand
-            # us the new episode's first obs instead)
             env = NativeSimpleTagEnv(
-                n_envs=n_envs,
-                num_good_agents=num_good,
-                num_adversaries=num_adversaries,
-                num_obs=num_obstacles,
-                max_steps=max_cycles,
+                n_envs=16 if n_envs is None else n_envs,
+                num_good_agents=10 if num_good is None else num_good,
+                num_adversaries=30 if num_adversaries is None else num_adversaries,
+                num_obs=20 if num_obstacles is None else num_obstacles,
+                max_steps=1000 if max_cycles is None else max_cycles,
                 seed=seed,
-                n_threads=n_threads,
+                n_threads=0 if n_threads is None else n_threads,
                 auto_reset=False,
             )
-        assert not env.auto_reset, (
-            "NativeBatchedCollector requires auto_reset=False (terminal obs "
-            "must be recorded before the reset)"
-        )
         self.env = env
         self.buffer = buffer
         self.n_envs = env.n_envs
         self.rng = np.random.default_rng(seed)
+        # immutable per-env-instance values, cached off the hot loop
+        self._agents = tuple(env.agents)
+        self._action_highs = np.array(env.action_highs)[None, :]
         self._obs = self.env.reset().copy()
 
     def _one_step(self):
         env = self.env
+        agents = self._agents
         acts = self.rng.integers(
-            0, env.action_highs[None, :], size=(self.n_envs, env.num_agents)
+            0, self._action_highs, size=(self.n_envs, env.num_agents)
         ).astype(np.int32)
         next_obs, rew, done = env.step(acts)
-        agents = env.agents
         self.buffer.add_batch(
             obs=env.named_obs(self._obs),
             actions={a: acts[:, i] for i, a in enumerate(agents)},

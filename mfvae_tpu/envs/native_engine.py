@@ -300,6 +300,15 @@ class NativeSimpleWorldCommEnv:
                 "native MPE engine unavailable (no g++ toolchain or build "
                 "failed); use envs.mpe.SimpleWorldCommEnv instead"
             )
+        # empty reduction sets in the C reward code would yield +/-inf
+        # shaping terms that silently poison training
+        if num_good_agents < 1 or num_adversaries < 1 or num_food < 1:
+            raise ValueError(
+                "simple_world_comm requires >= 1 good agent, adversary, and "
+                "food landmark (min-distance shaping reduces over them)"
+            )
+        if dim_c < 1:
+            raise ValueError("dim_c must be >= 1 (the leader channel)")
         self._lib = lib
         self.n_envs = int(n_envs)
         self.num_good_agents = int(num_good_agents)
@@ -388,6 +397,9 @@ class NativeSimpleWorldCommEnv:
         return highs
 
     def get_state(self, env: int = 0):
+        """(pos, vel, lmk, step, comm) — the shared (pos, vel, lmk, step)
+        prefix keeps index 3 = step across all scenario classes; the
+        leader channel is appended."""
         pos = np.empty((self.num_agents, 2), np.float32)
         vel = np.empty((self.num_agents, 2), np.float32)
         lmk = np.empty((self.num_landmarks, 2), np.float32)
@@ -395,7 +407,7 @@ class NativeSimpleWorldCommEnv:
         step = ctypes.c_int32(0)
         self._lib.mpe_get_state(self._h, env, pos, vel, lmk, ctypes.byref(step))
         self._lib.mpe_get_comm(self._h, env, comm)
-        return pos, vel, lmk, comm, int(step.value)
+        return pos, vel, lmk, int(step.value), comm
 
     def set_state(self, env: int, pos, vel, lmk, comm=None, step: int = 0) -> None:
         NativeSimpleTagEnv.set_state(self, env, pos, vel, lmk, step)

@@ -267,29 +267,44 @@ void observe_env(const Engine& e, const EnvState& s, float* out) {
     observe_tag(e, s, out);
 }
 
-// simple_spread step (mpe.py SimpleSpreadEnv.step_stacked): agent-agent
-// contact only, accel 5, NO speed clip; shared coverage reward minus
-// per-agent collision count.
-void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
-                 float* rew, uint8_t* done, bool auto_reset, float* obs_out) {
-  const int A = e.n_agents, L = e.n_lmk;
+// Shared MPE integrator (all scenarios): discrete direction force
+// (movement = a % 5, per the published splitter — identity for actions in
+// [0, 5)), soft-penetration contact among agents + the first
+// n_lmk_collidable landmarks, vel = vel*(1-damping) + F*dt, optional
+// per-class speed clip, pos += vel*dt.  Forces come from the OLD state
+// (mpe.py step_stacked); the step counter advances here.
+void apply_movement(const Engine& e, EnvState& s, const int32_t* actions,
+                    float size_adv, float size_good, float accel_adv,
+                    float accel_good, int n_lmk_collidable, bool clip_speed) {
+  const int A = e.n_agents, ADV = e.n_adv;
+  const int N = A + n_lmk_collidable;
   static const float dirs[5][2] = {
       {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
   static thread_local std::vector<float> force;
   force.assign(A * 2, 0.0f);
   for (int i = 0; i < A; ++i) {
-    force[2 * i] = dirs[actions[i]][0] * kSpreadAccel;
-    force[2 * i + 1] = dirs[actions[i]][1] * kSpreadAccel;
+    const float accel = i < ADV ? accel_adv : accel_good;
+    const int32_t m = actions[i] % 5;
+    force[2 * i] = dirs[m][0] * accel;
+    force[2 * i + 1] = dirs[m][1] * accel;
   }
-  const float dmin = 2.0f * kSpreadAgentSize;
+  auto ent_pos = [&](int k, int c) -> float {
+    return k < A ? s.pos[2 * k + c] : s.lmk[2 * (k - A) + c];
+  };
+  auto ent_size = [&](int k) -> float {
+    if (k < ADV) return size_adv;
+    if (k < A) return size_good;
+    return kLandmarkSize;
+  };
   for (int i = 0; i < A; ++i) {
     float fx = 0.0f, fy = 0.0f;
-    for (int j = 0; j < A; ++j) {
+    for (int j = 0; j < N; ++j) {
       if (j == i) continue;
-      const float dx = s.pos[2 * i] - s.pos[2 * j];
-      const float dy = s.pos[2 * i + 1] - s.pos[2 * j + 1];
+      const float dx = ent_pos(i, 0) - ent_pos(j, 0);
+      const float dy = ent_pos(i, 1) - ent_pos(j, 1);
       const float dist = std::sqrt(dx * dx + dy * dy + 1e-12f);
-      const float mag = kContactForce * softplus_pen(dist, dmin) / dist;
+      const float mag =
+          kContactForce * softplus_pen(dist, ent_size(i) + ent_size(j)) / dist;
       fx += dx * mag;
       fy += dy * mag;
     }
@@ -297,15 +312,35 @@ void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
     force[2 * i + 1] += fy;
   }
   for (int i = 0; i < A; ++i) {
-    const float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
-    const float vy =
-        s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
+    float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
+    float vy = s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
+    if (clip_speed) {
+      const float max_speed = i < ADV ? kAdvMaxSpeed : kGoodMaxSpeed;
+      const float speed = std::sqrt(vx * vx + vy * vy);
+      const float scale =
+          speed > 1e-8f ? std::min(1.0f, max_speed / speed)
+                        : std::min(1.0f, max_speed / 1e-8f);
+      vx *= scale;
+      vy *= scale;
+    }
     s.vel[2 * i] = vx;
     s.vel[2 * i + 1] = vy;
     s.pos[2 * i] += vx * kDt;
     s.pos[2 * i + 1] += vy * kDt;
   }
   s.step += 1;
+}
+
+// simple_spread step (mpe.py SimpleSpreadEnv.step_stacked): agent-agent
+// contact only, accel 5, NO speed clip; shared coverage reward minus
+// per-agent collision count.
+void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
+                 float* rew, uint8_t* done, bool auto_reset, float* obs_out) {
+  const int A = e.n_agents, L = e.n_lmk;
+  const float dmin = 2.0f * kSpreadAgentSize;
+  apply_movement(e, s, actions, kSpreadAgentSize, kSpreadAgentSize,
+                 kSpreadAccel, kSpreadAccel, /*n_lmk_collidable=*/0,
+                 /*clip_speed=*/false);
 
   // shared coverage reward from the NEW state
   float coverage = 0.0f;
@@ -337,67 +372,10 @@ void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
 
 void step_tag(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
               uint8_t* done, bool auto_reset, float* obs_out) {
-  const int A = e.n_agents, L = e.n_lmk, ADV = e.n_adv, G = e.n_good;
-  const int N = A + L;  // collidable entities: agents + landmarks
-
-  // p_force = action_force * accel + contact forces (from the OLD state,
-  // matching mpe.py step_stacked)
-  static thread_local std::vector<float> force;
-  force.assign(A * 2, 0.0f);
-
-  static const float dirs[5][2] = {
-      {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
-  for (int i = 0; i < A; ++i) {
-    const float accel = i < ADV ? kAdvAccel : kGoodAccel;
-    const int32_t a = actions[i];
-    force[2 * i] = dirs[a][0] * accel;
-    force[2 * i + 1] = dirs[a][1] * accel;
-  }
-
-  // pairwise soft-penetration contact among all entities; only agent rows
-  // (movable) receive force.  delta_ij = pos_i - pos_j, force_i += delta *
-  // contact_force * penetration / dist  (mpe.py _contact_forces)
-  auto ent_pos = [&](int k, int c) -> float {
-    return k < A ? s.pos[2 * k + c] : s.lmk[2 * (k - A) + c];
-  };
-  auto ent_size = [&](int k) -> float {
-    if (k < ADV) return kAdvSize;
-    if (k < A) return kGoodSize;
-    return kLandmarkSize;
-  };
-  for (int i = 0; i < A; ++i) {
-    float fx = 0.0f, fy = 0.0f;
-    for (int j = 0; j < N; ++j) {
-      if (j == i) continue;
-      const float dx = ent_pos(i, 0) - ent_pos(j, 0);
-      const float dy = ent_pos(i, 1) - ent_pos(j, 1);
-      const float dist = std::sqrt(dx * dx + dy * dy + 1e-12f);
-      const float dmin = ent_size(i) + ent_size(j);
-      const float mag = kContactForce * softplus_pen(dist, dmin) / dist;
-      fx += dx * mag;
-      fy += dy * mag;
-    }
-    force[2 * i] += fx;
-    force[2 * i + 1] += fy;
-  }
-
-  // integrate: vel = vel*(1-damping) + F*dt (unit mass); clip speed; move
-  for (int i = 0; i < A; ++i) {
-    float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
-    float vy = s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
-    const float max_speed = i < ADV ? kAdvMaxSpeed : kGoodMaxSpeed;
-    const float speed = std::sqrt(vx * vx + vy * vy);
-    const float scale =
-        speed > 1e-8f ? std::min(1.0f, max_speed / speed)
-                      : std::min(1.0f, max_speed / 1e-8f);
-    vx *= scale;
-    vy *= scale;
-    s.vel[2 * i] = vx;
-    s.vel[2 * i + 1] = vy;
-    s.pos[2 * i] += vx * kDt;
-    s.pos[2 * i + 1] += vy * kDt;
-  }
-  s.step += 1;
+  const int ADV = e.n_adv, G = e.n_good;
+  // all landmarks collidable in simple_tag
+  apply_movement(e, s, actions, kAdvSize, kGoodSize, kAdvAccel, kGoodAccel,
+                 e.n_lmk, /*clip_speed=*/true);
 
   // rewards from the NEW state (mpe.py _rewards): team collision totals +
   // boundary penalty on good agents
@@ -443,60 +421,13 @@ void step_tag(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
 void step_wc(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
              uint8_t* done, bool auto_reset, float* obs_out) {
   const int A = e.n_agents, ADV = e.n_adv, G = e.n_good;
-  const int N = A + e.n_obs_lmk;  // collidable: agents + obstacles
-  static const float dirs[5][2] = {
-      {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
-  static thread_local std::vector<float> force;
-  force.assign(A * 2, 0.0f);
-  for (int i = 0; i < A; ++i) {
-    const float accel = i < ADV ? kAdvAccel : kGoodAccel;
-    const int32_t m = actions[i] % 5;  // published splitter: move = a % 5
-    force[2 * i] = dirs[m][0] * accel;
-    force[2 * i + 1] = dirs[m][1] * accel;
-  }
-  auto ent_pos = [&](int k, int c) -> float {
-    return k < A ? s.pos[2 * k + c] : s.lmk[2 * (k - A) + c];
-  };
-  auto ent_size = [&](int k) -> float {
-    if (k < ADV) return kAdvSize;
-    if (k < A) return kGoodSizeWc;
-    return kLandmarkSize;
-  };
-  for (int i = 0; i < A; ++i) {
-    float fx = 0.0f, fy = 0.0f;
-    for (int j = 0; j < N; ++j) {
-      if (j == i) continue;
-      const float dx = ent_pos(i, 0) - ent_pos(j, 0);
-      const float dy = ent_pos(i, 1) - ent_pos(j, 1);
-      const float dist = std::sqrt(dx * dx + dy * dy + 1e-12f);
-      const float mag =
-          kContactForce * softplus_pen(dist, ent_size(i) + ent_size(j)) / dist;
-      fx += dx * mag;
-      fy += dy * mag;
-    }
-    force[2 * i] += fx;
-    force[2 * i + 1] += fy;
-  }
-  for (int i = 0; i < A; ++i) {
-    float vx = s.vel[2 * i] * (1.0f - kDamping) + force[2 * i] * kDt;
-    float vy = s.vel[2 * i + 1] * (1.0f - kDamping) + force[2 * i + 1] * kDt;
-    const float max_speed = i < ADV ? kAdvMaxSpeed : kGoodMaxSpeed;
-    const float speed = std::sqrt(vx * vx + vy * vy);
-    const float scale =
-        speed > 1e-8f ? std::min(1.0f, max_speed / speed)
-                      : std::min(1.0f, max_speed / 1e-8f);
-    vx *= scale;
-    vy *= scale;
-    s.vel[2 * i] = vx;
-    s.vel[2 * i + 1] = vy;
-    s.pos[2 * i] += vx * kDt;
-    s.pos[2 * i + 1] += vy * kDt;
-  }
+  // collidable: agents + obstacles only (food/forests pass through)
+  apply_movement(e, s, actions, kAdvSize, kGoodSizeWc, kAdvAccel, kGoodAccel,
+                 e.n_obs_lmk, /*clip_speed=*/true);
   const int comm_idx =
       std::min(std::max(actions[0] / 5, 0), e.dim_c - 1);
   std::fill(s.comm.begin(), s.comm.end(), 0.0f);
   s.comm[comm_idx] = 1.0f;
-  s.step += 1;
 
   // rewards from the NEW state
   const float coll_dist = kAdvSize + kGoodSizeWc;

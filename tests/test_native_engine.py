@@ -308,7 +308,7 @@ class TestWorldCommEquivalence:
             )
             assert bool(ndone[0]) == bool(np.asarray(jdone)[0])
             # the leader channel follows action0 // 5 in both
-            comm = nenv.get_state(0)[3]
+            comm = nenv.get_state(0)[4]
             np.testing.assert_array_equal(comm, np.asarray(state.leader_comm))
 
     def test_forest_hides_prey(self):
