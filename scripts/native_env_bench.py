@@ -70,12 +70,40 @@ def bench_local_jax(n_steps=100):
     return n_steps / dt
 
 
+def bench_scenario(make, n_envs=64, n_steps=200):
+    env = make(n_envs)
+    env.reset()
+    rng = np.random.default_rng(0)
+    acts = (
+        rng.integers(0, env.action_highs[None, :], size=(n_steps, n_envs, env.num_agents))
+        .astype(np.int32)
+    )
+    env.step(acts[0])  # warm
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        env.step(acts[i])
+    return n_envs * n_steps / (time.perf_counter() - t0)
+
+
 def main():
+    from mfvae_tpu.envs.native_engine import (
+        NativeSimpleSpreadEnv,
+        NativeSimpleWorldCommEnv,
+    )
+
     native_1 = bench_native_single()
     native_b = bench_native_batched()
+    spread_b = bench_scenario(
+        lambda n: NativeSimpleSpreadEnv(n_envs=n, num_agents=3, max_steps=10_000)
+    )
+    wc_b = bench_scenario(
+        lambda n: NativeSimpleWorldCommEnv(n_envs=n, max_steps=10_000)
+    )
     jax_1 = bench_local_jax()
-    print(f"native single-env:   {native_1:,.0f} steps/s")
-    print(f"native batched x64:  {native_b:,.0f} env-steps/s")
+    print(f"native single-env (tag 40 agents):  {native_1:,.0f} steps/s")
+    print(f"native batched x64 (tag):           {native_b:,.0f} env-steps/s")
+    print(f"native batched x64 (spread, 3 ag):  {spread_b:,.0f} env-steps/s")
+    print(f"native batched x64 (world_comm):    {wc_b:,.0f} env-steps/s")
     print(f"jax LocalHostEnv:    {jax_1:,.2f} steps/s")
     print(f"native/jax speedup:  {native_1 / jax_1:,.1f}x single, "
           f"{native_b / jax_1:,.1f}x batched")
