@@ -59,6 +59,8 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     lib.mpe_reset_masked.argtypes = [c.c_void_p, _U8]
     lib.mpe_observe.argtypes = [c.c_void_p, _F32]
     lib.mpe_step.argtypes = [c.c_void_p, _I32, _F32, _F32, _U8, c.c_int32]
+    lib.mpe_step_cont.restype = c.c_int32
+    lib.mpe_step_cont.argtypes = [c.c_void_p, _F32, _F32, _F32, _U8, c.c_int32]
     lib.mpe_get_state.argtypes = [
         c.c_void_p, c.c_int32, _F32, _F32, _F32, c.POINTER(c.c_int32)
     ]
@@ -164,6 +166,24 @@ class NativeSimpleTagEnv:
         )
         return self._obs, self._rew, self._done.astype(bool)
 
+    def step_continuous(self, actions: np.ndarray):
+        """Continuous actions [n_envs, A, 2] float (the 2-d force
+        direction, scaled by each agent's accel — the JAX envs'
+        discrete_actions=False semantics)."""
+        acts = np.ascontiguousarray(actions, np.float32)
+        if acts.shape != (self.n_envs, self.num_agents, 2):
+            raise ValueError(
+                f"continuous actions shape {acts.shape} != "
+                f"{(self.n_envs, self.num_agents, 2)}"
+            )
+        rc = self._lib.mpe_step_cont(
+            self._h, acts, self._obs, self._rew, self._done,
+            1 if self.auto_reset else 0,
+        )
+        if rc != 0:
+            raise ValueError("continuous actions unsupported for this scenario")
+        return self._obs, self._rew, self._done.astype(bool)
+
     def split_obs(self, obs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """[n_envs, obs_stride] -> (adversary [n_envs, n_adv, d_adv],
         good [n_envs, n_good, d_good]) views."""
@@ -245,6 +265,7 @@ class NativeSimpleSpreadEnv:
     reset_where = NativeSimpleTagEnv.reset_where
     observe = NativeSimpleTagEnv.observe
     step = NativeSimpleTagEnv.step
+    step_continuous = NativeSimpleTagEnv.step_continuous
 
     @property
     def agents(self) -> Tuple[str, ...]:

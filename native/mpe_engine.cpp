@@ -87,6 +87,7 @@ struct Engine {
   bool shutdown = false;
   // current job
   const int32_t* job_actions = nullptr;
+  const float* job_cactions = nullptr;  // continuous [n_envs*A*2], or null
   float* job_obs = nullptr;
   float* job_rew = nullptr;
   uint8_t* job_done = nullptr;
@@ -274,8 +275,9 @@ void observe_env(const Engine& e, const EnvState& s, float* out) {
 // per-class speed clip, pos += vel*dt.  Forces come from the OLD state
 // (mpe.py step_stacked); the step counter advances here.
 void apply_movement(const Engine& e, EnvState& s, const int32_t* actions,
-                    float size_adv, float size_good, float accel_adv,
-                    float accel_good, int n_lmk_collidable, bool clip_speed) {
+                    const float* cactions, float size_adv, float size_good,
+                    float accel_adv, float accel_good, int n_lmk_collidable,
+                    bool clip_speed) {
   const int A = e.n_agents, ADV = e.n_adv;
   const int N = A + n_lmk_collidable;
   static const float dirs[5][2] = {
@@ -284,9 +286,14 @@ void apply_movement(const Engine& e, EnvState& s, const int32_t* actions,
   force.assign(A * 2, 0.0f);
   for (int i = 0; i < A; ++i) {
     const float accel = i < ADV ? accel_adv : accel_good;
-    const int32_t m = actions[i] % 5;
-    force[2 * i] = dirs[m][0] * accel;
-    force[2 * i + 1] = dirs[m][1] * accel;
+    if (cactions != nullptr) {  // continuous: the action IS the force dir
+      force[2 * i] = cactions[2 * i] * accel;
+      force[2 * i + 1] = cactions[2 * i + 1] * accel;
+    } else {
+      const int32_t m = actions[i] % 5;
+      force[2 * i] = dirs[m][0] * accel;
+      force[2 * i + 1] = dirs[m][1] * accel;
+    }
   }
   auto ent_pos = [&](int k, int c) -> float {
     return k < A ? s.pos[2 * k + c] : s.lmk[2 * (k - A) + c];
@@ -335,10 +342,11 @@ void apply_movement(const Engine& e, EnvState& s, const int32_t* actions,
 // contact only, accel 5, NO speed clip; shared coverage reward minus
 // per-agent collision count.
 void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
-                 float* rew, uint8_t* done, bool auto_reset, float* obs_out) {
+                 const float* cactions, float* rew, uint8_t* done,
+                 bool auto_reset, float* obs_out) {
   const int A = e.n_agents, L = e.n_lmk;
   const float dmin = 2.0f * kSpreadAgentSize;
-  apply_movement(e, s, actions, kSpreadAgentSize, kSpreadAgentSize,
+  apply_movement(e, s, actions, cactions, kSpreadAgentSize, kSpreadAgentSize,
                  kSpreadAccel, kSpreadAccel, /*n_lmk_collidable=*/0,
                  /*clip_speed=*/false);
 
@@ -370,12 +378,13 @@ void step_spread(const Engine& e, EnvState& s, const int32_t* actions,
   if (obs_out != nullptr) observe_env(e, s, obs_out);
 }
 
-void step_tag(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
-              uint8_t* done, bool auto_reset, float* obs_out) {
+void step_tag(const Engine& e, EnvState& s, const int32_t* actions,
+              const float* cactions, float* rew, uint8_t* done,
+              bool auto_reset, float* obs_out) {
   const int ADV = e.n_adv, G = e.n_good;
   // all landmarks collidable in simple_tag
-  apply_movement(e, s, actions, kAdvSize, kGoodSize, kAdvAccel, kGoodAccel,
-                 e.n_lmk, /*clip_speed=*/true);
+  apply_movement(e, s, actions, cactions, kAdvSize, kGoodSize, kAdvAccel,
+                 kGoodAccel, e.n_lmk, /*clip_speed=*/true);
 
   // rewards from the NEW state (mpe.py _rewards): team collision totals +
   // boundary penalty on good agents
@@ -420,10 +429,11 @@ void step_tag(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
 // structure incl. the +0.05*min-food-dist sign quirk.
 void step_wc(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
              uint8_t* done, bool auto_reset, float* obs_out) {
+  // discrete only (the reference path; the leader action encodes comm)
   const int A = e.n_agents, ADV = e.n_adv, G = e.n_good;
   // collidable: agents + obstacles only (food/forests pass through)
-  apply_movement(e, s, actions, kAdvSize, kGoodSizeWc, kAdvAccel, kGoodAccel,
-                 e.n_obs_lmk, /*clip_speed=*/true);
+  apply_movement(e, s, actions, nullptr, kAdvSize, kGoodSizeWc, kAdvAccel,
+                 kGoodAccel, e.n_obs_lmk, /*clip_speed=*/true);
   const int comm_idx =
       std::min(std::max(actions[0] / 5, 0), e.dim_c - 1);
   std::fill(s.comm.begin(), s.comm.end(), 0.0f);
@@ -483,21 +493,27 @@ void step_wc(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
   if (obs_out != nullptr) observe_env(e, s, obs_out);
 }
 
-void step_env(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
-              uint8_t* done, bool auto_reset, float* obs_out) {
+void step_env(const Engine& e, EnvState& s, const int32_t* actions,
+              const float* cactions, float* rew, uint8_t* done,
+              bool auto_reset, float* obs_out) {
   if (e.scenario == kSpread)
-    step_spread(e, s, actions, rew, done, auto_reset, obs_out);
+    step_spread(e, s, actions, cactions, rew, done, auto_reset, obs_out);
   else if (e.scenario == kWorldComm)
     step_wc(e, s, actions, rew, done, auto_reset, obs_out);
   else
-    step_tag(e, s, actions, rew, done, auto_reset, obs_out);
+    step_tag(e, s, actions, cactions, rew, done, auto_reset, obs_out);
 }
 
 void run_range(Engine* e, int lo, int hi) {
   for (int k = lo; k < hi; ++k) {
     EnvState& s = e->envs[k];
     if (e->job_step) {
-      step_env(*e, s, e->job_actions + (size_t)k * e->n_agents,
+      step_env(*e, s,
+               e->job_actions ? e->job_actions + (size_t)k * e->n_agents
+                              : nullptr,
+               e->job_cactions
+                   ? e->job_cactions + (size_t)k * e->n_agents * 2
+                   : nullptr,
                e->job_rew + (size_t)k * e->n_agents, e->job_done + k,
                e->job_auto_reset,
                e->job_obs ? e->job_obs + (size_t)k * e->obs_stride : nullptr);
@@ -700,12 +716,34 @@ void mpe_step(void* handle, const int32_t* actions, float* obs_out,
   auto* e = static_cast<Engine*>(handle);
   e->job_step = true;
   e->job_actions = actions;
+  e->job_cactions = nullptr;
   e->job_obs = obs_out;
   e->job_rew = rew_out;
   e->job_done = done_out;
   e->job_auto_reset = auto_reset != 0;
   dispatch(e);
   e->job_step = false;
+}
+
+// Continuous-action step (tag/spread; the action IS the 2-d force
+// direction, scaled by the agent's accel — mpe.py _action_force's
+// non-discrete branch).  actions: [n_envs * A * 2] float32.  Returns -1
+// for world_comm (discrete only: the leader action encodes comm).
+int32_t mpe_step_cont(void* handle, const float* actions, float* obs_out,
+                      float* rew_out, uint8_t* done_out, int32_t auto_reset) {
+  auto* e = static_cast<Engine*>(handle);
+  if (e->scenario == kWorldComm) return -1;
+  e->job_step = true;
+  e->job_actions = nullptr;
+  e->job_cactions = actions;
+  e->job_obs = obs_out;
+  e->job_rew = rew_out;
+  e->job_done = done_out;
+  e->job_auto_reset = auto_reset != 0;
+  dispatch(e);
+  e->job_step = false;
+  e->job_cactions = nullptr;
+  return 0;
 }
 
 // State injection/extraction for fidelity tests and checkpointing.

@@ -197,6 +197,70 @@ class TestBatching:
         assert np.allclose(nenv.get_state(0)[1], 0.0)  # velocities zeroed
 
 
+class TestContinuousActions:
+    def test_tag_continuous_matches_jax(self):
+        """discrete_actions=False path: float [A, 2] forces, same
+        trajectory as the JAX env."""
+        jenv = SimpleTagEnv(max_steps=50, discrete_actions=False, **POP)
+        nenv = NativeSimpleTagEnv(
+            n_envs=1, max_steps=50, n_threads=1, auto_reset=False, **POP
+        )
+        state = random_state(jenv, seed=30)
+        nenv.set_state(0, state.agent_pos, state.agent_vel, state.landmark_pos, 0)
+        step_j = jax.jit(jenv.step_stacked)
+        rng = np.random.default_rng(31)
+        for t in range(10):
+            acts = rng.uniform(-1, 1, size=(jenv.num_agents, 2)).astype(np.float32)
+            jobs, state, jrew, _, _ = step_j(
+                jax.random.PRNGKey(0), state, jnp.asarray(acts)
+            )
+            nobs, nrew, _ = nenv.step_continuous(acts[None])
+            adv, good = nenv.split_obs(nobs)
+            np.testing.assert_allclose(
+                adv[0], np.asarray(jobs.adversary), rtol=2e-4, atol=2e-5,
+                err_msg=f"obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(nrew[0], np.asarray(jrew), rtol=1e-5, atol=1e-5)
+
+    def test_spread_continuous_matches_jax(self):
+        from mfvae_tpu.envs.mpe import SimpleSpreadEnv
+        from mfvae_tpu.envs.native_engine import NativeSimpleSpreadEnv
+
+        jenv = SimpleSpreadEnv(num_agents=3, max_steps=50, discrete_actions=False)
+        nenv = NativeSimpleSpreadEnv(
+            n_envs=1, num_agents=3, max_steps=50, n_threads=1, auto_reset=False
+        )
+        rng = np.random.default_rng(32)
+        state = MPEState(
+            agent_pos=jnp.asarray(rng.uniform(-1, 1, (3, 2)), jnp.float32),
+            agent_vel=jnp.zeros((3, 2), jnp.float32),
+            landmark_pos=jnp.asarray(rng.uniform(-0.9, 0.9, (3, 2)), jnp.float32),
+            step=jnp.int32(0),
+        )
+        nenv.set_state(0, state.agent_pos, state.agent_vel, state.landmark_pos, 0)
+        step_j = jax.jit(jenv.step_stacked)
+        for t in range(10):
+            acts = rng.uniform(-1, 1, size=(3, 2)).astype(np.float32)
+            jobs, state, jrew, _, _ = step_j(
+                jax.random.PRNGKey(0), state, jnp.asarray(acts)
+            )
+            nobs, nrew, _ = nenv.step_continuous(acts[None])
+            np.testing.assert_allclose(
+                nenv.split_obs(nobs)[0], np.asarray(jobs.agent),
+                rtol=2e-4, atol=2e-5,
+            )
+            np.testing.assert_allclose(nrew[0], np.asarray(jrew), rtol=1e-4, atol=1e-5)
+
+    def test_world_comm_rejects_continuous(self):
+        from mfvae_tpu.envs.native_engine import NativeSimpleWorldCommEnv
+
+        nenv = NativeSimpleWorldCommEnv(n_envs=1, n_threads=1)
+        with pytest.raises(ValueError, match="unsupported"):
+            NativeSimpleTagEnv.step_continuous(
+                nenv, np.zeros((1, nenv.num_agents, 2), np.float32)
+            )
+
+
 class TestSpreadEquivalence:
     def test_trajectory_matches_jax_env(self):
         from mfvae_tpu.envs.mpe import SimpleSpreadEnv
