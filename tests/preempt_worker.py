@@ -35,6 +35,8 @@ def main(workdir: str) -> None:
     cfg.train.train_num = 2
     cfg.train.test_num = 2
     cfg.train.epoch_num = 100_000  # never finishes without preemption
+    cfg.train.checkpoint_every = 5  # periodic saves double as the test's
+    # progress signal (metrics logging is deferred to end-of-run)
     cfg.train.resume = True
     cfg.train.log_dir = f"{workdir}/results"
     cfg.train.checkpoint_dir = f"{workdir}/ckpt"

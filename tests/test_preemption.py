@@ -23,25 +23,48 @@ def _spawn(workdir):
     )
 
 
+def _latest_ckpt_step(workdir) -> int:
+    steps = [
+        int(p.name)
+        for p in Path(workdir, "ckpt").glob("*")
+        if p.name.isdigit()
+    ]
+    return max(steps, default=-1)
+
+
+def _wait_for_ckpt_past(p, workdir, step, timeout=300) -> int:
+    """Block until a checkpoint with step > `step` exists.  Checkpoints are
+    written from inside the epoch loop (checkpoint_every=5 in the worker),
+    so their presence proves training is underway AND the SIGTERM handler
+    is installed — a fixed sleep raced both on a loaded machine (SIGTERM
+    during setup hits the default handler -> returncode -15), and metrics
+    files can't be polled instead because logging is deferred to
+    end-of-run."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        assert p.poll() is None, p.communicate()[0]
+        latest = _latest_ckpt_step(workdir)
+        if latest > step:
+            return latest
+        time.sleep(0.5)
+    raise AssertionError(f"no checkpoint past step {step} within {timeout}s")
+
+
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     p = _spawn(tmp_path)
-    # give it time to compile and enter the epoch loop, then preempt
-    deadline = time.time() + 240
-    while time.time() < deadline and p.poll() is None:
-        time.sleep(5)
-        if time.time() - deadline > -210:  # after ~30s, send the signal
-            break
-    assert p.poll() is None, p.communicate()[0]
+    # preempt only once periodic checkpoints prove the epoch loop is live
+    _wait_for_ckpt_past(p, tmp_path, -1)
     p.send_signal(signal.SIGTERM)
     out, _ = p.communicate(timeout=240)
     assert p.returncode == 0, out
     assert "preempted" in out, out
     assert "start_epoch=0" in out, out
-    assert (tmp_path / "ckpt").exists()
+    saved = _latest_ckpt_step(tmp_path)
+    assert saved >= 0
 
     # restart: must resume from a positive epoch and keep going cleanly
     p2 = _spawn(tmp_path)
-    time.sleep(20)
+    _wait_for_ckpt_past(p2, tmp_path, saved)
     p2.send_signal(signal.SIGTERM)
     out2, _ = p2.communicate(timeout=240)
     assert p2.returncode == 0, out2
