@@ -181,6 +181,10 @@ class EnvConfig:
     num_adversaries: int = 30
     num_obs: int = 20  # obstacles
     max_steps: int = 1000  # torch_ver/src/env.py:27 max_cycles
+    # False -> Box action spaces; pair with model.discrete_act=False
+    # (reference 'discrete' switch, torch_ver/src/env.py:27 + the
+    # continuous action-MLP branch, torch_ver/model.py:119-124)
+    discrete_actions: bool = True
     backend: str = "jax"  # 'jax' (on-device) | 'host' (PettingZoo adapter)
     # host backend only: >1 collects with the native C++ engine stepping
     # n_host_envs environments per batched call (NativeBatchedCollector);

@@ -35,24 +35,30 @@ def get_space_size(space) -> int:
 
 
 class LocalHostEnv:
-    """PettingZoo parallel-API wrapper over the in-repo pure-JAX simple_tag
-    (envs/mpe.py), for when neither `pettingzoo.mpe` nor `mpe2` ships the
-    MPE family (PettingZoo >=1.25 moved it out).  Same surface the
-    reference consumes: reset(seed)->(obs, infos), step(actions)->
-    (obs, rewards, terminations, truncations, infos), agents,
-    observation_space/action_space."""
+    """PettingZoo parallel-API wrapper over the in-repo pure-JAX MPE envs
+    (envs/mpe.py — all three scenario families), for when neither
+    `pettingzoo.mpe` nor `mpe2` ships the MPE family (PettingZoo >=1.25
+    moved it out) and the native C++ engine is unavailable (no g++).  Same
+    surface the reference consumes: reset(seed)->(obs, infos),
+    step(actions)->(obs, rewards, terminations, truncations, infos),
+    agents, observation_space/action_space."""
 
-    def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles):
+    def __init__(
+        self, env_name, num_good, num_adversaries, num_obstacles, max_cycles,
+        discrete=True,
+    ):
         import jax
 
-        from mfvae_tpu.envs.mpe import SimpleTagEnv
+        from mfvae_tpu.envs.mpe import make as make_jax_env
 
         self._jax = jax
-        self._env = SimpleTagEnv(
+        self._env = make_jax_env(
+            f"MPE_{env_name}",
             num_good_agents=num_good,
             num_adversaries=num_adversaries,
             num_obs=num_obstacles,
             max_steps=max_cycles,
+            discrete_actions=discrete,
         )
         self.agents = list(self._env.agents)
         self._step_jit = jax.jit(self._env.step)
@@ -63,13 +69,18 @@ class LocalHostEnv:
     def observation_space(self, agent):
         import gymnasium
 
-        d = self._env.obs_dim(agent.startswith("adversary"))
+        d = int(self._env.observation_space(agent).shape[0])
         return gymnasium.spaces.Box(-np.inf, np.inf, (d,), np.float32)
 
     def action_space(self, agent):
         import gymnasium
 
-        return gymnasium.spaces.Discrete(self._env.action_space(agent).n)
+        space = self._env.action_space(agent)
+        if hasattr(space, "n"):
+            return gymnasium.spaces.Discrete(space.n)
+        return gymnasium.spaces.Box(
+            float(space.low), float(space.high), tuple(space.shape), np.float32
+        )
 
     def reset(self, seed: Optional[int] = None):
         if seed is not None:
@@ -98,29 +109,41 @@ def create_env(
     num_obstacles: int = 20,
     max_cycles: int = 1000,
     seed: int = 42,
+    discrete: bool = True,
 ):
     """Host env factory (torch_ver/src/env.py:24-39 surface: returns
-    (env, obs_dims, act_dims, obs, infos)).  Uses PettingZoo's MPE when
-    installed (pettingzoo.mpe, or the split-out mpe2 package); otherwise the
-    first-party native C++ engine (envs/native_engine.py — microsecond host
-    steps, fidelity-tested against the JAX env); last resort is the
-    jitted-JAX LocalHostEnv (pays device dispatch per host step).
+    (env, obs_dims, act_dims, obs, infos); ``discrete`` is the reference's
+    action-mode switch, torch_ver/src/env.py:27).  Uses PettingZoo's MPE
+    when installed (pettingzoo.mpe, or the split-out mpe2 package);
+    otherwise the first-party native C++ engine (envs/native_engine.py —
+    microsecond host steps, fidelity-tested against the JAX env); last
+    resort is the jitted-JAX LocalHostEnv (pays device dispatch per host
+    step, covers all three scenarios).
 
     Supports simple_tag_v3 (the reference's scenario), simple_spread_v3
-    (num_good becomes the agent count), and simple_world_comm_v3.  The
-    non-tag scenarios always use the in-repo engines, NOT PettingZoo:
-    PettingZoo's simple_spread defaults to local_ratio=0.5 (reward = half
-    global + half local) where the in-repo envs use the full
-    coverage-minus-collisions sum — mixing backends would silently train
-    on differently-scaled reward targets."""
+    (num_good becomes the agent count), and simple_world_comm_v3
+    (discrete-only, matching the reference path).  The non-tag scenarios
+    always use the in-repo engines, NOT PettingZoo: PettingZoo's
+    simple_spread defaults to local_ratio=0.5 (reward = half global + half
+    local) where the in-repo envs use the full coverage-minus-collisions
+    sum — mixing backends would silently train on differently-scaled
+    reward targets.  ``discrete=False`` also skips PettingZoo: the in-repo
+    continuous contract is the JAX envs' 2-d force Box(-1, 1, (2,)), not
+    PettingZoo's 5-channel Box(0, 1, (5,))."""
     if env_name not in (
         "simple_tag_v3", "simple_spread_v3", "simple_world_comm_v3"
     ):
         raise NotImplementedError(env_name)
     spread = env_name == "simple_spread_v3"
     world_comm = env_name == "simple_world_comm_v3"
+    if world_comm and not discrete:
+        raise NotImplementedError(
+            "simple_world_comm is discrete-only (matching the reference "
+            "path; the leader's communication channel has no continuous "
+            "form)"
+        )
     env = None
-    if not spread and not world_comm:
+    if not spread and not world_comm and discrete:
         for modname in ("pettingzoo.mpe", "mpe2"):
             try:
                 import importlib
@@ -146,7 +169,9 @@ def create_env(
 
         if native_engine_available():
             if spread:
-                env = NativeSpreadHostEnv(num_good, max_cycles, seed=seed)
+                env = NativeSpreadHostEnv(
+                    num_good, max_cycles, seed=seed, continuous=not discrete
+                )
             elif world_comm:
                 env = NativeWorldCommHostEnv(
                     num_good, num_adversaries, num_obstacles, max_cycles,
@@ -155,15 +180,13 @@ def create_env(
             else:
                 env = NativeHostEnv(
                     num_good, num_adversaries, num_obstacles, max_cycles,
-                    seed=seed,
+                    seed=seed, continuous=not discrete,
                 )
-        elif spread or world_comm:
-            raise NotImplementedError(
-                f"{env_name} host path requires the native engine "
-                "(no jitted-JAX fallback wrapper)"
-            )
         else:
-            env = LocalHostEnv(num_good, num_adversaries, num_obstacles, max_cycles)
+            env = LocalHostEnv(
+                env_name, num_good, num_adversaries, num_obstacles,
+                max_cycles, discrete=discrete,
+            )
     obs, infos = env.reset(seed=seed)
     obs_dims = {a: get_space_size(env.observation_space(a)) for a in env.agents}
     act_dims = {a: get_space_size(env.action_space(a)) for a in env.agents}
@@ -189,14 +212,25 @@ class MultiAgentHostBuffer:
     mask)."""
 
     def __init__(self, env, max_size: int = 10_000, batch_size: int = 128, seed: int = 0):
+        import gymnasium
+
         self.batch_size = batch_size
         self.agents = list(env.agents)
+        # action storage follows the env's action space: Discrete -> scalar
+        # int64, Box (continuous mode) -> float32 vector
+        self._act_dtypes = {}
         schema = {}
         for a in self.agents:
             od = get_space_size(env.observation_space(a))
+            aspace = env.action_space(a)
+            if isinstance(aspace, gymnasium.spaces.Box):
+                act_shape, act_dtype = (int(aspace.shape[0]),), np.float32
+            else:
+                act_shape, act_dtype = (), np.int64
+            self._act_dtypes[a] = act_dtype
             schema[f"{a}_observations"] = ((od,), np.float32)
             schema[f"{a}_next_observations"] = ((od,), np.float32)
-            schema[f"{a}_actions"] = ((), np.int64)
+            schema[f"{a}_actions"] = (act_shape, act_dtype)
             schema[f"{a}_rewards"] = ((1,), np.float32)
             schema[f"{a}_terminals"] = ((1,), np.float32)
             schema[f"{a}_truncations"] = ((1,), np.float32)
@@ -208,7 +242,7 @@ class MultiAgentHostBuffer:
         for a in self.agents:
             item[f"{a}_observations"] = np.asarray(obs[a], np.float32)
             item[f"{a}_next_observations"] = np.asarray(next_obs[a], np.float32)
-            item[f"{a}_actions"] = np.asarray(actions[a], np.int64)
+            item[f"{a}_actions"] = np.asarray(actions[a], self._act_dtypes[a])
             item[f"{a}_rewards"] = np.asarray([rewards[a]], np.float32)
             item[f"{a}_terminals"] = np.asarray([float(terminals[a])], np.float32)
             item[f"{a}_truncations"] = np.asarray([float(truncations[a])], np.float32)
@@ -228,7 +262,7 @@ class MultiAgentHostBuffer:
         for a in self.agents:
             item[f"{a}_observations"] = np.asarray(obs[a], np.float32)
             item[f"{a}_next_observations"] = np.asarray(next_obs[a], np.float32)
-            item[f"{a}_actions"] = np.asarray(actions[a], np.int64)
+            item[f"{a}_actions"] = np.asarray(actions[a], self._act_dtypes[a])
             item[f"{a}_rewards"] = np.asarray(rewards[a], np.float32).reshape(k, 1)
             item[f"{a}_terminals"] = np.zeros((k, 1), np.float32)
             item[f"{a}_truncations"] = np.asarray(
@@ -296,12 +330,26 @@ class AsyncCollector(_CollectorLoop):
         self.buffer = buffer
         self.rng = np.random.default_rng(seed)
         self._obs, _ = env.reset(seed=seed)
+        # uniform random-rollout sampler per agent, by space type (the
+        # reference calls action_space.sample(), torch_ver/main.py:69)
+        self._samplers = {}
+        for a in env.agents:
+            space = env.action_space(a)
+            if hasattr(space, "n"):
+                self._samplers[a] = (
+                    lambda n=int(space.n): int(self.rng.integers(0, n))
+                )
+            else:
+                lo, hi, shape = space.low, space.high, space.shape
+                self._samplers[a] = (
+                    lambda lo=lo, hi=hi, shape=shape: self.rng.uniform(
+                        lo, hi, size=shape
+                    ).astype(np.float32)
+                )
 
     def _one_step(self):
         env = self.env
-        actions = {
-            a: int(self.rng.integers(0, env.action_space(a).n)) for a in env.agents
-        }
+        actions = {a: self._samplers[a]() for a in env.agents}
         next_obs, rewards, terms, truncs, _ = env.step(actions)
         self.buffer.add(self._obs, actions, rewards, next_obs, terms, truncs)
         self._obs = next_obs
@@ -335,8 +383,10 @@ class NativeBatchedCollector(_CollectorLoop):
         seed: int = 0,
         n_threads: Optional[int] = None,
         env=None,
+        continuous: bool = False,
     ):
         super().__init__()
+        self.continuous = continuous
         pop_kwargs = dict(
             n_envs=n_envs, num_good=num_good, num_adversaries=num_adversaries,
             num_obstacles=num_obstacles, max_cycles=max_cycles,
@@ -382,10 +432,18 @@ class NativeBatchedCollector(_CollectorLoop):
     def _one_step(self):
         env = self.env
         agents = self._agents
-        acts = self.rng.integers(
-            0, self._action_highs, size=(self.n_envs, env.num_agents)
-        ).astype(np.int32)
-        next_obs, rew, done = env.step(acts)
+        if self.continuous:
+            # uniform in the Box(-1, 1, (2,)) force contract
+            # (envs/mpe.py action_space, native step_continuous)
+            acts = self.rng.uniform(
+                -1.0, 1.0, size=(self.n_envs, env.num_agents, 2)
+            ).astype(np.float32)
+            next_obs, rew, done = env.step_continuous(acts)
+        else:
+            acts = self.rng.integers(
+                0, self._action_highs, size=(self.n_envs, env.num_agents)
+            ).astype(np.int32)
+            next_obs, rew, done = env.step(acts)
         self.buffer.add_batch(
             obs=env.named_obs(self._obs),
             actions={a: acts[:, i] for i, a in enumerate(agents)},

@@ -445,7 +445,8 @@ class NativeHostEnv:
     terminations, truncations, infos), agents, observation_space /
     action_space)."""
 
-    def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles, seed=0):
+    def __init__(self, num_good, num_adversaries, num_obstacles, max_cycles,
+                 seed=0, continuous=False):
         self._cls = NativeSimpleTagEnv
         self._ctor = dict(
             n_envs=1,
@@ -456,6 +457,7 @@ class NativeHostEnv:
             n_threads=1,
             auto_reset=False,
         )
+        self.continuous = continuous
         self._env = self._cls(seed=seed, **self._ctor)
         self.agents = list(self._env.agents)
 
@@ -472,6 +474,10 @@ class NativeHostEnv:
     def action_space(self, agent):
         import gymnasium
 
+        if self.continuous:
+            # the JAX envs' continuous contract (envs/mpe.py:134):
+            # 2-d force in [-1, 1], stepped via the engine's mpe_step_cont
+            return gymnasium.spaces.Box(-1.0, 1.0, (2,), np.float32)
         return gymnasium.spaces.Discrete(5)
 
     def _obs_dict(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
@@ -492,10 +498,17 @@ class NativeHostEnv:
         return self._obs_dict(obs), {a: {} for a in self.agents}
 
     def step(self, actions: Dict[str, int]):
-        acts = np.asarray(
-            [[int(actions[a]) for a in self.agents]], np.int32
-        )
-        obs, rew, done = self._env.step(acts)
+        if self.continuous:
+            acts = np.asarray(
+                [[np.asarray(actions[a], np.float32) for a in self.agents]],
+                np.float32,
+            )
+            obs, rew, done = self._env.step_continuous(acts)
+        else:
+            acts = np.asarray(
+                [[int(actions[a]) for a in self.agents]], np.int32
+            )
+            obs, rew, done = self._env.step(acts)
         obs_d = self._obs_dict(obs)
         rewards = {a: float(rew[0, i]) for i, a in enumerate(self.agents)}
         truncs = {a: bool(done[0]) for a in self.agents}  # time-limit only
@@ -511,6 +524,9 @@ class NativeWorldCommHostEnv(NativeHostEnv):
 
     def __init__(self, num_good=2, num_adversaries=4, num_obstacles=1,
                  max_cycles=25, seed=0):
+        # discrete-only by design, matching the reference path (the
+        # leader's communication channel has no continuous form)
+        self.continuous = False
         self._cls = NativeSimpleWorldCommEnv
         self._ctor = dict(
             n_envs=1,
@@ -556,7 +572,7 @@ class NativeWorldCommHostEnv(NativeHostEnv):
 class NativeSpreadHostEnv(NativeHostEnv):
     """PettingZoo parallel-API adapter over one native simple_spread env."""
 
-    def __init__(self, num_agents=3, max_cycles=25, seed=0):
+    def __init__(self, num_agents=3, max_cycles=25, seed=0, continuous=False):
         self._cls = NativeSimpleSpreadEnv
         self._ctor = dict(
             n_envs=1,
@@ -565,6 +581,7 @@ class NativeSpreadHostEnv(NativeHostEnv):
             n_threads=1,
             auto_reset=False,
         )
+        self.continuous = continuous
         self._env = self._cls(seed=seed, **self._ctor)
         self.agents = list(self._env.agents)
 

@@ -41,9 +41,13 @@ from mfvae_tpu.training.trainer import (
 
 def build_spec(env) -> AgentSpec:
     """Derive dims from the live env, as the reference does
-    (jax_ver/main.py:101-107)."""
+    (jax_ver/main.py:101-107): Discrete -> n (embedding table size),
+    Box -> flat shape (action-MLP input width), via get_space_size
+    (jax_ver/main.py:23-30 semantics)."""
+    from mfvae_tpu.envs.spaces import get_space_size
+
     obs_dim = {a: env.obs_dim(a) for a in env.agents}
-    act_dim = {a: env.action_space(a).n for a in env.agents}
+    act_dim = {a: get_space_size(env.action_space(a)) for a in env.agents}
     return AgentSpec.from_dicts(env.agents, obs_dim, act_dim)
 
 
@@ -56,7 +60,14 @@ class Experiment:
             num_adversaries=cfg.env.num_adversaries,
             num_obs=cfg.env.num_obs,
             max_steps=cfg.env.max_steps,
+            discrete_actions=cfg.env.discrete_actions,
         )
+        if cfg.env.discrete_actions != cfg.model.discrete_act:
+            raise ValueError(
+                "env.discrete_actions and model.discrete_act must agree "
+                f"(got env={cfg.env.discrete_actions}, "
+                f"model={cfg.model.discrete_act})"
+            )
         self.spec = build_spec(self.env)
         self.codebook = {a: i for i, a in enumerate(self.env.agents)}
         self.model = MAVAE.from_config(cfg.model, self.spec)
@@ -257,15 +268,25 @@ class Experiment:
         )
 
     def _example_transition(self, obs, env_state) -> GroupedTransition:
-        zero_actions = jnp.zeros((self.spec.n_agents,), jnp.int32)
+        if self.cfg.env.discrete_actions:
+            zero_actions = jnp.zeros((self.spec.n_agents,), jnp.int32)
+            act_g = tuple(
+                zero_actions[jnp.asarray(idxs)]
+                for (_, _), idxs in self.spec.groups
+            )
+        else:
+            zero_actions = jnp.zeros(
+                (self.spec.n_agents, self.spec.act_dims[0]), jnp.float32
+            )
+            act_g = tuple(
+                zero_actions[jnp.asarray(idxs), :]
+                for (_, _), idxs in self.spec.groups
+            )
         next_obs, _, rewards, done, _ = self.env.step_stacked(
             jax.random.PRNGKey(0), env_state, zero_actions
         )
         obs_g = stacked_to_grouped(self.spec, obs)
         next_g = stacked_to_grouped(self.spec, next_obs)
-        act_g = tuple(
-            zero_actions[jnp.asarray(idxs)] for (_, _), idxs in self.spec.groups
-        )
         return GroupedTransition(
             obs=obs_g,
             actions=act_g,
@@ -279,10 +300,16 @@ class Experiment:
             jnp.zeros((batch_size, len(idxs), od))
             for (od, _), idxs in self.spec.groups
         )
-        act = tuple(
-            jnp.zeros((batch_size, len(idxs)), jnp.int32)
-            for (_, _), idxs in self.spec.groups
-        )
+        if self.cfg.model.discrete_act:
+            act = tuple(
+                jnp.zeros((batch_size, len(idxs)), jnp.int32)
+                for (_, _), idxs in self.spec.groups
+            )
+        else:
+            act = tuple(
+                jnp.zeros((batch_size, len(idxs), ad), jnp.float32)
+                for (_, ad), idxs in self.spec.groups
+            )
         return GroupedBatch(obs=obs, actions=act)
 
     def _try_resume(self):

@@ -50,7 +50,14 @@ class HostExperiment:
             num_obstacles=cfg.env.num_obs,
             max_cycles=cfg.env.max_steps,
             seed=cfg.train.seed,
+            discrete=cfg.env.discrete_actions,
         )
+        if cfg.env.discrete_actions != cfg.model.discrete_act:
+            raise ValueError(
+                "env.discrete_actions and model.discrete_act must agree "
+                f"(got env={cfg.env.discrete_actions}, "
+                f"model={cfg.model.discrete_act})"
+            )
         self.agents = list(self.env.agents)
         self.spec = AgentSpec.from_dicts(self.agents, obs_dims, act_dims)
         self.model = MAVAE.from_config(cfg.model, self.spec)
@@ -73,6 +80,7 @@ class HostExperiment:
                     self.buffer,
                     env=self._make_batched_native_env(env_name),
                     seed=cfg.train.seed,
+                    continuous=not cfg.env.discrete_actions,
                 )
             except RuntimeError as e:  # no toolchain: degrade, keep running
                 print(f"n_host_envs={cfg.env.n_host_envs} unavailable ({e}); "
@@ -139,10 +147,16 @@ class HostExperiment:
             jnp.zeros((batch_size, len(idxs), od))
             for (od, _), idxs in self.spec.groups
         )
-        act = tuple(
-            jnp.zeros((batch_size, len(idxs)), jnp.int32)
-            for (_, _), idxs in self.spec.groups
-        )
+        if self.cfg.model.discrete_act:
+            act = tuple(
+                jnp.zeros((batch_size, len(idxs)), jnp.int32)
+                for (_, _), idxs in self.spec.groups
+            )
+        else:
+            act = tuple(
+                jnp.zeros((batch_size, len(idxs), ad), jnp.float32)
+                for (_, ad), idxs in self.spec.groups
+            )
         return VaeBatch(
             inputs=GroupedBatch(obs=obs, actions=act),
             next_state=jnp.zeros((batch_size, sum(self.spec.obs_dims))),

@@ -245,6 +245,60 @@ def stacked_to_grouped(spec: AgentSpec, stacked_obs) -> Tuple[jnp.ndarray, ...]:
     return fields
 
 
+def make_action_sampler(env, spec: AgentSpec):
+    """Uniform random-rollout action sampling — the reference fills its
+    buffer with ``action_space.sample()`` rollouts (torch_ver/main.py:69,
+    jax_ver/main.py:155-156), for both the discrete and the continuous
+    (``discrete=False``, torch_ver/src/env.py:27) action modes.
+
+    Returns ``(sample, group_actions)``:
+    - ``sample(key, leading=())`` -> [*leading, A] int32 (discrete; uniform
+      within each agent's own range — simple_world_comm's leader is
+      Discrete(20) vs Discrete(5)) or [*leading, A, act_dim] float uniform
+      in the Box bounds (continuous).
+    - ``group_actions(actions)`` -> per-spec-group tuple, slicing the agent
+      axis wherever it sits."""
+    discrete = getattr(env, "discrete_actions", True)
+    n_agents = spec.n_agents
+    if discrete:
+        act_dims_arr = jnp.asarray(spec.act_dims, jnp.float32)
+
+        def sample(key, leading=()):
+            u = jax.random.uniform(key, (*leading, n_agents))
+            return jnp.minimum(
+                (u * act_dims_arr).astype(jnp.int32),
+                act_dims_arr.astype(jnp.int32) - 1,
+            )
+
+        def group_actions(actions):
+            return tuple(
+                jnp.take(actions, jnp.asarray(idxs), axis=-1)
+                for (_, _), idxs in spec.groups
+            )
+
+    else:
+        act_dims = set(spec.act_dims)
+        assert len(act_dims) == 1, (
+            f"continuous stepping needs one common act_dim, got {spec.act_dims}"
+        )
+        act_dim = act_dims.pop()
+        space = env.action_space(env.agents[0])
+        lo, hi = float(space.low), float(space.high)
+
+        def sample(key, leading=()):
+            return jax.random.uniform(
+                key, (*leading, n_agents, act_dim), minval=lo, maxval=hi
+            )
+
+        def group_actions(actions):
+            return tuple(
+                jnp.take(actions, jnp.asarray(idxs), axis=-2)
+                for (_, _), idxs in spec.groups
+            )
+
+    return sample, group_actions
+
+
 def make_phase_fns(
     env,
     spec: AgentSpec,
@@ -266,25 +320,15 @@ def make_phase_fns(
         use_pallas=cfg.model.use_pallas,
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
-    n_agents = spec.n_agents
-    # per-agent action-space sizes may differ (simple_world_comm's leader is
-    # Discrete(20) vs Discrete(5)); sample uniformly within each agent's own
-    # range via one fused draw
-    act_dims_arr = jnp.asarray(spec.act_dims, jnp.float32)
+    sample_actions, group_actions = make_action_sampler(env, spec)
 
     def collect(carry: Tuple[EnvCarry, BufferState], key, which_buffer: ItemBuffer):
         def body(c, k):
             env_c, buf_state = c
             k_act, k_step = jax.random.split(k)
-            u = jax.random.uniform(k_act, (n_agents,))
-            actions = jnp.minimum(
-                (u * act_dims_arr).astype(jnp.int32),
-                act_dims_arr.astype(jnp.int32) - 1,
-            )
+            actions = sample_actions(k_act)
             obs_g = stacked_to_grouped(spec, env_c.obs)
-            act_groups = tuple(
-                actions[jnp.asarray(idxs)] for (_, _), idxs in spec.groups
-            )
+            act_groups = group_actions(actions)
             next_obs, env_state, rewards, done, _ = env.step_stacked(
                 k_step, env_c.state, actions
             )
@@ -376,8 +420,7 @@ def make_batched_epoch_fn(
         use_pallas=cfg.model.use_pallas,
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
-    n_agents = spec.n_agents
-    act_dims_arr = jnp.asarray(spec.act_dims, jnp.float32)
+    sample_actions, group_actions = make_action_sampler(env, spec)
     E = cfg.train.n_envs
     assert cfg.buffer.batch_size % E == 0, (cfg.buffer.batch_size, E)
     local_bs = cfg.buffer.batch_size // E
@@ -396,15 +439,9 @@ def make_batched_epoch_fn(
         def body(c, k):
             env_c, buf_state = c
             k_act, k_step = jax.random.split(k)
-            u = jax.random.uniform(k_act, (E, n_agents))
-            actions = jnp.minimum(
-                (u * act_dims_arr).astype(jnp.int32),
-                act_dims_arr.astype(jnp.int32) - 1,
-            )
+            actions = sample_actions(k_act, (E,))
             obs_g = tuple(env_c.obs)  # StackedObs fields, [E, A_g, D_g]
-            act_groups = tuple(
-                actions[:, jnp.asarray(idxs)] for (_, _), idxs in spec.groups
-            )
+            act_groups = group_actions(actions)
             step_keys = jax.random.split(k_step, E)
             next_obs, env_state, rewards, done, _ = jax.vmap(env.step_stacked)(
                 step_keys, env_c.state, actions

@@ -57,7 +57,8 @@ def bench_local_jax(n_steps=100):
     from mfvae_tpu.envs.host_adapter import LocalHostEnv
 
     env = LocalHostEnv(
-        POP["num_good"], POP["num_adversaries"], POP["num_obstacles"], 10_000
+        "simple_tag_v3",
+        POP["num_good"], POP["num_adversaries"], POP["num_obstacles"], 10_000,
     )
     env.reset(seed=0)
     rng = np.random.default_rng(0)
