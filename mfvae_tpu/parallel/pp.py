@@ -165,6 +165,67 @@ def pipeline_apply(
     return run(params, x)
 
 
+def mlp_body_to_pipeline(params: dict, n_stages: int) -> PipelineParams:
+    """Restack the uniform-width hidden body of an MLP module's param tree
+    (models/layers.py naming: fc0..fcN hiddens + 'out') into stacked
+    per-stage PipelineParams.
+
+    fc0 is the input projection (in_dim -> W) and stays outside the
+    pipeline; fc1..fcN form the uniform W -> W body and must split evenly
+    into ``n_stages`` stages.  Returns the [S, L, W, W] / [S, L, W] stacks
+    ready for ``pipeline_apply``."""
+    body_names = sorted(
+        (k for k in params if k.startswith("fc") and k != "fc0"),
+        key=lambda s: int(s[2:]),
+    )
+    assert body_names, "MLP has no hidden body beyond fc0"
+    assert len(body_names) % n_stages == 0, (
+        f"{len(body_names)} body layers don't split into {n_stages} stages"
+    )
+    kernels = jnp.stack([params[n]["kernel"] for n in body_names])
+    biases = jnp.stack([params[n]["bias"] for n in body_names])
+    w = kernels.shape[-1]
+    assert kernels.shape[-2] == w, (
+        f"body is not uniform-width: {kernels.shape}"
+    )
+    lps = len(body_names) // n_stages
+    return PipelineParams(
+        kernel=kernels.reshape(n_stages, lps, w, w),
+        bias=biases.reshape(n_stages, lps, w),
+    )
+
+
+def pipelined_mlp(
+    params: dict,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    n_microbatches: int,
+    activation: Callable = jax.nn.relu,
+    data_parallel: bool = False,
+) -> jnp.ndarray:
+    """Apply a real MLP module (models/layers.py param tree: fc0..fcN +
+    'out') with its uniform hidden body pipelined over the mesh 'pipe'
+    axis: fc0 and the output head run replicated (they are a tiny fraction
+    of the FLOPs in a deep trunk); fc1..fcN stream through the GPipe
+    schedule.  Differentiable end-to-end, so a train step whose decoder
+    runs through this function backpropagates through the pipeline
+    (ppermute transposes to the reverse permute).
+
+    This is the bridge that routes MAVAE's decoder trunk through PP: give
+    the model a uniform deep decoder (e.g. decoder_hidden=(256,)*9) and
+    decode with this instead of the in-module MLP —
+    tests/test_pp.py::TestMAVAEThroughPipeline proves exact fwd/bwd
+    equivalence vs the unpipelined model."""
+    n_stages = mesh.shape[PIPE_AXIS]
+    pp = mlp_body_to_pipeline(params, n_stages)
+    h = activation(x @ params["fc0"]["kernel"] + params["fc0"]["bias"])
+    h = pipeline_apply(
+        pp, h, mesh, n_microbatches, activation=activation,
+        data_parallel=data_parallel,
+    )
+    return h @ params["out"]["kernel"] + params["out"]["bias"]
+
+
 def make_pipe_mesh(
     n_pipe: int,
     n_data: int = 1,
