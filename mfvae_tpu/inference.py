@@ -143,18 +143,21 @@ class WorldModel:
             return obs
         spec = self.model.spec
         if isinstance(obs, dict):
+            discrete = self.model.discrete_act
             obs_g, act_g = [], []
-            for (_, _), idxs in spec.groups:
+            for (_, ad), idxs in spec.groups:
                 names = [spec.agents[i] for i in idxs]
                 obs_g.append(jnp.stack([jnp.atleast_2d(obs[a]) for a in names], axis=1))
+                b = obs_g[-1].shape[0]
                 if actions is not None:
+                    widen = jnp.atleast_1d if discrete else jnp.atleast_2d
                     act_g.append(
-                        jnp.stack([jnp.atleast_1d(actions[a]) for a in names], axis=1)
+                        jnp.stack([widen(jnp.asarray(actions[a])) for a in names], axis=1)
                     )
+                elif discrete:
+                    act_g.append(jnp.zeros((b, len(idxs)), jnp.int32))
                 else:
-                    act_g.append(
-                        jnp.zeros((obs_g[-1].shape[0], len(idxs)), jnp.int32)
-                    )
+                    act_g.append(jnp.zeros((b, len(idxs), ad), jnp.float32))
             return GroupedBatch(obs=tuple(obs_g), actions=tuple(act_g))
         raise TypeError(type(obs))
 

@@ -181,3 +181,73 @@ class TestLocalHostEnvFallback:
         }
         obs, rewards, terms, truncs, _ = env.step(actions)
         assert all(np.isfinite(obs[a]).all() for a in env.agents)
+
+
+class TestContinuousInference:
+    """WorldModel serving with a continuous-action model: dict adapter
+    widens Box actions correctly, predict/rollout run compiled."""
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mfvae_tpu.config import ModelConfig
+        from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
+
+        agents = ("adversary_0", "adversary_1", "agent_0")
+        spec = AgentSpec.from_dicts(
+            agents,
+            {"adversary_0": 6, "adversary_1": 6, "agent_0": 4},
+            {a: 2 for a in agents},
+        )
+        cfg = ModelConfig(
+            idx_features=8, obs_features=8, action_features=8,
+            discrete_act=False, encoder_hidden=(16,), decoder_hidden=(32,),
+            compute_dtype="float32",
+        )
+        model = MAVAE.from_config(cfg, spec)
+        B = 3
+        batch = GroupedBatch(
+            obs=(jnp.ones((B, 2, 6)), jnp.ones((B, 1, 4))),
+            actions=(jnp.zeros((B, 2, 2)), jnp.zeros((B, 1, 2))),
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1)
+        )
+        return spec, model, batch, variables
+
+    def test_predict_and_dict_adapter(self):
+        from mfvae_tpu.inference import WorldModel
+
+        spec, model, batch, variables = self._build()
+        wm = WorldModel(model, variables)
+        s, r = wm.predict(batch, None)
+        assert s.shape == (3, 16) and r.shape == (3, 3)
+
+        obs_d = {
+            "adversary_0": np.ones((3, 6), np.float32),
+            "adversary_1": np.ones((3, 6), np.float32),
+            "agent_0": np.ones((3, 4), np.float32),
+        }
+        act_d = {a: np.zeros((3, 2), np.float32) for a in spec.agents}
+        s2, r2 = wm.predict(obs_d, act_d)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-6)
+        # actions=None fills float zero-vectors of the Box act_dim
+        s3, _ = wm.predict(obs_d, None)
+        np.testing.assert_allclose(np.asarray(s3), np.asarray(s), atol=1e-6)
+
+    def test_rollout_continuous_plan(self):
+        import jax.numpy as jnp
+
+        from mfvae_tpu.inference import WorldModel
+
+        spec, model, batch, variables = self._build()
+        wm = WorldModel(model, variables)
+        T, B = 4, 3
+        plan = (
+            jnp.zeros((T, B, 2, 2)),
+            jnp.zeros((T, B, 1, 2)),
+        )
+        states, rewards = wm.rollout(batch, plan)
+        assert states.shape == (T, B, 16) and rewards.shape == (T, B, 3)
+        assert np.isfinite(np.asarray(states)).all()
