@@ -279,3 +279,77 @@ def test_create_dataset_parity_vs_reference_source(ref_mods):
         np.testing.assert_allclose(np.asarray(g_act[a]), np.asarray(w_act[a]))
     np.testing.assert_allclose(np.asarray(g_rew), np.asarray(w_rew))
     np.testing.assert_allclose(np.asarray(g_next), np.asarray(w_next))
+
+
+def test_elbo_trace_parity_lockstep_200_steps(ref_mods):
+    """BASELINE.json metric, scaled for the suite: 'ELBO matching reference
+    to 1e-2 after N steps'.  Train the real reference train_step
+    (jax_ver/trainer.py:73-84) and our fused step in lockstep from the same
+    imported params on the SAME data stream and rng keys for 200 steps and
+    compare the CONVERGED ELBO (mean of the last 50 steps) to 1e-2.
+
+    Why not per-step max: Adam near-sign-normalizes small gradients
+    (update ~ lr*g/(|g|+eps)), so f32-level gradient noise between the
+    stacked-einsum and per-agent-Dense implementations yields O(lr) update
+    differences on near-zero components, and the two trajectories diverge
+    chaotically like twins even though any SINGLE step from shared params
+    matches to 1e-3 (test_train_step_parity_vs_reference_source).  The
+    meaningful implementation-parity statement — and the literal BASELINE
+    wording — is about the ELBO reached, which both sides share.
+    scripts/elbo_parity_10k.py runs the full 10k-step criterion on the
+    TPU."""
+    ref_model_mod, ref_trainer = ref_mods
+    lr = 1e-3
+    ref = _ref_model(ref_model_mod, True)
+    idx_state0, actions0, _, _ = _inputs(discrete=True)
+    ref_vars = ref.init(jax.random.PRNGKey(2), idx_state0, actions0,
+                        jax.random.PRNGKey(3))
+    ref_state = TrainState.create(
+        apply_fn=ref.apply, params=ref_vars["params"], tx=optax.adam(lr)
+    )
+
+    spec, model = _our_model(True)
+    variables = import_reference_params(ref_vars["params"], spec)
+    state = create_train_state(
+        model, variables, TrainConfig(lr=lr, lr_schedule="constant", grad_clip=0.0)
+    )
+    step = jax.jit(make_train_step(LossConfig(family="jax"), mode="Adam"))
+
+    rng = np.random.default_rng(42)
+    ref_trace, our_trace = [], []
+    for t in range(200):
+        idx_state, actions, next_state, rewards = _inputs(
+            discrete=True, seed=int(rng.integers(1 << 30))
+        )
+        key = jax.random.PRNGKey(1000 + t)
+        ref_state, ref_loss, *_ = ref_trainer.train_step(
+            ref_state, idx_state, actions, next_state, rewards, key
+        )
+        batch_obs = tuple(
+            jnp.stack([idx_state[spec.agents[i]][:, 1:] for i in idxs], axis=1)
+            for (_, _), idxs in spec.groups
+        )
+        batch_act = tuple(
+            jnp.stack([actions[spec.agents[i]] for i in idxs], axis=1)
+            for (_, _), idxs in spec.groups
+        )
+        state, outs = step(
+            state,
+            VaeBatch(
+                inputs=GroupedBatch(obs=batch_obs, actions=batch_act),
+                next_state=next_state,
+                rewards=rewards,
+            ),
+            key,
+        )
+        ref_trace.append(float(ref_loss))
+        our_trace.append(float(outs.loss))
+    ref_final = float(np.mean(ref_trace[-50:]))
+    our_final = float(np.mean(our_trace[-50:]))
+    assert abs(our_final - ref_final) < 1e-2, (our_final, ref_final)
+    # both actually descended (synthetic noise targets leave little to
+    # learn beyond the KL/mean structure, so the drop is modest)
+    assert our_final < np.mean(our_trace[:10]) - 0.02
+    assert ref_final < np.mean(ref_trace[:10]) - 0.02
+    # per-step twin divergence stays bounded (diagnostic guard)
+    assert max(abs(a - b) for a, b in zip(our_trace, ref_trace)) < 0.2
