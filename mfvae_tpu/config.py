@@ -211,6 +211,18 @@ class ExperimentConfig:
     env: EnvConfig = field(default_factory=EnvConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
+    def validate(self) -> "ExperimentConfig":
+        """Cross-field consistency, checked by the experiment drivers
+        BEFORE any env/model construction (configs are mutable, so this
+        runs at use time, not at dataclass init)."""
+        if self.env.discrete_actions != self.model.discrete_act:
+            raise ValueError(
+                "env.discrete_actions and model.discrete_act must agree "
+                f"(got env={self.env.discrete_actions}, "
+                f"model={self.model.discrete_act})"
+            )
+        return self
+
 
 def _to_dict(obj: Any) -> Any:
     if is_dataclass(obj):

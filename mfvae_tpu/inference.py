@@ -129,12 +129,21 @@ class WorldModel:
         batch = self._as_batch(obs, None)
         spec = self.model.spec
         if isinstance(action_plan, dict):
+            discrete = self.model.discrete_act
             plan_g = []
             for (_, _), idxs in spec.groups:
                 names = [spec.agents[i] for i in idxs]
-                cols = [jnp.asarray(action_plan[a]) for a in names]
-                cols = [c[:, None] if c.ndim == 1 else c for c in cols]  # [T, B]
-                plan_g.append(jnp.stack(cols, axis=2))  # [T, B, A_g]
+                # unbatched per-agent plans get a B=1 axis: [T] -> [T, 1]
+                # (discrete) or [T, act_dim] -> [T, 1, act_dim] (continuous)
+                cols = []
+                for a in names:
+                    c = jnp.asarray(action_plan[a])
+                    if discrete and c.ndim == 1:
+                        c = c[:, None]
+                    elif not discrete and c.ndim == 2:
+                        c = c[:, None, :]
+                    cols.append(c)
+                plan_g.append(jnp.stack(cols, axis=2))  # [T, B, A_g(, act)]
             action_plan = tuple(plan_g)
         return self._rollout(batch.obs, action_plan)
 
@@ -143,21 +152,22 @@ class WorldModel:
             return obs
         spec = self.model.spec
         if isinstance(obs, dict):
+            from mfvae_tpu.models.mavae import zero_actions_grouped
+
             discrete = self.model.discrete_act
             obs_g, act_g = [], []
             for (_, ad), idxs in spec.groups:
                 names = [spec.agents[i] for i in idxs]
                 obs_g.append(jnp.stack([jnp.atleast_2d(obs[a]) for a in names], axis=1))
-                b = obs_g[-1].shape[0]
                 if actions is not None:
                     widen = jnp.atleast_1d if discrete else jnp.atleast_2d
                     act_g.append(
                         jnp.stack([widen(jnp.asarray(actions[a])) for a in names], axis=1)
                     )
-                elif discrete:
-                    act_g.append(jnp.zeros((b, len(idxs)), jnp.int32))
-                else:
-                    act_g.append(jnp.zeros((b, len(idxs), ad), jnp.float32))
+            if actions is None:
+                act_g = list(
+                    zero_actions_grouped(spec, obs_g[0].shape[0], discrete)
+                )
             return GroupedBatch(obs=tuple(obs_g), actions=tuple(act_g))
         raise TypeError(type(obs))
 

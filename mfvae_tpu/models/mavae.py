@@ -107,6 +107,26 @@ class AgentSpec:
         return self.perm_from_grouped == tuple(range(self.n_agents))
 
 
+def zero_actions_grouped(
+    spec: "AgentSpec", batch_size: Optional[int], discrete: bool
+) -> Tuple[jnp.ndarray, ...]:
+    """Per-group zero-action tensors in the model's input contract:
+    int32 [B, A_g] (discrete) or float32 [B, A_g, act_dim_g] (continuous);
+    ``batch_size=None`` drops the leading batch axis (single-transition
+    form).  The one place the discrete/continuous action dtype+shape rule
+    lives — used by every fake-batch/example-transition/zero-fill site."""
+    lead = () if batch_size is None else (batch_size,)
+    if discrete:
+        return tuple(
+            jnp.zeros(lead + (len(idxs),), jnp.int32)
+            for (_, _), idxs in spec.groups
+        )
+    return tuple(
+        jnp.zeros(lead + (len(idxs), ad), jnp.float32)
+        for (_, ad), idxs in spec.groups
+    )
+
+
 class GroupedBatch(NamedTuple):
     """Tensorized model input, one entry per AgentSpec group (in group order).
 

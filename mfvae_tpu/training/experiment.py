@@ -54,6 +54,7 @@ def build_spec(env) -> AgentSpec:
 class Experiment:
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
+        cfg.validate()
         self.env = make(
             cfg.env.name,
             num_good_agents=cfg.env.num_good_agents,
@@ -62,12 +63,6 @@ class Experiment:
             max_steps=cfg.env.max_steps,
             discrete_actions=cfg.env.discrete_actions,
         )
-        if cfg.env.discrete_actions != cfg.model.discrete_act:
-            raise ValueError(
-                "env.discrete_actions and model.discrete_act must agree "
-                f"(got env={cfg.env.discrete_actions}, "
-                f"model={cfg.model.discrete_act})"
-            )
         self.spec = build_spec(self.env)
         self.codebook = {a: i for i, a in enumerate(self.env.agents)}
         self.model = MAVAE.from_config(cfg.model, self.spec)
@@ -268,20 +263,16 @@ class Experiment:
         )
 
     def _example_transition(self, obs, env_state) -> GroupedTransition:
-        if self.cfg.env.discrete_actions:
+        from mfvae_tpu.models.mavae import zero_actions_grouped
+
+        discrete = self.cfg.env.discrete_actions
+        if discrete:
             zero_actions = jnp.zeros((self.spec.n_agents,), jnp.int32)
-            act_g = tuple(
-                zero_actions[jnp.asarray(idxs)]
-                for (_, _), idxs in self.spec.groups
-            )
         else:
             zero_actions = jnp.zeros(
                 (self.spec.n_agents, self.spec.act_dims[0]), jnp.float32
             )
-            act_g = tuple(
-                zero_actions[jnp.asarray(idxs), :]
-                for (_, _), idxs in self.spec.groups
-            )
+        act_g = zero_actions_grouped(self.spec, None, discrete)
         next_obs, _, rewards, done, _ = self.env.step_stacked(
             jax.random.PRNGKey(0), env_state, zero_actions
         )
@@ -300,16 +291,11 @@ class Experiment:
             jnp.zeros((batch_size, len(idxs), od))
             for (od, _), idxs in self.spec.groups
         )
-        if self.cfg.model.discrete_act:
-            act = tuple(
-                jnp.zeros((batch_size, len(idxs)), jnp.int32)
-                for (_, _), idxs in self.spec.groups
-            )
-        else:
-            act = tuple(
-                jnp.zeros((batch_size, len(idxs), ad), jnp.float32)
-                for (_, ad), idxs in self.spec.groups
-            )
+        from mfvae_tpu.models.mavae import zero_actions_grouped
+
+        act = zero_actions_grouped(
+            self.spec, batch_size, self.cfg.model.discrete_act
+        )
         return GroupedBatch(obs=obs, actions=act)
 
     def _try_resume(self):

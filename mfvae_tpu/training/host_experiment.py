@@ -43,6 +43,7 @@ class HostExperiment:
         # map the jax-path env name (MPE_simple_tag_v3) onto the host
         # factory's PettingZoo-style name
         env_name = cfg.env.name.replace("MPE_", "")
+        cfg.validate()
         self.env, obs_dims, act_dims, _, _ = create_env(
             env_name,
             num_good=cfg.env.num_good_agents,
@@ -52,12 +53,6 @@ class HostExperiment:
             seed=cfg.train.seed,
             discrete=cfg.env.discrete_actions,
         )
-        if cfg.env.discrete_actions != cfg.model.discrete_act:
-            raise ValueError(
-                "env.discrete_actions and model.discrete_act must agree "
-                f"(got env={cfg.env.discrete_actions}, "
-                f"model={cfg.model.discrete_act})"
-            )
         self.agents = list(self.env.agents)
         self.spec = AgentSpec.from_dicts(self.agents, obs_dims, act_dims)
         self.model = MAVAE.from_config(cfg.model, self.spec)
@@ -147,16 +142,11 @@ class HostExperiment:
             jnp.zeros((batch_size, len(idxs), od))
             for (od, _), idxs in self.spec.groups
         )
-        if self.cfg.model.discrete_act:
-            act = tuple(
-                jnp.zeros((batch_size, len(idxs)), jnp.int32)
-                for (_, _), idxs in self.spec.groups
-            )
-        else:
-            act = tuple(
-                jnp.zeros((batch_size, len(idxs), ad), jnp.float32)
-                for (_, ad), idxs in self.spec.groups
-            )
+        from mfvae_tpu.models.mavae import zero_actions_grouped
+
+        act = zero_actions_grouped(
+            self.spec, batch_size, self.cfg.model.discrete_act
+        )
         return VaeBatch(
             inputs=GroupedBatch(obs=obs, actions=act),
             next_state=jnp.zeros((batch_size, sum(self.spec.obs_dims))),
@@ -183,9 +173,10 @@ class HostExperiment:
         rewards = np.concatenate(
             [sample[f"{a}_rewards"] for a in spec.agents], axis=-1
         )
+        act_dtype = np.int32 if self.cfg.model.discrete_act else np.float32
         host = (
             tuple(obs_g),
-            tuple(a.astype(np.int32) for a in act_g),
+            tuple(a.astype(act_dtype) for a in act_g),
             next_state.astype(np.float32),
             rewards.astype(np.float32),
         )

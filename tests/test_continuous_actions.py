@@ -91,6 +91,13 @@ class TestHostPath:
         assert set(exp.spec.act_dims) == {2}
         result = exp.run()
         assert np.isfinite(result["loss_train"])
+        # the assembled device batch must carry REAL float forces — not
+        # int-truncated zeros (regression: _device_batch once cast Box
+        # actions to int32, silently training on all-zero actions)
+        batch = exp._device_batch(exp.buffer.sample())
+        for a in batch.inputs.actions:
+            assert np.issubdtype(np.asarray(a).dtype, np.floating)
+            assert float(np.abs(np.asarray(a)).max()) > 0.05
 
     def test_native_batched_collector_continuous(self, tmp_path):
         """n_host_envs>1: batched continuous stepping through the C++
@@ -251,3 +258,51 @@ class TestContinuousInference:
         states, rewards = wm.rollout(batch, plan)
         assert states.shape == (T, B, 16) and rewards.shape == (T, B, 3)
         assert np.isfinite(np.asarray(states)).all()
+
+
+    def test_rollout_dict_plan_unbatched(self):
+        """Dict action plans with natural unbatched continuous shapes
+        [T, act_dim] per agent must widen to [T, 1, A, act_dim]
+        (regression: the dict path once misparsed [T, 2] as [T, B])."""
+        import jax.numpy as jnp
+
+        from mfvae_tpu.inference import WorldModel
+
+        spec, model, batch, variables = self._build()
+        wm = WorldModel(model, variables)
+        obs_d = {
+            "adversary_0": np.ones((6,), np.float32),
+            "adversary_1": np.ones((6,), np.float32),
+            "agent_0": np.ones((4,), np.float32),
+        }
+        T = 3
+        plan = {a: np.zeros((T, 2), np.float32) for a in spec.agents}
+        states, rewards = wm.rollout(obs_d, plan)
+        assert states.shape == (T, 1, 16) and rewards.shape == (T, 1, 3)
+        assert np.isfinite(np.asarray(states)).all()
+
+
+class TestContinuousResume:
+    def test_checkpoint_resume_continuous(self, tmp_path):
+        """Exact resume of a continuous-action run: restored params equal
+        saved params, training continues to the target epoch."""
+        import jax
+
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = continuous_cfg(tmp_path, checkpoint_every=1, epoch_num=2)
+        exp = Experiment(cfg).setup()
+        exp.run()
+        exp.ckpt.wait()
+
+        cfg2 = continuous_cfg(
+            tmp_path, checkpoint_every=1, epoch_num=4, resume=True
+        )
+        exp2 = Experiment(cfg2).setup()
+        assert exp2.start_epoch == 2
+        saved = exp.carry.train_state.params
+        restored = exp2.carry.train_state.params
+        for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        result = exp2.run()
+        assert result["epoch"] == 3
