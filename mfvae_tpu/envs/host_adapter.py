@@ -131,11 +131,22 @@ def create_env(
     continuous contract is the JAX envs' 2-d force Box(-1, 1, (2,)), not
     PettingZoo's 5-channel Box(0, 1, (5,))."""
     if env_name not in (
-        "simple_tag_v3", "simple_spread_v3", "simple_world_comm_v3"
+        "simple_tag_v3", "simple_spread_v3", "simple_world_comm_v3",
+        "simple_adversary_v3",
     ):
         raise NotImplementedError(env_name)
     spread = env_name == "simple_spread_v3"
     world_comm = env_name == "simple_world_comm_v3"
+    if env_name == "simple_adversary_v3":
+        # no native-engine scenario (yet): always the jitted-JAX wrapper
+        env = LocalHostEnv(
+            env_name, num_good, num_adversaries, num_obstacles, max_cycles,
+            discrete=discrete,
+        )
+        obs, infos = env.reset(seed=seed)
+        obs_dims = {a: get_space_size(env.observation_space(a)) for a in env.agents}
+        act_dims = {a: get_space_size(env.action_space(a)) for a in env.agents}
+        return env, obs_dims, act_dims, obs, infos
     if world_comm and not discrete:
         raise NotImplementedError(
             "simple_world_comm is discrete-only (matching the reference "

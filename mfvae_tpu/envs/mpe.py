@@ -446,6 +446,164 @@ class SimpleSpreadEnv:
         return {f"agent_{i}": obs.agent[i] for i in range(self.num_agents)}
 
 
+class AdversaryState(NamedTuple):
+    agent_pos: jnp.ndarray  # [A, 2] adversary first, then good agents
+    agent_vel: jnp.ndarray  # [A, 2]
+    landmark_pos: jnp.ndarray  # [L, 2]
+    goal: jnp.ndarray  # int32 index of the goal landmark (chosen at reset)
+    step: jnp.ndarray  # int32
+
+
+ADVERSARY_AGENT_SIZE = 0.15
+ADVERSARY_LANDMARK_SIZE = 0.08
+
+
+@dataclass(frozen=True)
+class SimpleAdversaryEnv:
+    """MPE simple_adversary (physical deception), public scenario spec:
+
+    1 adversary + N good agents + N landmarks, one of which is the goal
+    (chosen uniformly at reset).  Good agents observe the goal-relative
+    position; the adversary does not know which landmark is the goal.  No
+    contact forces (``collide=False`` for every entity in the published
+    scenario), accel 5.0 (the MPE default sensitivity), no speed cap.
+
+    Shaped rewards (the published defaults):
+      adversary:  -dist(adversary, goal)
+      good (shared): -min_i dist(good_i, goal) + Σ_adv dist(adv, goal)
+    Observations (world.agents order = adversary first):
+      good:      [goal_rel(2), landmark_rel(2L), other_rel(2(A-1))]
+      adversary: [landmark_rel(2L), other_rel(2(A-1))]
+    Fourth env family in the registry (tag, spread, world_comm, adversary).
+    """
+
+    num_good_agents: int = 2
+    max_steps: int = 25
+    discrete_actions: bool = True
+
+    @property
+    def num_adversaries(self) -> int:
+        return 1
+
+    @property
+    def num_agents(self) -> int:
+        return self.num_good_agents + 1
+
+    @property
+    def num_landmarks(self) -> int:
+        return self.num_good_agents
+
+    @cached_property
+    def agents(self) -> Tuple[str, ...]:
+        return ("adversary_0",) + tuple(
+            f"agent_{i}" for i in range(self.num_good_agents)
+        )
+
+    def obs_dim(self, adversary) -> int:
+        if isinstance(adversary, str):
+            adversary = adversary.startswith("adversary")
+        base = 2 * self.num_landmarks + 2 * (self.num_agents - 1)
+        return base if adversary else base + 2
+
+    def action_space(self, agent: str):
+        if self.discrete_actions:
+            return Discrete(5)
+        return Box(-1.0, 1.0, (2,))
+
+    def observation_space(self, agent: str):
+        return Box(-jnp.inf, jnp.inf, (self.obs_dim(agent),))
+
+    def reset_stacked(self, rng_key: jax.Array) -> Tuple[StackedObs, AdversaryState]:
+        k_a, k_l, k_g = jax.random.split(rng_key, 3)
+        state = AdversaryState(
+            agent_pos=jax.random.uniform(
+                k_a, (self.num_agents, 2), minval=-1.0, maxval=1.0
+            ),
+            agent_vel=jnp.zeros((self.num_agents, 2)),
+            landmark_pos=jax.random.uniform(
+                k_l, (self.num_landmarks, 2), minval=-0.9, maxval=0.9
+            ),
+            goal=jax.random.randint(k_g, (), 0, self.num_landmarks),
+            step=jnp.int32(0),
+        )
+        return self._observe(state), state
+
+    def reset(self, rng_key: jax.Array):
+        obs, state = self.reset_stacked(rng_key)
+        return self._obs_dict(obs), state
+
+    def step_stacked(self, rng_key, state: AdversaryState, actions: jnp.ndarray):
+        del rng_key
+        if self.discrete_actions:
+            directions = jnp.array(
+                [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
+            )
+            u = directions[actions]
+        else:
+            u = actions
+        accel = 5.0  # MPE default sensitivity (agents carry no accel here)
+        # collide=False for every entity in this scenario: pure kinematics
+        vel = state.agent_vel * (1.0 - DAMPING) + u * accel * DT
+        pos = state.agent_pos + vel * DT
+        new_state = AdversaryState(
+            agent_pos=pos,
+            agent_vel=vel,
+            landmark_pos=state.landmark_pos,
+            goal=state.goal,
+            step=state.step + 1,
+        )
+        rewards = self._rewards(new_state)
+        done = jnp.full((self.num_agents,), new_state.step >= self.max_steps, bool)
+        return self._observe(new_state), new_state, rewards, done, {}
+
+    def step(self, rng_key, state, actions: Dict[str, jnp.ndarray]):
+        act = jnp.stack([actions[a] for a in self.agents], axis=0)
+        obs, new_state, rewards, done, info = self.step_stacked(rng_key, state, act)
+        rew_d = {a: rewards[i] for i, a in enumerate(self.agents)}
+        done_d = {a: done[i] for i, a in enumerate(self.agents)}
+        done_d["__all__"] = jnp.all(done)
+        return self._obs_dict(obs), new_state, rew_d, done_d, info
+
+    def _rewards(self, state: AdversaryState) -> jnp.ndarray:
+        goal = state.landmark_pos[state.goal]
+        d = jnp.linalg.norm(state.agent_pos - goal[None, :], axis=-1)  # [A]
+        adv_d = d[0]
+        good_d = d[1:]
+        adv_rew = -adv_d
+        good_rew = -jnp.min(good_d) + adv_d  # shared shaped reward
+        return jnp.concatenate(
+            [adv_rew[None], jnp.full((self.num_good_agents,), good_rew)]
+        )
+
+    def _observe(self, state: AdversaryState) -> StackedObs:
+        n = self.num_agents
+        pos = state.agent_pos
+        landmark_rel = state.landmark_pos[None, :, :] - pos[:, None, :]  # [A, L, 2]
+        other_rel = pos[None, :, :] - pos[:, None, :]  # [A, A, 2]
+        rows, cols = _np.nonzero(~_np.eye(n, dtype=bool))
+        other_rel = other_rel[rows, cols].reshape(n, n - 1, 2)
+        goal_rel = state.landmark_pos[state.goal][None, :] - pos  # [A, 2]
+        adv = jnp.concatenate(
+            [landmark_rel[:1].reshape(1, -1), other_rel[:1].reshape(1, -1)],
+            axis=-1,
+        )
+        good = jnp.concatenate(
+            [
+                goal_rel[1:],
+                landmark_rel[1:].reshape(n - 1, -1),
+                other_rel[1:].reshape(n - 1, -1),
+            ],
+            axis=-1,
+        )
+        return StackedObs(adversary=adv, good=good)
+
+    def _obs_dict(self, obs: StackedObs) -> Dict[str, jnp.ndarray]:
+        out = {"adversary_0": obs.adversary[0]}
+        for i in range(self.num_good_agents):
+            out[f"agent_{i}"] = obs.good[i]
+        return out
+
+
 class WorldCommState(NamedTuple):
     agent_pos: jnp.ndarray  # [A, 2] leader, adversaries, good agents
     agent_vel: jnp.ndarray  # [A, 2]
@@ -793,6 +951,7 @@ _REGISTRY = {
     "MPE_simple_tag_v3": SimpleTagEnv,
     "MPE_simple_spread_v3": SimpleSpreadEnv,
     "MPE_simple_world_comm_v3": SimpleWorldCommEnv,
+    "MPE_simple_adversary_v3": SimpleAdversaryEnv,
 }
 
 # population-style kwargs accepted per env (reference surface passes

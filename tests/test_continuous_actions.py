@@ -55,6 +55,16 @@ class TestDevicePath:
         result = exp.run()
         assert np.isfinite(result["loss_train"])
 
+    def test_adversary_continuous(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = continuous_cfg(tmp_path, epoch_num=2)
+        cfg.env.name = "MPE_simple_adversary_v3"
+        cfg.env.num_good_agents = 2
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
     def test_mismatched_flags_rejected(self, tmp_path):
         from mfvae_tpu.training.experiment import Experiment
 

@@ -654,3 +654,157 @@ class TestWorldCommFidelity:
         # trailing singleton — shape parity with the reference smoke output
         assert batch.experience["adversary_1_next_obs"].shape == (64, 34, 1)
         assert batch.experience["agent_0_obs"].shape == (64, 28, 1)
+
+
+class SimpleAdversaryOracle:
+    """Published simple_adversary (physical deception), per-agent loops:
+    1 adversary + N good agents (size .15, accel 5.0 MPE default, no speed
+    cap, collide=False — no contact forces anywhere) + N landmarks (.08,
+    non-collidable), one being the goal.  Shaped rewards: adversary
+    -dist(adv, goal); good (shared) -min_i dist(good_i, goal) +
+    dist(adv, goal).  Obs: good [goal_rel, landmark_rel..., other_rel...],
+    adversary [landmark_rel..., other_rel...] (world.agents order =
+    adversary first)."""
+
+    def __init__(self, n_good):
+        self.n_good = n_good
+        self.agents = [
+            Entity(0.15, 5.0, None, True, False, adversary=True)
+        ] + [Entity(0.15, 5.0, None, True, False) for _ in range(n_good)]
+        self.landmark_pos = np.zeros((n_good, 2))
+        self.goal = 0
+
+    def set_state(self, agent_pos, agent_vel, landmark_pos, goal):
+        for a, p, v in zip(self.agents, agent_pos, agent_vel):
+            a.pos = np.array(p, dtype=np.float64)
+            a.vel = np.array(v, dtype=np.float64)
+        self.landmark_pos = np.array(landmark_pos, dtype=np.float64)
+        self.goal = int(goal)
+
+    def set_discrete_actions(self, actions):
+        dirs = np.array(
+            [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
+        )
+        for a, act in zip(self.agents, actions):
+            a.u = dirs[int(act)]
+
+    def world_step(self):
+        # per-agent integrator, no contact forces (nothing collides)
+        for a in self.agents:
+            force = a.u * a.accel
+            a.vel = a.vel * (1.0 - DAMPING) + force * DT
+            a.pos = a.pos + a.vel * DT
+
+    def rewards(self):
+        goal_p = self.landmark_pos[self.goal]
+        adv_d = np.sqrt(np.sum((self.agents[0].pos - goal_p) ** 2))
+        good_d = [
+            np.sqrt(np.sum((a.pos - goal_p) ** 2)) for a in self.agents[1:]
+        ]
+        good_rew = -min(good_d) + adv_d
+        return np.array([-adv_d] + [good_rew] * self.n_good)
+
+    def observe(self, i):
+        me = self.agents[i]
+        landmark_rel = [lp - me.pos for lp in self.landmark_pos]
+        other_rel = [
+            o.pos - me.pos for j, o in enumerate(self.agents) if j != i
+        ]
+        if i == 0:  # adversary: no goal knowledge
+            return np.concatenate(landmark_rel + other_rel)
+        goal_rel = self.landmark_pos[self.goal] - me.pos
+        return np.concatenate([goal_rel] + landmark_rel + other_rel)
+
+    def observations(self):
+        adv = np.stack([self.observe(0)])
+        good = np.stack([self.observe(i) for i in range(1, len(self.agents))])
+        return adv, good
+
+
+class TestSimpleAdversaryFidelity:
+    def test_rollout_matches_oracle(self):
+        from mfvae_tpu.envs.mpe import AdversaryState, SimpleAdversaryEnv
+
+        n_good = 3
+        env = SimpleAdversaryEnv(num_good_agents=n_good)
+        oracle = SimpleAdversaryOracle(n_good)
+        rng = np.random.default_rng(5)
+        pos, vel, lpos = random_state(rng, n_good + 1, n_good)
+        goal = 2
+        oracle.set_state(pos, vel, lpos, goal)
+        state = AdversaryState(
+            agent_pos=jnp.asarray(pos, jnp.float32),
+            agent_vel=jnp.asarray(vel, jnp.float32),
+            landmark_pos=jnp.asarray(lpos, jnp.float32),
+            goal=jnp.int32(goal),
+            step=jnp.int32(0),
+        )
+        step = jax.jit(env.step_stacked)
+        for t in range(10):
+            actions = rng.integers(0, 5, size=n_good + 1)
+            oracle.set_discrete_actions(actions)
+            oracle.world_step()
+            obs, state, rewards, done, _ = step(
+                jax.random.PRNGKey(t), state, jnp.asarray(actions)
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.agent_pos),
+                np.stack([a.pos for a in oracle.agents]),
+                rtol=1e-4, atol=1e-5,
+            )
+            want_adv, want_good = oracle.observations()
+            np.testing.assert_allclose(
+                np.asarray(obs.adversary), want_adv, rtol=1e-4, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(obs.good), want_good, rtol=1e-4, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(rewards), oracle.rewards(), rtol=1e-4, atol=1e-5
+            )
+
+    def test_reward_golden_hand_computed(self):
+        """Hand-placed positions: adversary at (0.6, 0.8) from goal at the
+        origin -> dist exactly 1.0; best good agent at (0.3, 0.4) -> 0.5.
+        adversary reward = -1.0; shared good reward = -0.5 + 1.0 = 0.5."""
+        from mfvae_tpu.envs.mpe import AdversaryState, SimpleAdversaryEnv
+
+        env = SimpleAdversaryEnv(num_good_agents=2)
+        state = AdversaryState(
+            agent_pos=jnp.asarray(
+                [[0.6, 0.8], [0.3, 0.4], [5.0, 5.0]], jnp.float32
+            ),
+            agent_vel=jnp.zeros((3, 2)),
+            landmark_pos=jnp.asarray([[9.0, 9.0], [0.0, 0.0]], jnp.float32),
+            goal=jnp.int32(1),
+            step=jnp.int32(0),
+        )
+        rewards = env._rewards(state)
+        np.testing.assert_allclose(
+            np.asarray(rewards), [-1.0, 0.5, 0.5], rtol=1e-6
+        )
+
+    def test_goal_hidden_from_adversary(self):
+        """The adversary's observation must be invariant to which landmark
+        is the goal (physical deception: only good agents know)."""
+        from mfvae_tpu.envs.mpe import AdversaryState, SimpleAdversaryEnv
+
+        env = SimpleAdversaryEnv(num_good_agents=2)
+        rng = np.random.default_rng(0)
+        pos, vel, lpos = random_state(rng, 3, 2)
+        obs = []
+        for goal in (0, 1):
+            state = AdversaryState(
+                agent_pos=jnp.asarray(pos, jnp.float32),
+                agent_vel=jnp.asarray(vel, jnp.float32),
+                landmark_pos=jnp.asarray(lpos, jnp.float32),
+                goal=jnp.int32(goal),
+                step=jnp.int32(0),
+            )
+            obs.append(env._observe(state))
+        np.testing.assert_array_equal(
+            np.asarray(obs[0].adversary), np.asarray(obs[1].adversary)
+        )
+        assert not np.allclose(
+            np.asarray(obs[0].good), np.asarray(obs[1].good)
+        )

@@ -266,3 +266,35 @@ class TestEndToEnd:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         result = exp2.run()
         assert result["epoch"] == 3
+
+
+def test_world_model_on_simple_adversary(tmp_path):
+    """Fourth env family: heterogeneous obs widths (adversary 2L+2(A-1) vs
+    good +2 goal channel), goal-conditioned observations, no contact
+    forces — through the unchanged fused epoch program."""
+    from mfvae_tpu.training.experiment import Experiment
+
+    cfg = tiny_cfg(tmp_path, epoch_num=2)
+    cfg.env.name = "MPE_simple_adversary_v3"
+    cfg.env.num_good_agents = 2
+    exp = Experiment(cfg).setup()
+    assert len(exp.spec.groups) == 2  # adversary + good classes
+    assert exp.spec.obs_dims[0] + 2 == exp.spec.obs_dims[1]
+    result = exp.run()
+    assert np.isfinite(result["loss_train"])
+
+
+def test_simple_adversary_host_path(tmp_path):
+    """Host backend resolves simple_adversary through the jitted-JAX
+    LocalHostEnv (no native-engine scenario)."""
+    from mfvae_tpu.training.host_experiment import HostExperiment
+
+    cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=4, train_num=1, test_num=1)
+    cfg.env.name = "MPE_simple_adversary_v3"
+    cfg.env.num_good_agents = 2
+    cfg.buffer.min_size = 2
+    cfg.buffer.batch_size = 2
+    exp = HostExperiment(cfg).setup()
+    assert exp.agents[0] == "adversary_0" and len(exp.agents) == 3
+    result = exp.run()
+    assert np.isfinite(result["loss_train"])
