@@ -68,3 +68,27 @@ def test_vdn_on_world_comm():
     out = jax.jit(make_train(cfg))(jax.random.PRNGKey(0))
     m = jax.tree.map(np.asarray, out["metrics"])
     assert np.isfinite(m["loss"]).all()
+
+
+def test_vdn_on_simple_adversary():
+    """The mixed-motive fourth family: heterogeneous obs (adversary has no
+    goal channel) through the shared-parameter Q stack."""
+    from mfvae_tpu.baselines.vdn import VdnConfig, make_train
+
+    cfg = VdnConfig(
+        env_name="MPE_simple_adversary_v3",
+        num_good_agents=2,
+        max_env_steps=8,
+        num_envs=2,
+        num_steps=8,
+        num_updates=3,
+        buffer_size_time=64,
+        min_buffer_time=8,
+        batch_size=4,
+        sample_sequence_length=4,
+        hidden_dim=16,
+        test_during_training=False,
+    )
+    out = jax.jit(make_train(cfg))(jax.random.PRNGKey(0))
+    m = jax.tree.map(np.asarray, out["metrics"])
+    assert np.isfinite(m["loss"]).all()
