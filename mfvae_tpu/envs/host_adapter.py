@@ -36,7 +36,7 @@ def get_space_size(space) -> int:
 
 class LocalHostEnv:
     """PettingZoo parallel-API wrapper over the in-repo pure-JAX MPE envs
-    (envs/mpe.py — all three scenario families), for when neither
+    (envs/mpe.py — all four scenario families), for when neither
     `pettingzoo.mpe` nor `mpe2` ships the MPE family (PettingZoo >=1.25
     moved it out) and the native C++ engine is unavailable (no g++).  Same
     surface the reference consumes: reset(seed)->(obs, infos),
@@ -118,11 +118,14 @@ def create_env(
     otherwise the first-party native C++ engine (envs/native_engine.py —
     microsecond host steps, fidelity-tested against the JAX env); last
     resort is the jitted-JAX LocalHostEnv (pays device dispatch per host
-    step, covers all three scenarios).
+    step, covers all four scenarios).
 
     Supports simple_tag_v3 (the reference's scenario), simple_spread_v3
-    (num_good becomes the agent count), and simple_world_comm_v3
-    (discrete-only, matching the reference path).  The non-tag scenarios
+    (num_good becomes the agent count), simple_world_comm_v3
+    (discrete-only, matching the reference path), and simple_adversary_v3
+    (always through LocalHostEnv — no native-engine scenario, and
+    PettingZoo is skipped for the same reward-scale reasons as the other
+    non-tag scenarios).  The non-tag scenarios
     always use the in-repo engines, NOT PettingZoo: PettingZoo's
     simple_spread defaults to local_ratio=0.5 (reward = half global + half
     local) where the in-repo envs use the full coverage-minus-collisions

@@ -48,6 +48,12 @@ ADV_SIZE, GOOD_SIZE, LANDMARK_SIZE = 0.075, 0.05, 0.2
 ADV_ACCEL, GOOD_ACCEL = 3.0, 4.0
 ADV_MAX_SPEED, GOOD_MAX_SPEED = 1.0, 1.3
 COLLISION_REWARD = 10.0
+# 0 no-op, 1 -x, 2 +x, 3 -y, 4 +y (standard MPE discrete action map,
+# shared by every scenario)
+DISCRETE_DIRECTIONS = _np.array(
+    [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]],
+    dtype=_np.float32,
+)
 
 
 class MPEState(NamedTuple):
@@ -198,11 +204,7 @@ class SimpleTagEnv:
     # ------------------------------------------------------------- dynamics
     def _action_force(self, actions: jnp.ndarray) -> jnp.ndarray:
         if self.discrete_actions:
-            # 0 no-op, 1 -x, 2 +x, 3 -y, 4 +y (standard MPE discrete map)
-            directions = jnp.array(
-                [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
-            )
-            return directions[actions]
+            return jnp.asarray(DISCRETE_DIRECTIONS)[actions]
         return actions
 
     def _contact_forces(self, state: MPEState) -> jnp.ndarray:
@@ -369,10 +371,7 @@ class SimpleSpreadEnv:
     def step_stacked(self, rng_key, state: MPEState, actions: jnp.ndarray):
         del rng_key
         if self.discrete_actions:
-            directions = jnp.array(
-                [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
-            )
-            u = directions[actions]
+            u = jnp.asarray(DISCRETE_DIRECTIONS)[actions]
         else:
             u = actions
         accel = 5.0  # MPE default sensitivity when accel unset
@@ -535,10 +534,7 @@ class SimpleAdversaryEnv:
     def step_stacked(self, rng_key, state: AdversaryState, actions: jnp.ndarray):
         del rng_key
         if self.discrete_actions:
-            directions = jnp.array(
-                [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
-            )
-            u = directions[actions]
+            u = jnp.asarray(DISCRETE_DIRECTIONS)[actions]
         else:
             u = actions
         accel = 5.0  # MPE default sensitivity (agents carry no accel here)
@@ -764,9 +760,7 @@ class SimpleWorldCommEnv:
     ) -> Tuple[WorldCommObs, WorldCommState, jnp.ndarray, jnp.ndarray, Dict]:
         """actions: [A] int; leader entry in [0, 5*dim_c), rest in [0, 5)."""
         del rng_key
-        directions = jnp.array(
-            [[0.0, 0.0], [-1.0, 0.0], [1.0, 0.0], [0.0, -1.0], [0.0, 1.0]]
-        )
+        directions = jnp.asarray(DISCRETE_DIRECTIONS)
         move = actions % 5  # published splitter: movement = a % 5
         u = directions[move]
         p_force = u * self._accels[:, None] + self._contact_forces(state)

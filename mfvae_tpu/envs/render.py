@@ -73,13 +73,23 @@ def _entities(env, state) -> List[Tuple[float, float, float, Tuple[int, int, int
     elif isinstance(env, mpe.SimpleSpreadEnv):
         for i in range(env.num_landmarks):
             out.append((*lpos[i], mpe.SPREAD_LANDMARK_SIZE, LANDMARK_COLOR, 1.0))
+    elif isinstance(env, mpe.SimpleAdversaryEnv):
+        goal = int(state.goal)
+        for i in range(env.num_landmarks):
+            color = FOOD_COLOR if i == goal else LANDMARK_COLOR
+            out.append((*lpos[i], mpe.ADVERSARY_LANDMARK_SIZE, color, 1.0))
     else:  # simple_tag
         for i in range(env.num_obs):
             out.append((*lpos[i], mpe.LANDMARK_SIZE, LANDMARK_COLOR, 1.0))
 
     apos = np.asarray(state.agent_pos)
     for i, name in enumerate(env.agents):
-        if name.startswith("leadadversary"):
+        if isinstance(env, mpe.SimpleAdversaryEnv):
+            color = (
+                ADVERSARY_COLOR if name.startswith("adversary") else GOOD_COLOR
+            )
+            size = mpe.ADVERSARY_AGENT_SIZE
+        elif name.startswith("leadadversary"):
             color, size = LEADER_COLOR, mpe.ADV_SIZE
         elif name.startswith("adversary"):
             color, size = ADVERSARY_COLOR, mpe.ADV_SIZE

@@ -66,3 +66,18 @@ def test_plot_metrics(tmp_path):
                 f.write(json.dumps({"tag": tag, "value": 1.0 / (step + 1), "step": step}) + "\n")
     out = plot_metrics(str(jsonl), str(tmp_path / "curves.png"))
     assert (tmp_path / "curves.png").stat().st_size > 0
+
+
+def test_render_simple_adversary():
+    """Every registered env family must rasterize (regression: the
+    adversary env once fell into the tag branch and crashed on num_obs)."""
+    import jax
+
+    from mfvae_tpu.envs.mpe import make
+    from mfvae_tpu.envs.render import render_state
+
+    env = make("MPE_simple_adversary_v3", num_good_agents=2)
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    frame = render_state(env, state, size=64)
+    assert frame.shape == (64, 64, 3)
+    assert frame.std() > 0  # something was drawn
