@@ -123,9 +123,7 @@ def create_env(
     Supports simple_tag_v3 (the reference's scenario), simple_spread_v3
     (num_good becomes the agent count), simple_world_comm_v3
     (discrete-only, matching the reference path), and simple_adversary_v3
-    (always through LocalHostEnv — no native-engine scenario, and
-    PettingZoo is skipped for the same reward-scale reasons as the other
-    non-tag scenarios).  The non-tag scenarios
+    (num_good good agents + 1 adversary).  The non-tag scenarios
     always use the in-repo engines, NOT PettingZoo: PettingZoo's
     simple_spread defaults to local_ratio=0.5 (reward = half global + half
     local) where the in-repo envs use the full coverage-minus-collisions
@@ -140,16 +138,7 @@ def create_env(
         raise NotImplementedError(env_name)
     spread = env_name == "simple_spread_v3"
     world_comm = env_name == "simple_world_comm_v3"
-    if env_name == "simple_adversary_v3":
-        # no native-engine scenario (yet): always the jitted-JAX wrapper
-        env = LocalHostEnv(
-            env_name, num_good, num_adversaries, num_obstacles, max_cycles,
-            discrete=discrete,
-        )
-        obs, infos = env.reset(seed=seed)
-        obs_dims = {a: get_space_size(env.observation_space(a)) for a in env.agents}
-        act_dims = {a: get_space_size(env.action_space(a)) for a in env.agents}
-        return env, obs_dims, act_dims, obs, infos
+    adversary = env_name == "simple_adversary_v3"
     if world_comm and not discrete:
         raise NotImplementedError(
             "simple_world_comm is discrete-only (matching the reference "
@@ -157,7 +146,7 @@ def create_env(
             "form)"
         )
     env = None
-    if not spread and not world_comm and discrete:
+    if not spread and not world_comm and not adversary and discrete:
         for modname in ("pettingzoo.mpe", "mpe2"):
             try:
                 import importlib
@@ -175,6 +164,7 @@ def create_env(
                 continue
     if env is None:
         from mfvae_tpu.envs.native_engine import (
+            NativeAdversaryHostEnv,
             NativeHostEnv,
             NativeSpreadHostEnv,
             NativeWorldCommHostEnv,
@@ -182,7 +172,11 @@ def create_env(
         )
 
         if native_engine_available():
-            if spread:
+            if adversary:
+                env = NativeAdversaryHostEnv(
+                    num_good, max_cycles, seed=seed, continuous=not discrete
+                )
+            elif spread:
                 env = NativeSpreadHostEnv(
                     num_good, max_cycles, seed=seed, continuous=not discrete
                 )

@@ -47,6 +47,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     lib.mpe_create_spread.argtypes = [c.c_int32] * 3 + [c.c_uint64, c.c_int32]
     lib.mpe_create_worldcomm.restype = c.c_void_p
     lib.mpe_create_worldcomm.argtypes = [c.c_int32] * 8 + [c.c_uint64, c.c_int32]
+    lib.mpe_create_adversary.restype = c.c_void_p
+    lib.mpe_create_adversary.argtypes = [c.c_int32] * 3 + [c.c_uint64, c.c_int32]
+    lib.mpe_get_goal.restype = c.c_int32
+    lib.mpe_get_goal.argtypes = [c.c_void_p, c.c_int32]
+    lib.mpe_set_goal.argtypes = [c.c_void_p, c.c_int32, c.c_int32]
     lib.mpe_obs_dim_lead.restype = c.c_int32
     lib.mpe_obs_dim_lead.argtypes = [c.c_void_p]
     lib.mpe_get_comm.argtypes = [c.c_void_p, c.c_int32, _F32]
@@ -292,6 +297,93 @@ class NativeSimpleSpreadEnv:
         return pos, vel, lmk, int(step.value)
 
     set_state = NativeSimpleTagEnv.set_state
+
+
+class NativeSimpleAdversaryEnv:
+    """Batched simple_adversary on the native engine: 1 adversary (agent 0,
+    obs 2L+2(A-1)) + N good agents (+2 goal_rel channel), N landmarks, one
+    being the per-env goal re-chosen at each reset.  Same zero-copy
+    contract and surface as NativeSimpleTagEnv."""
+
+    def __init__(
+        self,
+        n_envs: int = 1,
+        num_good_agents: int = 2,
+        max_steps: int = 25,
+        seed: int = 0,
+        n_threads: int = 0,
+        auto_reset: bool = True,
+    ):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError(
+                "native MPE engine unavailable (no g++ toolchain or build "
+                "failed); use envs.mpe.SimpleAdversaryEnv instead"
+            )
+        self._lib = lib
+        self.n_envs = int(n_envs)
+        self.num_good_agents = int(num_good_agents)
+        self.num_adversaries = 1
+        self.max_steps = int(max_steps)
+        self.num_agents = self.num_good_agents + 1
+        self.auto_reset = bool(auto_reset)
+        self._h = lib.mpe_create_adversary(
+            self.n_envs, self.num_good_agents, self.max_steps, seed, n_threads
+        )
+        self.obs_dim_adv = int(lib.mpe_obs_dim_adv(self._h))
+        self.obs_dim_good = int(lib.mpe_obs_dim_good(self._h))
+        self.obs_stride = int(lib.mpe_obs_stride(self._h))
+        self._obs = np.empty((self.n_envs, self.obs_stride), np.float32)
+        self._rew = np.empty((self.n_envs, self.num_agents), np.float32)
+        self._done = np.empty((self.n_envs,), np.uint8)
+
+    __del__ = NativeSimpleTagEnv.__del__
+    reset = NativeSimpleTagEnv.reset
+    reset_where = NativeSimpleTagEnv.reset_where
+    observe = NativeSimpleTagEnv.observe
+    step = NativeSimpleTagEnv.step
+    step_continuous = NativeSimpleTagEnv.step_continuous
+
+    @property
+    def agents(self) -> Tuple[str, ...]:
+        return ("adversary_0",) + tuple(
+            f"agent_{i}" for i in range(self.num_good_agents)
+        )
+
+    def split_obs(self, obs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[n_envs, obs_stride] -> (adversary [n_envs, 1, d_adv],
+        good [n_envs, N, d_good]) views."""
+        cut = self.obs_dim_adv
+        adv = obs[:, :cut].reshape(-1, 1, self.obs_dim_adv)
+        good = obs[:, cut:].reshape(-1, self.num_good_agents, self.obs_dim_good)
+        return adv, good
+
+    def named_obs(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        adv, good = self.split_obs(flat)
+        out = {"adversary_0": adv[:, 0]}
+        for i in range(self.num_good_agents):
+            out[f"agent_{i}"] = good[:, i]
+        return out
+
+    @property
+    def action_highs(self) -> np.ndarray:
+        return np.full((self.num_agents,), 5, np.int64)
+
+    def get_state(self, env: int = 0):
+        pos = np.empty((self.num_agents, 2), np.float32)
+        vel = np.empty((self.num_agents, 2), np.float32)
+        lmk = np.empty((self.num_good_agents, 2), np.float32)  # L == N good
+        step = ctypes.c_int32(0)
+        self._lib.mpe_get_state(self._h, env, pos, vel, lmk, ctypes.byref(step))
+        return pos, vel, lmk, int(step.value)
+
+    set_state = NativeSimpleTagEnv.set_state
+
+    def get_goal(self, env: int = 0) -> int:
+        return int(self._lib.mpe_get_goal(self._h, env))
+
+    def set_goal(self, goal: int, env: int = 0) -> None:
+        self._lib.mpe_set_goal(self._h, env, int(goal))
 
 
 class NativeSimpleWorldCommEnv:
@@ -567,6 +659,35 @@ class NativeWorldCommHostEnv(NativeHostEnv):
         for i in range(self._env.num_good_agents):
             out[f"agent_{i}"] = good[0, i].copy()
         return out
+
+
+class NativeAdversaryHostEnv(NativeHostEnv):
+    """PettingZoo parallel-API adapter over one native simple_adversary
+    env (adversary_0 lacks the 2-wide goal_rel channel the good agents
+    have)."""
+
+    def __init__(self, num_good=2, max_cycles=25, seed=0, continuous=False):
+        self._cls = NativeSimpleAdversaryEnv
+        self._ctor = dict(
+            n_envs=1,
+            num_good_agents=num_good,
+            max_steps=max_cycles,
+            n_threads=1,
+            auto_reset=False,
+        )
+        self.continuous = continuous
+        self._env = self._cls(seed=seed, **self._ctor)
+        self.agents = list(self._env.agents)
+
+    def observation_space(self, agent):
+        import gymnasium
+
+        d = (
+            self._env.obs_dim_adv
+            if agent.startswith("adversary")
+            else self._env.obs_dim_good
+        )
+        return gymnasium.spaces.Box(-np.inf, np.inf, (d,), np.float32)
 
 
 class NativeSpreadHostEnv(NativeHostEnv):

@@ -101,10 +101,8 @@ class HostExperiment:
             auto_reset=False,
         )
         if env_name == "simple_adversary_v3":
-            # no native-engine scenario: degrade to the single-env
-            # AsyncCollector (same path as a missing toolchain)
-            raise RuntimeError(
-                "simple_adversary has no native-engine scenario"
+            return ne.NativeSimpleAdversaryEnv(
+                num_good_agents=cfg.env.num_good_agents, **common
             )
         if env_name == "simple_spread_v3":
             return ne.NativeSimpleSpreadEnv(

@@ -56,13 +56,18 @@ constexpr float kWcCollisionReward = 5.0f;
 constexpr float kFoodReward = 2.0f;
 constexpr float kBoundaryExitPenalty = 10.0f;
 
-enum Scenario { kTag = 0, kSpread = 1, kWorldComm = 2 };
+// simple_adversary: homogeneous agents (size .15, accel 5, no speed
+// clip), nothing collides; one landmark (.08) is the goal, chosen at reset
+constexpr float kAdversaryAccel = 5.0f;
+
+enum Scenario { kTag = 0, kSpread = 1, kWorldComm = 2, kAdversary = 3 };
 
 struct EnvState {
   std::vector<float> pos;   // [A][2]
   std::vector<float> vel;   // [A][2]
   std::vector<float> lmk;   // [L][2]
   std::vector<float> comm;  // [dim_c] leader channel (world_comm only)
+  int32_t goal = 0;         // goal landmark index (simple_adversary only)
   int32_t step = 0;
   std::mt19937_64 rng;
 };
@@ -109,6 +114,10 @@ void reset_env(const Engine& e, EnvState& s) {
   std::fill(s.vel.begin(), s.vel.end(), 0.0f);
   for (int i = 0; i < e.n_lmk * 2; ++i) s.lmk[i] = u_lmk(s.rng);
   std::fill(s.comm.begin(), s.comm.end(), 0.0f);
+  if (e.scenario == kAdversary) {
+    std::uniform_int_distribution<int32_t> u_goal(0, e.n_lmk - 1);
+    s.goal = u_goal(s.rng);
+  }
   s.step = 0;
 }
 
@@ -259,11 +268,37 @@ void observe_wc(const Engine& e, const EnvState& s, float* out) {
   }
 }
 
+// simple_adversary observation (mpe.py SimpleAdversaryEnv._observe):
+// adversary (agent 0): [landmark_rel(2L), other_rel(2(A-1))];
+// good i: [goal_rel(2), landmark_rel(2L), other_rel(2(A-1))].
+void observe_adversary(const Engine& e, const EnvState& s, float* out) {
+  const int A = e.n_agents, L = e.n_lmk;
+  const float gx = s.lmk[2 * s.goal], gy = s.lmk[2 * s.goal + 1];
+  float* o = out;
+  for (int i = 0; i < A; ++i) {
+    if (i > 0) {  // good agents know the goal
+      *o++ = gx - s.pos[2 * i];
+      *o++ = gy - s.pos[2 * i + 1];
+    }
+    for (int l = 0; l < L; ++l) {
+      *o++ = s.lmk[2 * l] - s.pos[2 * i];
+      *o++ = s.lmk[2 * l + 1] - s.pos[2 * i + 1];
+    }
+    for (int j = 0; j < A; ++j) {
+      if (j == i) continue;
+      *o++ = s.pos[2 * j] - s.pos[2 * i];
+      *o++ = s.pos[2 * j + 1] - s.pos[2 * i + 1];
+    }
+  }
+}
+
 void observe_env(const Engine& e, const EnvState& s, float* out) {
   if (e.scenario == kSpread)
     observe_spread(e, s, out);
   else if (e.scenario == kWorldComm)
     observe_wc(e, s, out);
+  else if (e.scenario == kAdversary)
+    observe_adversary(e, s, out);
   else
     observe_tag(e, s, out);
 }
@@ -493,6 +528,49 @@ void step_wc(const Engine& e, EnvState& s, const int32_t* actions, float* rew,
   if (obs_out != nullptr) observe_env(e, s, obs_out);
 }
 
+// simple_adversary step (mpe.py SimpleAdversaryEnv.step_stacked): pure
+// kinematics (collide=False everywhere), accel 5, no speed clip; shaped
+// deception rewards from the NEW state.
+void step_adversary(const Engine& e, EnvState& s, const int32_t* actions,
+                    const float* cactions, float* rew, uint8_t* done,
+                    bool auto_reset, float* obs_out) {
+  const int A = e.n_agents;
+  static const float dirs[5][2] = {
+      {0.f, 0.f}, {-1.f, 0.f}, {1.f, 0.f}, {0.f, -1.f}, {0.f, 1.f}};
+  for (int i = 0; i < A; ++i) {
+    float fx, fy;
+    if (cactions != nullptr) {
+      fx = cactions[2 * i] * kAdversaryAccel;
+      fy = cactions[2 * i + 1] * kAdversaryAccel;
+    } else {
+      const int32_t m = actions[i] % 5;
+      fx = dirs[m][0] * kAdversaryAccel;
+      fy = dirs[m][1] * kAdversaryAccel;
+    }
+    s.vel[2 * i] = s.vel[2 * i] * (1.0f - kDamping) + fx * kDt;
+    s.vel[2 * i + 1] = s.vel[2 * i + 1] * (1.0f - kDamping) + fy * kDt;
+    s.pos[2 * i] += s.vel[2 * i] * kDt;
+    s.pos[2 * i + 1] += s.vel[2 * i + 1] * kDt;
+  }
+  s.step += 1;
+
+  const float gx = s.lmk[2 * s.goal], gy = s.lmk[2 * s.goal + 1];
+  auto dist_to_goal = [&](int i) {
+    const float dx = s.pos[2 * i] - gx, dy = s.pos[2 * i + 1] - gy;
+    return std::sqrt(dx * dx + dy * dy);
+  };
+  const float adv_d = dist_to_goal(0);
+  float best_good = std::numeric_limits<float>::infinity();
+  for (int i = 1; i < A; ++i) best_good = std::min(best_good, dist_to_goal(i));
+  rew[0] = -adv_d;
+  for (int i = 1; i < A; ++i) rew[i] = -best_good + adv_d;
+
+  const bool episode_done = s.step >= e.max_steps;
+  *done = episode_done ? 1 : 0;
+  if (episode_done && auto_reset) reset_env(e, s);
+  if (obs_out != nullptr) observe_env(e, s, obs_out);
+}
+
 void step_env(const Engine& e, EnvState& s, const int32_t* actions,
               const float* cactions, float* rew, uint8_t* done,
               bool auto_reset, float* obs_out) {
@@ -500,6 +578,8 @@ void step_env(const Engine& e, EnvState& s, const int32_t* actions,
     step_spread(e, s, actions, cactions, rew, done, auto_reset, obs_out);
   else if (e.scenario == kWorldComm)
     step_wc(e, s, actions, rew, done, auto_reset, obs_out);
+  else if (e.scenario == kAdversary)
+    step_adversary(e, s, actions, cactions, rew, done, auto_reset, obs_out);
   else
     step_tag(e, s, actions, cactions, rew, done, auto_reset, obs_out);
 }
@@ -650,6 +730,35 @@ void* mpe_create_spread(int32_t n_envs, int32_t n_agents, int32_t max_steps,
   e->obs_stride = n_agents * e->d_good;
   finish_create(e, seed, n_threads);
   return e;
+}
+
+// simple_adversary: 1 adversary (agent 0) + n_good good agents + n_good
+// landmarks, one of which is the goal (per-env, re-chosen at reset).
+void* mpe_create_adversary(int32_t n_envs, int32_t n_good, int32_t max_steps,
+                           uint64_t seed, int32_t n_threads) {
+  auto* e = new Engine();
+  e->scenario = kAdversary;
+  e->n_envs = n_envs;
+  e->n_good = n_good;
+  e->n_adv = 1;
+  e->n_lmk = n_good;
+  e->max_steps = max_steps;
+  e->n_agents = n_good + 1;
+  const int A = e->n_agents;
+  e->d_adv = 2 * e->n_lmk + 2 * (A - 1);
+  e->d_good = e->d_adv + 2;  // + goal_rel
+  e->obs_stride = e->d_adv + n_good * e->d_good;
+  finish_create(e, seed, n_threads);
+  return e;
+}
+
+// Goal landmark accessors (simple_adversary; for state-injection tests).
+int32_t mpe_get_goal(void* handle, int32_t env) {
+  return static_cast<Engine*>(handle)->envs[env].goal;
+}
+
+void mpe_set_goal(void* handle, int32_t env, int32_t goal) {
+  static_cast<Engine*>(handle)->envs[env].goal = goal;
 }
 
 void mpe_destroy(void* handle) {

@@ -62,3 +62,25 @@ class TestHostExperiment:
         assert exp.spec.act_dims[0] == 20  # the leader's composite space
         result = exp.run()
         assert np.isfinite(result["loss_train"])
+
+    def test_simple_adversary_batched_host_backend(self, tmp_path):
+        """Batched native collection on the fourth scenario family."""
+        import pytest
+
+        from mfvae_tpu.envs.native_engine import native_engine_available
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        if not native_engine_available():
+            pytest.skip("no native toolchain")
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=8, train_num=2)
+        cfg.env.name = "MPE_simple_adversary_v3"
+        cfg.env.num_good_agents = 2
+        cfg.env.n_host_envs = 4
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        exp = HostExperiment(cfg).setup()
+        from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
+
+        assert isinstance(exp.collector, NativeBatchedCollector)
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])

@@ -479,3 +479,95 @@ class TestHostSurface:
         batch = buf.sample()
         assert batch["adversary_0_observations"].shape == (4, env._env.obs_dim_adv)
         assert batch["mask"].shape == (4, 1)
+
+
+class TestAdversaryEquivalence:
+    """Native simple_adversary vs the oracle-verified JAX env:
+    state-injection (incl. the goal index) trajectory equivalence for both
+    action modes, plus the host adapter surface."""
+
+    def _pair(self, n_good=3, discrete=True):
+        from mfvae_tpu.envs.mpe import AdversaryState, SimpleAdversaryEnv
+        from mfvae_tpu.envs.native_engine import NativeSimpleAdversaryEnv
+
+        jenv = SimpleAdversaryEnv(
+            num_good_agents=n_good, max_steps=50, discrete_actions=discrete
+        )
+        nenv = NativeSimpleAdversaryEnv(
+            n_envs=1, num_good_agents=n_good, max_steps=50, n_threads=1,
+            auto_reset=False,
+        )
+        rng = np.random.default_rng(9)
+        goal = 1
+        state = AdversaryState(
+            agent_pos=jnp.asarray(
+                rng.uniform(-1, 1, (n_good + 1, 2)), jnp.float32
+            ),
+            agent_vel=jnp.asarray(
+                rng.uniform(-0.5, 0.5, (n_good + 1, 2)), jnp.float32
+            ),
+            landmark_pos=jnp.asarray(
+                rng.uniform(-0.9, 0.9, (n_good, 2)), jnp.float32
+            ),
+            goal=jnp.int32(goal),
+            step=jnp.int32(0),
+        )
+        nenv.set_state(0, state.agent_pos, state.agent_vel, state.landmark_pos, 0)
+        nenv.set_goal(goal, env=0)
+        assert nenv.get_goal(0) == goal
+        return jenv, nenv, state, rng
+
+    def test_trajectory_matches_jax_env(self):
+        jenv, nenv, state, rng = self._pair()
+        step_j = jax.jit(jenv.step_stacked)
+        for t in range(15):
+            acts = rng.integers(0, 5, size=(4,))
+            jobs, state, jrew, jdone, _ = step_j(
+                jax.random.PRNGKey(0), state, jnp.asarray(acts)
+            )
+            nobs, nrew, ndone = nenv.step(acts[None].astype(np.int32))
+            adv, good = nenv.split_obs(nobs)
+            np.testing.assert_allclose(
+                adv[0], np.asarray(jobs.adversary), rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                good[0], np.asarray(jobs.good), rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                nrew[0], np.asarray(jrew), rtol=1e-4, atol=1e-5
+            )
+            assert bool(ndone[0]) == bool(np.asarray(jdone)[0])
+
+    def test_continuous_matches_jax_env(self):
+        jenv, nenv, state, rng = self._pair(discrete=False)
+        step_j = jax.jit(jenv.step_stacked)
+        for t in range(10):
+            acts = rng.uniform(-1, 1, size=(4, 2)).astype(np.float32)
+            jobs, state, jrew, _, _ = step_j(
+                jax.random.PRNGKey(0), state, jnp.asarray(acts)
+            )
+            nobs, nrew, _ = nenv.step_continuous(acts[None])
+            adv, good = nenv.split_obs(nobs)
+            np.testing.assert_allclose(
+                adv[0], np.asarray(jobs.adversary), rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                good[0], np.asarray(jobs.good), rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(
+                nrew[0], np.asarray(jrew), rtol=1e-4, atol=1e-5
+            )
+
+    def test_host_adapter_surface(self):
+        from mfvae_tpu.envs.native_engine import NativeAdversaryHostEnv
+
+        env = NativeAdversaryHostEnv(num_good=2, max_cycles=8)
+        assert env.agents == ["adversary_0", "agent_0", "agent_1"]
+        obs, _ = env.reset(seed=0)
+        assert obs["adversary_0"].shape == (8,)
+        assert obs["agent_0"].shape == (10,)
+        acts = {a: 1 for a in env.agents}
+        obs2, rew, terms, truncs, _ = env.step(acts)
+        assert all(np.isfinite(v) for v in rew.values())
+        # the shared good reward is identical across good agents
+        assert rew["agent_0"] == rew["agent_1"]
