@@ -337,53 +337,48 @@ class NativeSimpleAdversaryEnv:
         self._rew = np.empty((self.n_envs, self.num_agents), np.float32)
         self._done = np.empty((self.n_envs,), np.uint8)
 
+    # everything shape-generic is borrowed from the tag class (with
+    # num_adversaries = 1 the agents/split_obs/named_obs/action_highs
+    # logic is identical)
     __del__ = NativeSimpleTagEnv.__del__
     reset = NativeSimpleTagEnv.reset
     reset_where = NativeSimpleTagEnv.reset_where
     observe = NativeSimpleTagEnv.observe
     step = NativeSimpleTagEnv.step
     step_continuous = NativeSimpleTagEnv.step_continuous
-
-    @property
-    def agents(self) -> Tuple[str, ...]:
-        return ("adversary_0",) + tuple(
-            f"agent_{i}" for i in range(self.num_good_agents)
-        )
-
-    def split_obs(self, obs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """[n_envs, obs_stride] -> (adversary [n_envs, 1, d_adv],
-        good [n_envs, N, d_good]) views."""
-        cut = self.obs_dim_adv
-        adv = obs[:, :cut].reshape(-1, 1, self.obs_dim_adv)
-        good = obs[:, cut:].reshape(-1, self.num_good_agents, self.obs_dim_good)
-        return adv, good
-
-    def named_obs(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
-        adv, good = self.split_obs(flat)
-        out = {"adversary_0": adv[:, 0]}
-        for i in range(self.num_good_agents):
-            out[f"agent_{i}"] = good[:, i]
-        return out
-
-    @property
-    def action_highs(self) -> np.ndarray:
-        return np.full((self.num_agents,), 5, np.int64)
+    agents = NativeSimpleTagEnv.agents
+    split_obs = NativeSimpleTagEnv.split_obs
+    named_obs = NativeSimpleTagEnv.named_obs
+    action_highs = NativeSimpleTagEnv.action_highs
 
     def get_state(self, env: int = 0):
+        """(pos, vel, lmk, step, goal) — the goal index IS scenario state
+        and must round-trip with the rest for checkpoint/injection."""
         pos = np.empty((self.num_agents, 2), np.float32)
         vel = np.empty((self.num_agents, 2), np.float32)
         lmk = np.empty((self.num_good_agents, 2), np.float32)  # L == N good
         step = ctypes.c_int32(0)
         self._lib.mpe_get_state(self._h, env, pos, vel, lmk, ctypes.byref(step))
-        return pos, vel, lmk, int(step.value)
+        return pos, vel, lmk, int(step.value), self.get_goal(env)
 
-    set_state = NativeSimpleTagEnv.set_state
+    def set_state(self, env: int, pos, vel, lmk, step: int = 0,
+                  goal: int = None) -> None:
+        NativeSimpleTagEnv.set_state(self, env, pos, vel, lmk, step)
+        if goal is not None:
+            self.set_goal(goal, env=env)
 
     def get_goal(self, env: int = 0) -> int:
         return int(self._lib.mpe_get_goal(self._h, env))
 
     def set_goal(self, goal: int, env: int = 0) -> None:
-        self._lib.mpe_set_goal(self._h, env, int(goal))
+        # the C core indexes s.lmk[2*goal] without a bounds check;
+        # out-of-range goals would be undefined behavior
+        goal = int(goal)
+        if not 0 <= goal < self.num_good_agents:
+            raise ValueError(
+                f"goal must be in [0, {self.num_good_agents}); got {goal}"
+            )
+        self._lib.mpe_set_goal(self._h, env, goal)
 
 
 class NativeSimpleWorldCommEnv:
@@ -678,16 +673,8 @@ class NativeAdversaryHostEnv(NativeHostEnv):
         self.continuous = continuous
         self._env = self._cls(seed=seed, **self._ctor)
         self.agents = list(self._env.agents)
-
-    def observation_space(self, agent):
-        import gymnasium
-
-        d = (
-            self._env.obs_dim_adv
-            if agent.startswith("adversary")
-            else self._env.obs_dim_good
-        )
-        return gymnasium.spaces.Box(-np.inf, np.inf, (d,), np.float32)
+    # observation_space inherited: the adversary/good width dispatch in
+    # NativeHostEnv.observation_space is exactly what this scenario needs
 
 
 class NativeSpreadHostEnv(NativeHostEnv):

@@ -834,8 +834,8 @@ void mpe_step(void* handle, const int32_t* actions, float* obs_out,
   e->job_step = false;
 }
 
-// Continuous-action step (tag/spread; the action IS the 2-d force
-// direction, scaled by the agent's accel — mpe.py _action_force's
+// Continuous-action step (tag/spread/adversary; the action IS the 2-d
+// force direction, scaled by the agent's accel — mpe.py _action_force's
 // non-discrete branch).  actions: [n_envs * A * 2] float32.  Returns -1
 // for world_comm (discrete only: the leader action encodes comm).
 int32_t mpe_step_cont(void* handle, const float* actions, float* obs_out,
@@ -856,7 +856,9 @@ int32_t mpe_step_cont(void* handle, const float* actions, float* obs_out,
 }
 
 // State injection/extraction for fidelity tests and checkpointing.
-// pos/vel: [A*2], lmk: [L*2].
+// pos/vel: [A*2], lmk: [L*2].  NOTE: the simple_adversary goal index is
+// scenario state carried separately via mpe_get_goal/mpe_set_goal (the
+// Python NativeSimpleAdversaryEnv.get_state/set_state round-trip it).
 void mpe_get_state(void* handle, int32_t env, float* pos, float* vel,
                    float* lmk, int32_t* step) {
   auto* e = static_cast<Engine*>(handle);

@@ -571,3 +571,18 @@ class TestAdversaryEquivalence:
         assert all(np.isfinite(v) for v in rew.values())
         # the shared good reward is identical across good agents
         assert rew["agent_0"] == rew["agent_1"]
+
+    def test_goal_bounds_checked_and_state_roundtrip(self):
+        from mfvae_tpu.envs.native_engine import NativeSimpleAdversaryEnv
+
+        env = NativeSimpleAdversaryEnv(n_envs=1, num_good_agents=2, n_threads=1)
+        with pytest.raises(ValueError, match="goal"):
+            env.set_goal(2)
+        with pytest.raises(ValueError, match="goal"):
+            env.set_goal(-1)
+        env.reset()
+        pos, vel, lmk, step, goal = env.get_state(0)
+        assert 0 <= goal < 2
+        # full state round-trip INCLUDING the goal
+        env.set_state(0, pos + 0.1, vel, lmk, step, goal=1 - goal)
+        assert env.get_goal(0) == 1 - goal
