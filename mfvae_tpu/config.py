@@ -139,6 +139,12 @@ class TrainConfig:
     popart_beta: float = 3e-4
     grad_clip: float = 0.0  # 0 disables (vdn.py uses 10.0)
     seed: int = 0
+    # Collection policy for the DEVICE path: 'random' (the reference's
+    # uniform rollouts, torch_ver/main.py:69) or 'pursuit' (scripted
+    # chase/evade inside the compiled collect scan, envs/policies.py —
+    # contact-rich data the random walk rarely produces).
+    collect_policy: str = "random"
+    collect_epsilon: float = 0.1  # uniform-random mixture for coverage
     # replicate the reference's never-resplit key bug for curve parity
     # (jax_ver/main.py:154-158,169,210)
     bug_compat_rng: bool = False

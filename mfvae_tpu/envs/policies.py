@@ -1,0 +1,126 @@
+"""Scripted collection policies — the data lever beyond random rollouts.
+
+The reference fills its replay buffer exclusively with uniform-random
+actions (torch_ver/main.py:69, jax_ver/main.py:155-156).  Under that data
+the world model's held-out floor is the reward branch: simple_tag rewards
+are driven by adversary-prey contacts, which random walks rarely produce
+(PARITY.md capacity probe: an 8x model does not beat it).  A scripted
+pursuit/evade policy makes contact events common, changing what the data
+can teach — a *data* lever the reference has no counterpart for.
+
+Everything here is jit-compatible (pure functions of env state + key) so
+the policies run inside the compiled collection scan at zero host cost.
+``collect_epsilon`` mixes uniform-random actions back in for coverage.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mfvae_tpu.envs.mpe import SimpleAdversaryEnv, SimpleTagEnv
+
+
+def _toward_discrete(delta: jnp.ndarray) -> jnp.ndarray:
+    """[N, 2] displacement -> discrete action moving along its dominant
+    axis (1 -x, 2 +x, 3 -y, 4 +y — the shared MPE direction map)."""
+    ax = jnp.argmax(jnp.abs(delta), axis=-1)  # 0 = x, 1 = y
+    comp = jnp.take_along_axis(delta, ax[:, None], axis=-1)[:, 0]
+    pos = comp > 0
+    act_x = jnp.where(pos, 2, 1)
+    act_y = jnp.where(pos, 4, 3)
+    return jnp.where(ax == 0, act_x, act_y).astype(jnp.int32)
+
+
+def _toward_continuous(delta: jnp.ndarray) -> jnp.ndarray:
+    """[N, 2] displacement -> unit-ish force in the Box(-1, 1, (2,))
+    contract (normalized direction)."""
+    norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    return delta / jnp.maximum(norm, 1e-6)
+
+
+def _tag_deltas(env: SimpleTagEnv, state) -> jnp.ndarray:
+    """Per-agent pursuit/evade displacement: adversaries chase their
+    nearest good agent; good agents flee their nearest adversary but turn
+    back inside the arena edge (mirroring the env's own boundary penalty,
+    which ramps from |x| = 0.9).  The wall term is what makes contacts
+    happen at all: the prey is faster (max speed 1.3 vs 1.0), so a pure
+    straight-line evader is never caught — hunters corner it at the
+    walls (measured ~10x the contact rate of random rollouts)."""
+    n_adv = env.num_adversaries
+    adv = state.agent_pos[:n_adv]
+    good = state.agent_pos[n_adv:]
+    d = jnp.linalg.norm(adv[:, None, :] - good[None, :, :], axis=-1)
+    chase = good[jnp.argmin(d, axis=1)] - adv  # toward nearest prey
+    flee = good - adv[jnp.argmin(d, axis=0)]  # away from nearest hunter
+    flee = flee / jnp.maximum(
+        jnp.linalg.norm(flee, axis=-1, keepdims=True), 1e-6
+    )
+    wall_pull = -jnp.sign(good) * jnp.maximum(jnp.abs(good) - 0.8, 0.0) * 2.0
+    return jnp.concatenate([chase, flee + wall_pull], axis=0)
+
+
+def _adversary_deltas(env: SimpleAdversaryEnv, state) -> jnp.ndarray:
+    """Good agents head for the goal landmark; the adversary (who cannot
+    see the goal) heads for the nearest good agent (deception pressure)."""
+    goal = state.landmark_pos[state.goal]
+    adv = state.agent_pos[:1]
+    good = state.agent_pos[1:]
+    d = jnp.linalg.norm(adv[:, None, :] - good[None, :, :], axis=-1)
+    chase = good[jnp.argmin(d, axis=1)] - adv
+    seek = goal[None, :] - good
+    return jnp.concatenate([chase, seek], axis=0)
+
+
+_DELTA_FNS = {
+    SimpleTagEnv: _tag_deltas,
+    SimpleAdversaryEnv: _adversary_deltas,
+}
+
+
+def make_collect_policy(env, spec, name: str, epsilon: float):
+    """Build a jit-compatible ``(state, key) -> actions`` collection
+    policy, or return None for ``name='random'`` (the reference behavior).
+
+    ``'pursuit'``: scripted chase/evade (tag) or goal-seek/chase
+    (adversary) with an epsilon-uniform mixture.  Discrete envs get
+    dominant-axis discrete moves; continuous envs get normalized force
+    vectors."""
+    if name == "random":
+        return None
+    if name != "pursuit":
+        raise ValueError(f"unknown collect_policy {name!r}")
+    delta_fn = None
+    for cls, fn in _DELTA_FNS.items():
+        if isinstance(env, cls):
+            delta_fn = fn
+    if delta_fn is None:
+        raise ValueError(
+            f"collect_policy='pursuit' is not defined for {type(env).__name__}"
+            " (supported: simple_tag, simple_adversary)"
+        )
+    discrete = getattr(env, "discrete_actions", True)
+    n_agents = spec.n_agents
+    act_dims = jnp.asarray(spec.act_dims, jnp.float32)
+
+    def policy(state, key):
+        k_mix, k_rand = jax.random.split(key)
+        delta = delta_fn(env, state)
+        if discrete:
+            scripted = _toward_discrete(delta)
+            u = jax.random.uniform(k_rand, (n_agents,))
+            rand = jnp.minimum(
+                (u * act_dims).astype(jnp.int32),
+                act_dims.astype(jnp.int32) - 1,
+            )
+        else:
+            scripted = _toward_continuous(delta)
+            rand = jax.random.uniform(
+                k_rand, (n_agents, 2), minval=-1.0, maxval=1.0
+            )
+        take_rand = jax.random.uniform(k_mix, (n_agents,)) < epsilon
+        if not discrete:
+            take_rand = take_rand[:, None]
+        return jnp.where(take_rand, rand, scripted)
+
+    return policy

@@ -299,6 +299,16 @@ def make_action_sampler(env, spec: AgentSpec):
     return sample, group_actions
 
 
+def _resolve_collect_policy(env, spec: AgentSpec, cfg: ExperimentConfig):
+    """None for the reference's random rollouts, else the scripted
+    jit-compatible policy (envs/policies.py)."""
+    from mfvae_tpu.envs.policies import make_collect_policy
+
+    return make_collect_policy(
+        env, spec, cfg.train.collect_policy, cfg.train.collect_epsilon
+    )
+
+
 def make_phase_fns(
     env,
     spec: AgentSpec,
@@ -321,12 +331,16 @@ def make_phase_fns(
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     sample_actions, group_actions = make_action_sampler(env, spec)
+    collect_policy = _resolve_collect_policy(env, spec, cfg)
 
     def collect(carry: Tuple[EnvCarry, BufferState], key, which_buffer: ItemBuffer):
         def body(c, k):
             env_c, buf_state = c
             k_act, k_step = jax.random.split(k)
-            actions = sample_actions(k_act)
+            if collect_policy is None:
+                actions = sample_actions(k_act)
+            else:
+                actions = collect_policy(env_c.state, k_act)
             obs_g = stacked_to_grouped(spec, env_c.obs)
             act_groups = group_actions(actions)
             next_obs, env_state, rewards, done, _ = env.step_stacked(
@@ -421,6 +435,7 @@ def make_batched_epoch_fn(
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     sample_actions, group_actions = make_action_sampler(env, spec)
+    collect_policy = _resolve_collect_policy(env, spec, cfg)
     E = cfg.train.n_envs
     assert cfg.buffer.batch_size % E == 0, (cfg.buffer.batch_size, E)
     local_bs = cfg.buffer.batch_size // E
@@ -439,7 +454,12 @@ def make_batched_epoch_fn(
         def body(c, k):
             env_c, buf_state = c
             k_act, k_step = jax.random.split(k)
-            actions = sample_actions(k_act, (E,))
+            if collect_policy is None:
+                actions = sample_actions(k_act, (E,))
+            else:
+                actions = jax.vmap(collect_policy)(
+                    env_c.state, jax.random.split(k_act, E)
+                )
             obs_g = tuple(env_c.obs)  # StackedObs fields, [E, A_g, D_g]
             act_groups = group_actions(actions)
             step_keys = jax.random.split(k_step, E)
