@@ -227,6 +227,19 @@ class ExperimentConfig:
                 f"(got env={self.env.discrete_actions}, "
                 f"model={self.model.discrete_act})"
             )
+        if self.train.collect_policy != "random" and self.env.backend == "host":
+            raise ValueError(
+                "collect_policy is a device-path feature (the scripted "
+                "policy runs inside the compiled collection scan); the "
+                "host collectors sample uniformly — use env.backend=jax "
+                f"or collect_policy=random (got "
+                f"{self.train.collect_policy!r} with backend='host')"
+            )
+        if not 0.0 <= self.train.collect_epsilon <= 1.0:
+            raise ValueError(
+                f"collect_epsilon must be in [0, 1]; got "
+                f"{self.train.collect_epsilon}"
+            )
         return self
 
 

@@ -78,22 +78,24 @@ _DELTA_FNS = {
 }
 
 
-def make_collect_policy(env, spec, name: str, epsilon: float):
+def make_collect_policy(env, spec, name: str, epsilon: float, sample_fn):
     """Build a jit-compatible ``(state, key) -> actions`` collection
     policy, or return None for ``name='random'`` (the reference behavior).
 
     ``'pursuit'``: scripted chase/evade (tag) or goal-seek/chase
     (adversary) with an epsilon-uniform mixture.  Discrete envs get
     dominant-axis discrete moves; continuous envs get normalized force
-    vectors."""
+    vectors.  ``sample_fn(key)`` supplies the uniform-random actions for
+    the epsilon mixture — pass the trainer's ``make_action_sampler``
+    sampler so the mixture uses the env's own action-space bounds rather
+    than duplicating them here."""
     if name == "random":
         return None
     if name != "pursuit":
         raise ValueError(f"unknown collect_policy {name!r}")
-    delta_fn = None
-    for cls, fn in _DELTA_FNS.items():
-        if isinstance(env, cls):
-            delta_fn = fn
+    delta_fn = next(
+        (fn for cls, fn in _DELTA_FNS.items() if isinstance(env, cls)), None
+    )
     if delta_fn is None:
         raise ValueError(
             f"collect_policy='pursuit' is not defined for {type(env).__name__}"
@@ -101,23 +103,14 @@ def make_collect_policy(env, spec, name: str, epsilon: float):
         )
     discrete = getattr(env, "discrete_actions", True)
     n_agents = spec.n_agents
-    act_dims = jnp.asarray(spec.act_dims, jnp.float32)
 
     def policy(state, key):
         k_mix, k_rand = jax.random.split(key)
         delta = delta_fn(env, state)
-        if discrete:
-            scripted = _toward_discrete(delta)
-            u = jax.random.uniform(k_rand, (n_agents,))
-            rand = jnp.minimum(
-                (u * act_dims).astype(jnp.int32),
-                act_dims.astype(jnp.int32) - 1,
-            )
-        else:
-            scripted = _toward_continuous(delta)
-            rand = jax.random.uniform(
-                k_rand, (n_agents, 2), minval=-1.0, maxval=1.0
-            )
+        scripted = (
+            _toward_discrete(delta) if discrete else _toward_continuous(delta)
+        )
+        rand = sample_fn(k_rand)
         take_rand = jax.random.uniform(k_mix, (n_agents,)) < epsilon
         if not discrete:
             take_rand = take_rand[:, None]

@@ -299,13 +299,17 @@ def make_action_sampler(env, spec: AgentSpec):
     return sample, group_actions
 
 
-def _resolve_collect_policy(env, spec: AgentSpec, cfg: ExperimentConfig):
+def _resolve_collect_policy(
+    env, spec: AgentSpec, cfg: ExperimentConfig, sample_fn
+):
     """None for the reference's random rollouts, else the scripted
-    jit-compatible policy (envs/policies.py)."""
+    jit-compatible policy (envs/policies.py).  ``sample_fn`` is the
+    make_action_sampler uniform sampler, reused for the epsilon mixture."""
     from mfvae_tpu.envs.policies import make_collect_policy
 
     return make_collect_policy(
-        env, spec, cfg.train.collect_policy, cfg.train.collect_epsilon
+        env, spec, cfg.train.collect_policy, cfg.train.collect_epsilon,
+        sample_fn,
     )
 
 
@@ -331,7 +335,7 @@ def make_phase_fns(
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     sample_actions, group_actions = make_action_sampler(env, spec)
-    collect_policy = _resolve_collect_policy(env, spec, cfg)
+    collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
 
     def collect(carry: Tuple[EnvCarry, BufferState], key, which_buffer: ItemBuffer):
         def body(c, k):
@@ -435,7 +439,7 @@ def make_batched_epoch_fn(
     )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     sample_actions, group_actions = make_action_sampler(env, spec)
-    collect_policy = _resolve_collect_policy(env, spec, cfg)
+    collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
     E = cfg.train.n_envs
     assert cfg.buffer.batch_size % E == 0, (cfg.buffer.batch_size, E)
     local_bs = cfg.buffer.batch_size // E

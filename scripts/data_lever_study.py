@@ -72,11 +72,14 @@ def main(epochs: int = 256, n_eval_batches: int = 64):
                           jax.random.fold_in(jax.random.PRNGKey(9), j))
                 for j, b in enumerate(batches)
             ]
+            # ONE host transfer per cell (per-scalar float() would cost
+            # ~1k serial round-trips on the remote link — bench.py header)
+            host = jax.device_get(losses)
             mean = {
-                "loss": float(np.mean([float(o.loss) for o in losses])),
-                "s_loss": float(np.mean([float(o.s_loss) for o in losses])),
-                "r_loss": float(np.mean([float(o.r_loss) for o in losses])),
-                "kl": float(np.mean([float(o.kl_loss) for o in losses])),
+                "loss": float(np.mean([o.loss for o in host])),
+                "s_loss": float(np.mean([o.s_loss for o in host])),
+                "r_loss": float(np.mean([o.r_loss for o in host])),
+                "kl": float(np.mean([o.kl_loss for o in host])),
             }
             results[f"model={model_policy}|eval={eval_policy}"] = mean
             print(f"model={model_policy} eval={eval_policy}: {mean}", flush=True)

@@ -7,8 +7,14 @@ import numpy as np
 import pytest
 
 from mfvae_tpu.envs.mpe import AdversaryState, MPEState, SimpleAdversaryEnv, SimpleTagEnv
-from mfvae_tpu.envs.policies import make_collect_policy
+from mfvae_tpu.envs.policies import make_collect_policy as _raw_make_policy
 from mfvae_tpu.models.mavae import AgentSpec
+from mfvae_tpu.training.trainer import make_action_sampler
+
+
+def make_collect_policy(env, spec, name, epsilon):
+    sample_fn, _ = make_action_sampler(env, spec)
+    return _raw_make_policy(env, spec, name, epsilon, sample_fn)
 
 from tests.test_training import tiny_cfg
 
@@ -166,3 +172,22 @@ class TestPolicyDrivenTraining:
         exp = Experiment(cfg).setup()
         result = exp.run()
         assert np.isfinite(result["loss_train"])
+
+    def test_host_backend_rejects_policy(self, tmp_path):
+        """collect_policy is device-path-only; the host backend must be
+        rejected at validate time, not silently collect random data."""
+        from mfvae_tpu.config import ExperimentConfig
+
+        cfg = ExperimentConfig()
+        cfg.env.backend = "host"
+        cfg.train.collect_policy = "pursuit"
+        with pytest.raises(ValueError, match="device-path"):
+            cfg.validate()
+
+    def test_epsilon_range_validated(self):
+        from mfvae_tpu.config import ExperimentConfig
+
+        cfg = ExperimentConfig()
+        cfg.train.collect_epsilon = 10.0
+        with pytest.raises(ValueError, match="collect_epsilon"):
+            cfg.validate()
