@@ -156,6 +156,41 @@ def main():
         best_u = min(best_u, time.perf_counter() - t0)
     unroll_samples_per_sec = BATCH * N_SCAN / best_u
 
+    # multiseed discipline: N independent replicas train in lockstep as ONE
+    # vmapped program (the reference's own NUM_SEEDS pattern, vdn.py:570-573,
+    # and this framework's training/multiseed.py).  MEASURED OUTCOME (kept
+    # as an honest negative): ~200k samples/s across 4 replicas vs 244k for
+    # one — with per-replica params the weight matmuls become BATCHED gemms
+    # ([N,B,i]x[N,i,o] = N separate small contractions), not wider ones, so
+    # replica-vmap does NOT recover the small-batch MXU idle time.
+    # multiseed's real win is wall-clock amortization of dispatch/compile
+    # across a seed sweep (PARITY.md), not per-chip step throughput.
+    N_REP = 4
+    rep_states = jax.vmap(
+        lambda k: create_train_state(model, fresh_vars(), TrainConfig())
+    )(jax.random.split(jax.random.PRNGKey(21), N_REP))
+    rep_batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (N_REP,) + x.shape), batch
+    )
+
+    def scan_multiseed(states, keys):
+        def body(s, k):
+            s, outs = jax.vmap(raw_step)(s, rep_batch, jax.random.split(k, N_REP))
+            return s, outs.loss
+        return jax.lax.scan(body, states, keys)
+
+    ms_jit = jax.jit(scan_multiseed, donate_argnums=0)
+    keys_ms = jax.random.split(jax.random.PRNGKey(23), 200)
+    rep_states, ms_losses = ms_jit(rep_states, keys_ms)
+    float(ms_losses[-1, -1])  # compile + sync
+    best_ms = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        rep_states, ms_losses = ms_jit(rep_states, keys_ms)
+        float(ms_losses[-1, -1])
+        best_ms = min(best_ms, time.perf_counter() - t0)
+    multiseed_sps = N_REP * BATCH * 200 / best_ms
+
     # batch-scaling rows: the same scan discipline at larger batches, where
     # the reference decoder's 64-wide bottleneck stops gating the MXU
     # (VERDICT r2: the graded JSON must carry the 30%+ MFU points, not just
@@ -277,6 +312,13 @@ def main():
         "step_flops": step_flops,
         "mfu_pct": round(100 * mfu, 2) if mfu is not None else None,
         "b256_unroll8_samples_per_sec": round(unroll_samples_per_sec, 2),
+        "multiseed_4x_b256_samples_per_sec": round(multiseed_sps, 2),
+        # total FLOPs/s = step_flops x per-replica steps/s x N_REP
+        #               = step_flops x multiseed_sps / BATCH
+        "multiseed_4x_mfu_pct": (
+            round(100 * step_flops * multiseed_sps / BATCH / V5E_PEAK_FLOPS, 2)
+            if step_flops else None
+        ),
         "batch_scaling": batch_scaling,
     }
     print(json.dumps(out))
