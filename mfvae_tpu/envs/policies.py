@@ -23,13 +23,17 @@ from mfvae_tpu.envs.mpe import SimpleAdversaryEnv, SimpleTagEnv
 
 def _toward_discrete(delta: jnp.ndarray) -> jnp.ndarray:
     """[N, 2] displacement -> discrete action moving along its dominant
-    axis (1 -x, 2 +x, 3 -y, 4 +y — the shared MPE direction map)."""
+    axis (1 -x, 2 +x, 3 -y, 4 +y — the shared MPE direction map); an
+    agent already on its target (|delta| ~ 0) holds with the no-op
+    instead of being pushed -x by the argmax/compare chain."""
     ax = jnp.argmax(jnp.abs(delta), axis=-1)  # 0 = x, 1 = y
     comp = jnp.take_along_axis(delta, ax[:, None], axis=-1)[:, 0]
     pos = comp > 0
     act_x = jnp.where(pos, 2, 1)
     act_y = jnp.where(pos, 4, 3)
-    return jnp.where(ax == 0, act_x, act_y).astype(jnp.int32)
+    act = jnp.where(ax == 0, act_x, act_y)
+    on_target = jnp.linalg.norm(delta, axis=-1) < 1e-6
+    return jnp.where(on_target, 0, act).astype(jnp.int32)
 
 
 def _toward_continuous(delta: jnp.ndarray) -> jnp.ndarray:

@@ -285,8 +285,9 @@ def test_world_model_on_simple_adversary(tmp_path):
 
 
 def test_simple_adversary_host_path(tmp_path):
-    """Host backend resolves simple_adversary through the jitted-JAX
-    LocalHostEnv (no native-engine scenario)."""
+    """Host backend on simple_adversary (native engine when the
+    toolchain exists, LocalHostEnv otherwise — the fallback itself is
+    covered directly in tests/test_continuous_actions.py)."""
     from mfvae_tpu.training.host_experiment import HostExperiment
 
     cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=4, train_num=1, test_num=1)
