@@ -139,10 +139,12 @@ class TrainConfig:
     popart_beta: float = 3e-4
     grad_clip: float = 0.0  # 0 disables (vdn.py uses 10.0)
     seed: int = 0
-    # Collection policy for the DEVICE path: 'random' (the reference's
-    # uniform rollouts, torch_ver/main.py:69) or 'pursuit' (scripted
-    # chase/evade inside the compiled collect scan, envs/policies.py —
-    # contact-rich data the random walk rarely produces).
+    # Collection policy: 'random' (the reference's uniform rollouts,
+    # torch_ver/main.py:69) or 'pursuit' (scripted chase/evade,
+    # envs/policies.py — contact-rich data the random walk rarely
+    # produces).  Device path runs it inside the compiled collect scan;
+    # host collectors run the numpy mirror off the env's state accessors
+    # (tag + adversary scenarios).
     collect_policy: str = "random"
     collect_epsilon: float = 0.1  # uniform-random mixture for coverage
     # replicate the reference's never-resplit key bug for curve parity
@@ -227,13 +229,9 @@ class ExperimentConfig:
                 f"(got env={self.env.discrete_actions}, "
                 f"model={self.model.discrete_act})"
             )
-        if self.train.collect_policy != "random" and self.env.backend == "host":
+        if self.train.collect_policy not in ("random", "pursuit"):
             raise ValueError(
-                "collect_policy is a device-path feature (the scripted "
-                "policy runs inside the compiled collection scan); the "
-                "host collectors sample uniformly — use env.backend=jax "
-                f"or collect_policy=random (got "
-                f"{self.train.collect_policy!r} with backend='host')"
+                f"unknown collect_policy {self.train.collect_policy!r}"
             )
         if not 0.0 <= self.train.collect_epsilon <= 1.0:
             raise ValueError(

@@ -101,6 +101,22 @@ class LocalHostEnv:
         terms = {a: False for a in self.agents}
         return obs, rewards, terms, truncs, {a: {} for a in self.agents}
 
+    def pursuit_inputs(self):
+        """Host pursuit-policy inputs (envs/policies.py
+        host_pursuit_actions) from the wrapped JAX env's state, or None
+        for scenarios without a scripted policy."""
+        from mfvae_tpu.envs.mpe import SimpleAdversaryEnv, SimpleTagEnv
+
+        if self._state is None:
+            return None
+        pos = np.asarray(self._state.agent_pos)
+        if isinstance(self._env, SimpleTagEnv):
+            return "tag", pos, self._env.num_adversaries, None
+        if isinstance(self._env, SimpleAdversaryEnv):
+            lmk = np.asarray(self._state.landmark_pos)
+            return "adversary", pos, 1, lmk[int(self._state.goal)]
+        return None
+
 
 def create_env(
     env_name: str = "simple_tag_v3",
@@ -329,15 +345,34 @@ class _CollectorLoop:
 
 
 class AsyncCollector(_CollectorLoop):
-    """Background thread stepping a host env with random actions and feeding
-    the buffer, so device train steps never wait on host physics."""
+    """Background thread stepping a host env with random (or scripted
+    pursuit) actions and feeding the buffer, so device train steps never
+    wait on host physics.
 
-    def __init__(self, env, buffer: MultiAgentHostBuffer, seed: int = 0):
+    ``policy='pursuit'`` uses the numpy pursuit policy
+    (envs/policies.py host_pursuit_actions) driven by the env's
+    ``pursuit_inputs()`` state accessor; envs without one (PettingZoo,
+    spread, world_comm) raise a clear error."""
+
+    def __init__(self, env, buffer: MultiAgentHostBuffer, seed: int = 0,
+                 policy: str = "random", epsilon: float = 0.1):
         super().__init__()
         self.env = env
         self.buffer = buffer
         self.rng = np.random.default_rng(seed)
+        self.policy = policy
+        self.epsilon = float(epsilon)
+        if policy not in ("random", "pursuit"):
+            raise ValueError(f"unknown collect policy {policy!r}")
         self._obs, _ = env.reset(seed=seed)
+        if policy == "pursuit" and (
+            not hasattr(env, "pursuit_inputs") or env.pursuit_inputs() is None
+        ):
+            raise ValueError(
+                f"{type(env).__name__} has no host pursuit policy "
+                "(supported: simple_tag, simple_adversary on the native "
+                "engine or LocalHostEnv)"
+            )
         # uniform random-rollout sampler per agent, by space type (the
         # reference calls action_space.sample(), torch_ver/main.py:69)
         self._samplers = {}
@@ -357,7 +392,21 @@ class AsyncCollector(_CollectorLoop):
 
     def _one_step(self):
         env = self.env
-        actions = {a: self._samplers[a]() for a in env.agents}
+        if self.policy == "pursuit":
+            from mfvae_tpu.envs.policies import host_pursuit_actions
+
+            kind, pos, n_adv, goal_pos = env.pursuit_inputs()
+            discrete = hasattr(env.action_space(env.agents[0]), "n")
+            acts = host_pursuit_actions(
+                kind, pos, n_adv, self.rng, self.epsilon,
+                discrete=discrete, goal_pos=goal_pos,
+            )
+            actions = {
+                a: (int(acts[i]) if discrete else acts[i])
+                for i, a in enumerate(env.agents)
+            }
+        else:
+            actions = {a: self._samplers[a]() for a in env.agents}
         next_obs, rewards, terms, truncs, _ = env.step(actions)
         self.buffer.add(self._obs, actions, rewards, next_obs, terms, truncs)
         self._obs = next_obs
@@ -392,9 +441,13 @@ class NativeBatchedCollector(_CollectorLoop):
         n_threads: Optional[int] = None,
         env=None,
         continuous: bool = False,
+        collect_policy: str = "random",
+        epsilon: float = 0.1,
     ):
         super().__init__()
         self.continuous = continuous
+        self.collect_policy = collect_policy
+        self.epsilon = float(epsilon)
         pop_kwargs = dict(
             n_envs=n_envs, num_good=num_good, num_adversaries=num_adversaries,
             num_obstacles=num_obstacles, max_cycles=max_cycles,
@@ -432,25 +485,67 @@ class NativeBatchedCollector(_CollectorLoop):
         self.buffer = buffer
         self.n_envs = env.n_envs
         self.rng = np.random.default_rng(seed)
+        self._pursuit_kind = None
+        if collect_policy == "pursuit":
+            from mfvae_tpu.envs.native_engine import (
+                NativeSimpleAdversaryEnv,
+                NativeSimpleTagEnv,
+            )
+
+            if isinstance(env, NativeSimpleAdversaryEnv):
+                self._pursuit_kind, self._pursuit_n_adv = "adversary", 1
+            elif isinstance(env, NativeSimpleTagEnv):
+                self._pursuit_kind = "tag"
+                self._pursuit_n_adv = env.num_adversaries
+            else:
+                raise ValueError(
+                    f"{type(env).__name__} has no host pursuit policy "
+                    "(supported: simple_tag, simple_adversary)"
+                )
+        elif collect_policy != "random":
+            raise ValueError(f"unknown collect policy {collect_policy!r}")
         # immutable per-env-instance values, cached off the hot loop
         self._agents = tuple(env.agents)
         self._action_highs = np.array(env.action_highs)[None, :]
         self._obs = self.env.reset().copy()
 
-    def _one_step(self):
+    def _sample_actions(self) -> np.ndarray:
         env = self.env
-        agents = self._agents
+        if self._pursuit_kind is not None:
+            from mfvae_tpu.envs.policies import host_pursuit_actions
+
+            rows = []
+            for k in range(self.n_envs):
+                st = env.get_state(k)
+                goal_pos = st[2][st[4]] if self._pursuit_kind == "adversary" else None
+                rows.append(
+                    host_pursuit_actions(
+                        self._pursuit_kind, st[0], self._pursuit_n_adv,
+                        self.rng, self.epsilon, discrete=not self.continuous,
+                        goal_pos=goal_pos,
+                    )
+                )
+            return np.stack(rows)
         if self.continuous:
             # uniform in the Box(-1, 1, (2,)) force contract
             # (envs/mpe.py action_space, native step_continuous)
-            acts = self.rng.uniform(
+            return self.rng.uniform(
                 -1.0, 1.0, size=(self.n_envs, env.num_agents, 2)
             ).astype(np.float32)
-            next_obs, rew, done = env.step_continuous(acts)
+        return self.rng.integers(
+            0, self._action_highs, size=(self.n_envs, env.num_agents)
+        ).astype(np.int32)
+
+    def _one_step(self):
+        env = self.env
+        agents = self._agents
+        acts = self._sample_actions()
+        if self.continuous:
+            next_obs, rew, done = env.step_continuous(
+                np.ascontiguousarray(acts, np.float32)
+            )
         else:
-            acts = self.rng.integers(
-                0, self._action_highs, size=(self.n_envs, env.num_agents)
-            ).astype(np.int32)
+            acts = np.ascontiguousarray(acts, np.int32)
             next_obs, rew, done = env.step(acts)
         self.buffer.add_batch(
             obs=env.named_obs(self._obs),

@@ -584,6 +584,14 @@ class NativeHostEnv:
         obs = self._env.reset()
         return self._obs_dict(obs), {a: {} for a in self.agents}
 
+    def pursuit_inputs(self):
+        """(kind, pos [A,2], n_adv, goal_pos) for the host pursuit policy
+        (envs/policies.py host_pursuit_actions), or None when the scenario
+        has no scripted policy.  Tag semantics here; scenario subclasses
+        override."""
+        pos = self._env.get_state(0)[0]
+        return "tag", pos, self._env.num_adversaries, None
+
     def step(self, actions: Dict[str, int]):
         if self.continuous:
             acts = np.asarray(
@@ -608,6 +616,9 @@ class NativeHostEnv:
 class NativeWorldCommHostEnv(NativeHostEnv):
     """PettingZoo parallel-API adapter over one native simple_world_comm
     env (leader action space Discrete(5*dim_c), others Discrete(5))."""
+
+    def pursuit_inputs(self):
+        return None  # no scripted policy for this scenario
 
     def __init__(self, num_good=2, num_adversaries=4, num_obstacles=1,
                  max_cycles=25, seed=0):
@@ -676,9 +687,16 @@ class NativeAdversaryHostEnv(NativeHostEnv):
     # observation_space inherited: the adversary/good width dispatch in
     # NativeHostEnv.observation_space is exactly what this scenario needs
 
+    def pursuit_inputs(self):
+        pos, _, lmk, _, goal = self._env.get_state(0)
+        return "adversary", pos, 1, lmk[goal]
+
 
 class NativeSpreadHostEnv(NativeHostEnv):
     """PettingZoo parallel-API adapter over one native simple_spread env."""
+
+    def pursuit_inputs(self):
+        return None  # no scripted policy for this scenario
 
     def __init__(self, num_agents=3, max_cycles=25, seed=0, continuous=False):
         self._cls = NativeSimpleSpreadEnv

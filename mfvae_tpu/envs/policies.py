@@ -82,6 +82,63 @@ _DELTA_FNS = {
 }
 
 
+# ---------------------------------------------------------------- host side
+# numpy mirror of the scripted policies for the host collectors
+# (envs/host_adapter.py AsyncCollector / NativeBatchedCollector), which
+# step outside jit and read positions from the env's state accessors.
+
+import numpy as _np
+
+
+def host_pursuit_actions(
+    kind: str,
+    pos: "_np.ndarray",
+    n_adv: int,
+    rng: "_np.random.Generator",
+    epsilon: float,
+    discrete: bool = True,
+    goal_pos=None,
+):
+    """Numpy pursuit actions for one env.  ``kind``: 'tag' (chase/evade
+    with wall-aware prey) or 'adversary' (goal-seek good agents, chasing
+    goal-blind adversary, ``goal_pos`` required).  ``pos`` [A, 2] with
+    adversaries first.  Returns [A] int32 or [A, 2] float32; epsilon mixes
+    uniform-random actions per agent.  Semantics mirror the jit policies
+    above (tested equal at epsilon=0)."""
+    pos = _np.asarray(pos, _np.float64)
+    adv, good = pos[:n_adv], pos[n_adv:]
+    d = _np.linalg.norm(adv[:, None, :] - good[None, :, :], axis=-1)
+    chase = good[_np.argmin(d, axis=1)] - adv
+    if kind == "tag":
+        flee = good - adv[_np.argmin(d, axis=0)]
+        flee = flee / _np.maximum(
+            _np.linalg.norm(flee, axis=-1, keepdims=True), 1e-6
+        )
+        wall = -_np.sign(good) * _np.maximum(_np.abs(good) - 0.8, 0.0) * 2.0
+        delta = _np.concatenate([chase, flee + wall], axis=0)
+    elif kind == "adversary":
+        seek = _np.asarray(goal_pos, _np.float64)[None, :] - good
+        delta = _np.concatenate([chase, seek], axis=0)
+    else:
+        raise ValueError(f"unknown host pursuit kind {kind!r}")
+
+    n = delta.shape[0]
+    if discrete:
+        ax = _np.argmax(_np.abs(delta), axis=-1)
+        comp = _np.take_along_axis(delta, ax[:, None], axis=-1)[:, 0]
+        act = _np.where(ax == 0, _np.where(comp > 0, 2, 1),
+                        _np.where(comp > 0, 4, 3))
+        act = _np.where(_np.linalg.norm(delta, axis=-1) < 1e-6, 0, act)
+        rand = rng.integers(0, 5, size=(n,))
+        take = rng.uniform(size=(n,)) < epsilon
+        return _np.where(take, rand, act).astype(_np.int32)
+    norm = _np.maximum(_np.linalg.norm(delta, axis=-1, keepdims=True), 1e-6)
+    act = (delta / norm).astype(_np.float32)
+    rand = rng.uniform(-1.0, 1.0, size=(n, 2)).astype(_np.float32)
+    take = (rng.uniform(size=(n,)) < epsilon)[:, None]
+    return _np.where(take, rand, act).astype(_np.float32)
+
+
 def make_collect_policy(env, spec, name: str, epsilon: float, sample_fn):
     """Build a jit-compatible ``(state, key) -> actions`` collection
     policy, or return None for ``name='random'`` (the reference behavior).

@@ -76,12 +76,18 @@ class HostExperiment:
                     env=self._make_batched_native_env(env_name),
                     seed=cfg.train.seed,
                     continuous=not cfg.env.discrete_actions,
+                    collect_policy=cfg.train.collect_policy,
+                    epsilon=cfg.train.collect_epsilon,
                 )
             except RuntimeError as e:  # no toolchain: degrade, keep running
                 print(f"n_host_envs={cfg.env.n_host_envs} unavailable ({e}); "
                       "falling back to single-env AsyncCollector")
         if self.collector is None:
-            self.collector = AsyncCollector(self.env, self.buffer, seed=cfg.train.seed)
+            self.collector = AsyncCollector(
+                self.env, self.buffer, seed=cfg.train.seed,
+                policy=cfg.train.collect_policy,
+                epsilon=cfg.train.collect_epsilon,
+            )
         self.streams = make_streams(cfg.train.seed)
         self.logger: Optional[MetricsLogger] = None
         self.train_state = None

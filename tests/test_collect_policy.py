@@ -173,16 +173,78 @@ class TestPolicyDrivenTraining:
         result = exp.run()
         assert np.isfinite(result["loss_train"])
 
-    def test_host_backend_rejects_policy(self, tmp_path):
-        """collect_policy is device-path-only; the host backend must be
-        rejected at validate time, not silently collect random data."""
-        from mfvae_tpu.config import ExperimentConfig
+    def test_host_experiment_trains_with_pursuit(self, tmp_path):
+        """The host collectors run the numpy pursuit mirror: end-to-end
+        host training with collect_policy=pursuit."""
+        from mfvae_tpu.training.host_experiment import HostExperiment
 
-        cfg = ExperimentConfig()
-        cfg.env.backend = "host"
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=6, train_num=2)
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
         cfg.train.collect_policy = "pursuit"
-        with pytest.raises(ValueError, match="device-path"):
-            cfg.validate()
+        cfg.train.collect_epsilon = 0.2
+        exp = HostExperiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
+    def test_host_batched_pursuit(self, tmp_path):
+        from mfvae_tpu.envs.native_engine import native_engine_available
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        if not native_engine_available():
+            pytest.skip("no native toolchain")
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=8, train_num=2)
+        cfg.env.n_host_envs = 4
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        cfg.train.collect_policy = "pursuit"
+        exp = HostExperiment(cfg).setup()
+        from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
+
+        assert isinstance(exp.collector, NativeBatchedCollector)
+        assert exp.collector._pursuit_kind == "tag"
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
+    def test_host_pursuit_unsupported_env_rejected(self, tmp_path):
+        """Scenarios without a scripted policy raise a clear error at
+        collector construction instead of silently collecting random."""
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=4, train_num=1)
+        cfg.env.name = "MPE_simple_spread_v3"
+        cfg.env.num_good_agents = 3
+        cfg.buffer.min_size = 2
+        cfg.buffer.batch_size = 2
+        cfg.train.collect_policy = "pursuit"
+        with pytest.raises(ValueError, match="no host pursuit policy"):
+            HostExperiment(cfg)
+
+    def test_host_policy_matches_jit_policy(self):
+        """The numpy mirror must agree with the compiled policy at
+        epsilon=0 on a shared state (both backends collect the same
+        distribution)."""
+        from mfvae_tpu.envs.policies import host_pursuit_actions
+
+        env = SimpleTagEnv(num_adversaries=3, num_good_agents=2, num_obs=1,
+                           max_steps=8)
+        spec = tag_spec(env)
+        jit_policy = make_collect_policy(env, spec, "pursuit", epsilon=0.0)
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(-1.2, 1.2, size=(5, 2)).astype(np.float32)
+        state = MPEState(
+            agent_pos=jnp.asarray(pos),
+            agent_vel=jnp.zeros((5, 2)),
+            landmark_pos=jnp.asarray(rng.uniform(-0.9, 0.9, (1, 2)),
+                                     jnp.float32),
+            step=jnp.int32(0),
+        )
+        want = np.asarray(jit_policy(state, jax.random.PRNGKey(0)))
+        got = host_pursuit_actions(
+            "tag", pos, 3, np.random.default_rng(0), epsilon=0.0,
+            discrete=True,
+        )
+        np.testing.assert_array_equal(got, want)
 
     def test_epsilon_range_validated(self):
         from mfvae_tpu.config import ExperimentConfig
