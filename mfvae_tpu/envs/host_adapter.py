@@ -126,6 +126,7 @@ def create_env(
     max_cycles: int = 1000,
     seed: int = 42,
     discrete: bool = True,
+    scripted_policy: bool = False,
 ):
     """Host env factory (torch_ver/src/env.py:24-39 surface: returns
     (env, obs_dims, act_dims, obs, infos); ``discrete`` is the reference's
@@ -146,7 +147,10 @@ def create_env(
     sum — mixing backends would silently train on differently-scaled
     reward targets.  ``discrete=False`` also skips PettingZoo: the in-repo
     continuous contract is the JAX envs' 2-d force Box(-1, 1, (2,)), not
-    PettingZoo's 5-channel Box(0, 1, (5,))."""
+    PettingZoo's 5-channel Box(0, 1, (5,)).  ``scripted_policy=True``
+    (collect_policy != 'random') likewise skips PettingZoo — the pursuit
+    policy needs the in-repo envs' state accessors (``pursuit_inputs``),
+    which the fidelity-equivalent native/Local envs provide."""
     if env_name not in (
         "simple_tag_v3", "simple_spread_v3", "simple_world_comm_v3",
         "simple_adversary_v3",
@@ -162,7 +166,8 @@ def create_env(
             "form)"
         )
     env = None
-    if not spread and not world_comm and not adversary and discrete:
+    if (not spread and not world_comm and not adversary and discrete
+            and not scripted_policy):
         for modname in ("pettingzoo.mpe", "mpe2"):
             try:
                 import importlib
@@ -373,6 +378,8 @@ class AsyncCollector(_CollectorLoop):
                 "(supported: simple_tag, simple_adversary on the native "
                 "engine or LocalHostEnv)"
             )
+        # immutable per env; avoids a fresh space object per collected step
+        self._discrete = hasattr(env.action_space(env.agents[0]), "n")
         # uniform random-rollout sampler per agent, by space type (the
         # reference calls action_space.sample(), torch_ver/main.py:69)
         self._samplers = {}
@@ -396,13 +403,12 @@ class AsyncCollector(_CollectorLoop):
             from mfvae_tpu.envs.policies import host_pursuit_actions
 
             kind, pos, n_adv, goal_pos = env.pursuit_inputs()
-            discrete = hasattr(env.action_space(env.agents[0]), "n")
             acts = host_pursuit_actions(
                 kind, pos, n_adv, self.rng, self.epsilon,
-                discrete=discrete, goal_pos=goal_pos,
+                discrete=self._discrete, goal_pos=goal_pos,
             )
             actions = {
-                a: (int(acts[i]) if discrete else acts[i])
+                a: (int(acts[i]) if self._discrete else acts[i])
                 for i, a in enumerate(env.agents)
             }
         else:
@@ -514,18 +520,19 @@ class NativeBatchedCollector(_CollectorLoop):
         if self._pursuit_kind is not None:
             from mfvae_tpu.envs.policies import host_pursuit_actions
 
-            rows = []
-            for k in range(self.n_envs):
-                st = env.get_state(k)
-                goal_pos = st[2][st[4]] if self._pursuit_kind == "adversary" else None
-                rows.append(
-                    host_pursuit_actions(
-                        self._pursuit_kind, st[0], self._pursuit_n_adv,
-                        self.rng, self.epsilon, discrete=not self.continuous,
-                        goal_pos=goal_pos,
-                    )
-                )
-            return np.stack(rows)
+            # batched accessors: one native call each, vectorized policy
+            # over [K, A, 2] — no per-env Python loop on the hot path
+            pos = env.get_positions()
+            goal_pos = None
+            if self._pursuit_kind == "adversary":
+                lmk = env.get_landmarks()  # [K, L, 2]
+                goals = env.get_goals()  # [K]
+                goal_pos = lmk[np.arange(self.n_envs), goals]
+            return host_pursuit_actions(
+                self._pursuit_kind, pos, self._pursuit_n_adv,
+                self.rng, self.epsilon, discrete=not self.continuous,
+                goal_pos=goal_pos,
+            )
         if self.continuous:
             # uniform in the Box(-1, 1, (2,)) force contract
             # (envs/mpe.py action_space, native step_continuous)

@@ -69,6 +69,9 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     lib.mpe_get_state.argtypes = [
         c.c_void_p, c.c_int32, _F32, _F32, _F32, c.POINTER(c.c_int32)
     ]
+    lib.mpe_get_positions.argtypes = [c.c_void_p, _F32]
+    lib.mpe_get_landmarks.argtypes = [c.c_void_p, _F32]
+    lib.mpe_get_goals.argtypes = [c.c_void_p, _I32]
     lib.mpe_set_state.argtypes = [c.c_void_p, c.c_int32, _F32, _F32, _F32, c.c_int32]
     lib._mpe_configured = True
     return lib
@@ -171,6 +174,24 @@ class NativeSimpleTagEnv:
         )
         return self._obs, self._rew, self._done.astype(bool)
 
+    def get_positions(self) -> np.ndarray:
+        """All envs' agent positions [n_envs, A, 2] in one native call
+        (for host-side scripted policies)."""
+        out = np.empty((self.n_envs, self.num_agents, 2), np.float32)
+        self._lib.mpe_get_positions(self._h, out)
+        return out
+
+    def get_landmarks(self) -> np.ndarray:
+        """All envs' landmark positions [n_envs, L, 2] in one call.
+        L = num_obs (tag), num_good_agents (adversary), num_agents
+        (spread) — resolved from whichever attribute the class carries."""
+        n_lmk = getattr(self, "num_obs", None)
+        if n_lmk is None:
+            n_lmk = getattr(self, "num_good_agents", self.num_agents)
+        out = np.empty((self.n_envs, int(n_lmk), 2), np.float32)
+        self._lib.mpe_get_landmarks(self._h, out)
+        return out
+
     def step_continuous(self, actions: np.ndarray):
         """Continuous actions [n_envs, A, 2] float (the 2-d force
         direction, scaled by each agent's accel — the JAX envs'
@@ -271,6 +292,8 @@ class NativeSimpleSpreadEnv:
     observe = NativeSimpleTagEnv.observe
     step = NativeSimpleTagEnv.step
     step_continuous = NativeSimpleTagEnv.step_continuous
+    get_positions = NativeSimpleTagEnv.get_positions
+    get_landmarks = NativeSimpleTagEnv.get_landmarks
 
     @property
     def agents(self) -> Tuple[str, ...]:
@@ -350,6 +373,8 @@ class NativeSimpleAdversaryEnv:
     split_obs = NativeSimpleTagEnv.split_obs
     named_obs = NativeSimpleTagEnv.named_obs
     action_highs = NativeSimpleTagEnv.action_highs
+    get_positions = NativeSimpleTagEnv.get_positions
+    get_landmarks = NativeSimpleTagEnv.get_landmarks
 
     def get_state(self, env: int = 0):
         """(pos, vel, lmk, step, goal) — the goal index IS scenario state
@@ -366,6 +391,12 @@ class NativeSimpleAdversaryEnv:
         NativeSimpleTagEnv.set_state(self, env, pos, vel, lmk, step)
         if goal is not None:
             self.set_goal(goal, env=env)
+
+    def get_goals(self) -> np.ndarray:
+        """All envs' goal landmark indices [n_envs] in one call."""
+        out = np.empty((self.n_envs,), np.int32)
+        self._lib.mpe_get_goals(self._h, out)
+        return out
 
     def get_goal(self, env: int = 0) -> int:
         return int(self._lib.mpe_get_goal(self._h, env))
@@ -587,8 +618,11 @@ class NativeHostEnv:
     def pursuit_inputs(self):
         """(kind, pos [A,2], n_adv, goal_pos) for the host pursuit policy
         (envs/policies.py host_pursuit_actions), or None when the scenario
-        has no scripted policy.  Tag semantics here; scenario subclasses
-        override."""
+        has no scripted policy.  Whitelist by engine class: a future
+        scenario adapter that subclasses this one must opt IN, not
+        remember to opt out (scenario ordering assumptions differ)."""
+        if type(self._env) is not NativeSimpleTagEnv:
+            return None
         pos = self._env.get_state(0)[0]
         return "tag", pos, self._env.num_adversaries, None
 
@@ -616,9 +650,6 @@ class NativeHostEnv:
 class NativeWorldCommHostEnv(NativeHostEnv):
     """PettingZoo parallel-API adapter over one native simple_world_comm
     env (leader action space Discrete(5*dim_c), others Discrete(5))."""
-
-    def pursuit_inputs(self):
-        return None  # no scripted policy for this scenario
 
     def __init__(self, num_good=2, num_adversaries=4, num_obstacles=1,
                  max_cycles=25, seed=0):
@@ -694,9 +725,6 @@ class NativeAdversaryHostEnv(NativeHostEnv):
 
 class NativeSpreadHostEnv(NativeHostEnv):
     """PettingZoo parallel-API adapter over one native simple_spread env."""
-
-    def pursuit_inputs(self):
-        return None  # no scripted policy for this scenario
 
     def __init__(self, num_agents=3, max_cycles=25, seed=0, continuous=False):
         self._cls = NativeSimpleSpreadEnv

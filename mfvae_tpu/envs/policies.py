@@ -99,44 +99,59 @@ def host_pursuit_actions(
     discrete: bool = True,
     goal_pos=None,
 ):
-    """Numpy pursuit actions for one env.  ``kind``: 'tag' (chase/evade
-    with wall-aware prey) or 'adversary' (goal-seek good agents, chasing
-    goal-blind adversary, ``goal_pos`` required).  ``pos`` [A, 2] with
-    adversaries first.  Returns [A] int32 or [A, 2] float32; epsilon mixes
-    uniform-random actions per agent.  Semantics mirror the jit policies
-    above (tested equal at epsilon=0)."""
+    """Numpy pursuit actions.  ``kind``: 'tag' (chase/evade with
+    wall-aware prey) or 'adversary' (goal-seek good agents, chasing
+    goal-blind adversary, ``goal_pos`` required).  ``pos`` is [A, 2] for
+    one env or [K, A, 2] batched (adversaries first either way;
+    ``goal_pos`` then [2] or [K, 2]).  Returns [A] / [K, A] int32 or
+    [A, 2] / [K, A, 2] float32; epsilon mixes uniform-random actions per
+    agent.  Semantics mirror the jit policies above (tested equal at
+    epsilon=0 for both kinds)."""
     pos = _np.asarray(pos, _np.float64)
-    adv, good = pos[:n_adv], pos[n_adv:]
-    d = _np.linalg.norm(adv[:, None, :] - good[None, :, :], axis=-1)
-    chase = good[_np.argmin(d, axis=1)] - adv
+    single = pos.ndim == 2
+    p = pos[None] if single else pos  # [K, A, 2]
+    adv, good = p[:, :n_adv], p[:, n_adv:]
+    d = _np.linalg.norm(adv[:, :, None, :] - good[:, None, :, :], axis=-1)
+    nearest_prey = _np.argmin(d, axis=2)  # [K, n_adv]
+    chase = (
+        _np.take_along_axis(good, nearest_prey[:, :, None], axis=1) - adv
+    )
     if kind == "tag":
-        flee = good - adv[_np.argmin(d, axis=0)]
+        nearest_hunter = _np.argmin(d, axis=1)  # [K, G]
+        flee = good - _np.take_along_axis(
+            adv, nearest_hunter[:, :, None], axis=1
+        )
         flee = flee / _np.maximum(
             _np.linalg.norm(flee, axis=-1, keepdims=True), 1e-6
         )
         wall = -_np.sign(good) * _np.maximum(_np.abs(good) - 0.8, 0.0) * 2.0
-        delta = _np.concatenate([chase, flee + wall], axis=0)
+        delta = _np.concatenate([chase, flee + wall], axis=1)
     elif kind == "adversary":
-        seek = _np.asarray(goal_pos, _np.float64)[None, :] - good
-        delta = _np.concatenate([chase, seek], axis=0)
+        gp = _np.asarray(goal_pos, _np.float64)
+        if single:
+            gp = gp[None]
+        seek = gp[:, None, :] - good
+        delta = _np.concatenate([chase, seek], axis=1)
     else:
         raise ValueError(f"unknown host pursuit kind {kind!r}")
 
-    n = delta.shape[0]
+    k, n = delta.shape[0], delta.shape[1]
     if discrete:
-        ax = _np.argmax(_np.abs(delta), axis=-1)
-        comp = _np.take_along_axis(delta, ax[:, None], axis=-1)[:, 0]
+        ax = _np.argmax(_np.abs(delta), axis=-1)  # [K, A]
+        comp = _np.take_along_axis(delta, ax[..., None], axis=-1)[..., 0]
         act = _np.where(ax == 0, _np.where(comp > 0, 2, 1),
                         _np.where(comp > 0, 4, 3))
         act = _np.where(_np.linalg.norm(delta, axis=-1) < 1e-6, 0, act)
-        rand = rng.integers(0, 5, size=(n,))
-        take = rng.uniform(size=(n,)) < epsilon
-        return _np.where(take, rand, act).astype(_np.int32)
+        rand = rng.integers(0, 5, size=(k, n))
+        take = rng.uniform(size=(k, n)) < epsilon
+        out = _np.where(take, rand, act).astype(_np.int32)
+        return out[0] if single else out
     norm = _np.maximum(_np.linalg.norm(delta, axis=-1, keepdims=True), 1e-6)
-    act = (delta / norm).astype(_np.float32)
-    rand = rng.uniform(-1.0, 1.0, size=(n, 2)).astype(_np.float32)
-    take = (rng.uniform(size=(n,)) < epsilon)[:, None]
-    return _np.where(take, rand, act).astype(_np.float32)
+    act = delta / norm
+    rand = rng.uniform(-1.0, 1.0, size=(k, n, 2))
+    take = (rng.uniform(size=(k, n)) < epsilon)[..., None]
+    out = _np.where(take, rand, act).astype(_np.float32)
+    return out[0] if single else out
 
 
 def make_collect_policy(env, spec, name: str, epsilon: float, sample_fn):

@@ -52,6 +52,7 @@ class HostExperiment:
             max_cycles=cfg.env.max_steps,
             seed=cfg.train.seed,
             discrete=cfg.env.discrete_actions,
+            scripted_policy=cfg.train.collect_policy != "random",
         )
         self.agents = list(self.env.agents)
         self.spec = AgentSpec.from_dicts(self.agents, obs_dims, act_dims)

@@ -869,6 +869,28 @@ void mpe_get_state(void* handle, int32_t env, float* pos, float* vel,
   *step = s.step;
 }
 
+// Batched read-only accessors for host-side scripted policies: one ctypes
+// call for all envs instead of a per-env get_state loop.
+// out: [n_envs * A * 2] / [n_envs * L * 2] / [n_envs].
+void mpe_get_positions(void* handle, float* out) {
+  auto* e = static_cast<Engine*>(handle);
+  const size_t n = (size_t)e->n_agents * 2;
+  for (int k = 0; k < e->n_envs; ++k)
+    std::memcpy(out + (size_t)k * n, e->envs[k].pos.data(), n * sizeof(float));
+}
+
+void mpe_get_landmarks(void* handle, float* out) {
+  auto* e = static_cast<Engine*>(handle);
+  const size_t n = (size_t)e->n_lmk * 2;
+  for (int k = 0; k < e->n_envs; ++k)
+    std::memcpy(out + (size_t)k * n, e->envs[k].lmk.data(), n * sizeof(float));
+}
+
+void mpe_get_goals(void* handle, int32_t* out) {
+  auto* e = static_cast<Engine*>(handle);
+  for (int k = 0; k < e->n_envs; ++k) out[k] = e->envs[k].goal;
+}
+
 void mpe_set_state(void* handle, int32_t env, const float* pos,
                    const float* vel, const float* lmk, int32_t step) {
   auto* e = static_cast<Engine*>(handle);

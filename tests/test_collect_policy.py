@@ -253,3 +253,35 @@ class TestPolicyDrivenTraining:
         cfg.train.collect_epsilon = 10.0
         with pytest.raises(ValueError, match="collect_epsilon"):
             cfg.validate()
+
+    def test_host_policy_matches_jit_policy_adversary(self):
+        """Same agreement check for the adversary kind (goal-seek +
+        goal-blind chase), including the batched [K, A, 2] form."""
+        from mfvae_tpu.envs.policies import host_pursuit_actions
+
+        env = SimpleAdversaryEnv(num_good_agents=3, max_steps=8)
+        spec = AgentSpec.from_dicts(
+            env.agents, {a: env.obs_dim(a) for a in env.agents},
+            {a: 5 for a in env.agents},
+        )
+        jit_policy = make_collect_policy(env, spec, "pursuit", epsilon=0.0)
+        rng = np.random.default_rng(11)
+        K = 3
+        pos = rng.uniform(-1.0, 1.0, size=(K, 4, 2)).astype(np.float32)
+        lmk = rng.uniform(-0.9, 0.9, size=(K, 3, 2)).astype(np.float32)
+        goals = np.array([0, 2, 1])
+        want = []
+        for k in range(K):
+            state = AdversaryState(
+                agent_pos=jnp.asarray(pos[k]),
+                agent_vel=jnp.zeros((4, 2)),
+                landmark_pos=jnp.asarray(lmk[k]),
+                goal=jnp.int32(goals[k]),
+                step=jnp.int32(0),
+            )
+            want.append(np.asarray(jit_policy(state, jax.random.PRNGKey(k))))
+        got = host_pursuit_actions(
+            "adversary", pos, 1, np.random.default_rng(0), epsilon=0.0,
+            discrete=True, goal_pos=lmk[np.arange(K), goals],
+        )
+        np.testing.assert_array_equal(got, np.stack(want))
