@@ -19,7 +19,7 @@ state/reward decoder parameter structure).
 from __future__ import annotations
 
 import pickle
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -132,6 +132,127 @@ def load_reference_pickle(path: str, spec: AgentSpec) -> Dict[str, Any]:
     with open(path, "rb") as f:
         tree = pickle.load(f)
     return import_reference_params(tree, spec)
+
+
+# ------------------------------------------------------------------ export
+def _np_tree(x):
+    return {k: np.asarray(v) for k, v in x.items()}
+
+
+def _unstack_mlp_to_ref(module_tree: Dict[str, Any], row: Optional[int],
+                        hidden_names_fc: bool) -> Dict[str, Any]:
+    """This framework's MLP/StackedMLP tree ({fc0..fcN, out}) -> the
+    reference's flax auto-naming.  ``row`` slices the leading stack axis
+    (None for unstacked).  ``hidden_names_fc``: the reference Encoder names
+    its hiddens fc{i} and leaves only the output unnamed (-> Dense_0,
+    jax_ver/model.py:19-22); Decoder/ActionEncoder leave every layer
+    unnamed (-> Dense_0..Dense_N, model.py:44-47,71-76)."""
+    fcs = sorted(
+        (k for k in module_tree if k.startswith("fc")), key=lambda s: int(s[2:])
+    )
+    out: Dict[str, Any] = {}
+    take = (lambda a: np.asarray(a)) if row is None else (
+        lambda a: np.asarray(a[row])
+    )
+    for i, name in enumerate(fcs):
+        ref_name = f"fc{i}" if hidden_names_fc else f"Dense_{i}"
+        out[ref_name] = {
+            "kernel": take(module_tree[name]["kernel"]),
+            "bias": take(module_tree[name]["bias"]),
+        }
+    last = "Dense_0" if hidden_names_fc else f"Dense_{len(fcs)}"
+    out[last] = {
+        "kernel": take(module_tree["out"]["kernel"]),
+        "bias": take(module_tree["out"]["bias"]),
+    }
+    return out
+
+
+def export_reference_params(
+    variables: Dict[str, Any], spec: AgentSpec
+) -> Dict[str, Any]:
+    """Restack this framework's grouped MAVAE params into the REFERENCE's
+    per-agent pytree — the exact structure ``pickle.dump(train_state.params)``
+    writes at jax_ver/main.py:239-240 — making checkpoint interop
+    bidirectional (inverse of :func:`import_reference_params`).
+
+    Handles both decoder layouts: ``fused_decoders=False`` maps
+    state_decoder/reward_decoder directly; ``fused_decoders=True`` unstacks
+    the shared trunk (stack 0 = state, 1 = reward, mavae.MAVAE.decode) and
+    re-attaches each output head as the reference's final Dense.
+
+    Only the reference's architecture is representable: ``det_features`` or
+    ``latent_structure='shared_private'`` widen the encoder output beyond
+    ``2*obs_features``, which the reference encoder tree cannot express —
+    detected from the param shapes and rejected.  (Width parity with the
+    reference's hardcoded hidden lists, jax_ver/model.py:15,39,67, is the
+    caller's concern: the pickle stores bare arrays.)"""
+    p = variables.get("params", variables)
+    out: Dict[str, Any] = {
+        "idx_emb": {"embedding": np.asarray(p["idx_emb"]["embedding"])},
+        "reward_linear": _np_tree(p["reward_linear"]),
+    }
+
+    if "state_decoder" in p:
+        for dec in ("state_decoder", "reward_decoder"):
+            out[dec] = _unstack_mlp_to_ref(p[dec], None, hidden_names_fc=False)
+    else:  # fused trunk: [2, in, out] kernels; heads close each decoder
+        trunk = p["decoder_trunk"]
+        for row, (dec, head) in enumerate(
+            (("state_decoder", "state_head"), ("reward_decoder", "reward_head"))
+        ):
+            tree = _unstack_mlp_to_ref(trunk, row, hidden_names_fc=False)
+            n_layers = len(tree)
+            tree[f"Dense_{n_layers}"] = _np_tree(p[head])
+            out[dec] = tree
+
+    # encoder output must be exactly 2*obs_features: infer obs_features from
+    # the decoder input width ((obs_f + act_f) * n  vs  encoder out)
+    for g, ((_, _), idxs) in enumerate(spec.groups):
+        names = [spec.agents[i] for i in idxs]
+        enc = p[f"encoders_{g}"]
+        for pos, a in enumerate(names):
+            out[f"encoders_{a}"] = _unstack_mlp_to_ref(
+                enc, pos, hidden_names_fc=True
+            )
+        ae = p[f"action_encoders_{g}"]
+        if "embedding" in ae:  # discrete: stacked embedding [A_g, n_act, F]
+            for pos, a in enumerate(names):
+                out[f"action_encoders_{a}"] = {
+                    "embedding": np.asarray(ae["embedding"][pos])
+                }
+        else:
+            for pos, a in enumerate(names):
+                out[f"action_encoders_{a}"] = _unstack_mlp_to_ref(
+                    ae, pos, hidden_names_fc=False
+                )
+
+    enc_out = out[f"encoders_{spec.agents[0]}"]["Dense_0"]["kernel"].shape[1]
+    act_f = out[f"action_encoders_{spec.agents[0]}"]
+    act_f = (
+        act_f["embedding"].shape[-1]
+        if "embedding" in act_f
+        else act_f[sorted(act_f)[-1]]["kernel"].shape[1]
+    )
+    dec_in = out["state_decoder"]["Dense_0"]["kernel"].shape[0]
+    obs_f = dec_in // spec.n_agents - act_f
+    if enc_out != 2 * obs_f:
+        raise ValueError(
+            "model is not reference-representable: encoder output width "
+            f"{enc_out} != 2*obs_features ({2 * obs_f}) — det_features / "
+            "shared_private latents have no reference counterpart"
+        )
+    return out
+
+
+def save_reference_pickle(
+    variables: Dict[str, Any], spec: AgentSpec, path: str
+) -> None:
+    """Write ``model_state.pkl`` exactly as the reference does
+    (jax_ver/main.py:239-240: the bare params dict, no 'params' wrapper)."""
+    tree = export_reference_params(variables, spec)
+    with open(path, "wb") as f:
+        pickle.dump(tree, f)
 
 
 # --------------------------------------------------------------- torch side

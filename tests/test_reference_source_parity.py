@@ -148,6 +148,35 @@ def test_forward_parity_vs_reference_source(ref_mods, discrete):
         )
 
 
+@pytest.mark.parametrize("discrete", [True, False], ids=["discrete", "continuous"])
+def test_export_consumed_by_reference_source(ref_mods, discrete):
+    """Reverse interop: params trained HERE, exported via
+    export_reference_params, must drive the REAL reference MAVAE
+    (jax_ver/model.py) to the same outputs as our own forward — i.e. the
+    exported pickle is genuinely consumable by jax_ver/main.py:239-240
+    conventions."""
+    from mfvae_tpu.models.import_reference import export_reference_params
+
+    ref_model_mod, _ = ref_mods
+    idx_state, actions, _, _ = _inputs(discrete)
+    call_rng = jax.random.PRNGKey(11)
+
+    spec, model = _our_model(discrete)
+    variables = model.init(
+        jax.random.PRNGKey(5), idx_state, actions, call_rng
+    )
+    want = model.apply(variables, idx_state, actions, call_rng)
+
+    exported = export_reference_params(variables, spec)
+    ref = _ref_model(ref_model_mod, discrete)
+    got = ref.apply({"params": exported}, idx_state, actions, call_rng)
+
+    for g, w, name in zip(got, want, ("recon_state", "recon_reward", "mu", "logvar")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=1e-5, err_msg=name
+        )
+
+
 def test_loss_fn_parity_vs_reference_source(ref_mods):
     """Pin huber/kl/weighting directly against jax_ver/trainer.py:42-71 on
     arbitrary tensors (model-independent)."""
