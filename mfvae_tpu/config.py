@@ -229,9 +229,11 @@ class ExperimentConfig:
                 f"(got env={self.env.discrete_actions}, "
                 f"model={self.model.discrete_act})"
             )
-        if self.train.collect_policy not in ("random", "pursuit"):
+        cp = self.train.collect_policy
+        if cp not in ("random", "pursuit") and not cp.startswith("vdn:"):
             raise ValueError(
-                f"unknown collect_policy {self.train.collect_policy!r}"
+                f"unknown collect_policy {cp!r} (expected 'random', "
+                "'pursuit', or 'vdn:<policy.npz>')"
             )
         if not 0.0 <= self.train.collect_epsilon <= 1.0:
             raise ValueError(

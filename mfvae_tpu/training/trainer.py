@@ -302,14 +302,24 @@ def make_action_sampler(env, spec: AgentSpec):
 def _resolve_collect_policy(
     env, spec: AgentSpec, cfg: ExperimentConfig, sample_fn
 ):
-    """None for the reference's random rollouts, else the scripted
-    jit-compatible policy (envs/policies.py).  ``sample_fn`` is the
-    make_action_sampler uniform sampler, reused for the epsilon mixture."""
+    """None for the reference's random rollouts; a stateless scripted policy
+    (envs/policies.py); or, for ``collect_policy="vdn:<path.npz>"``, a
+    stateful learned Q-policy (baselines/collect_policy.py) whose recurrent
+    carry the collection scan threads and resets on episode end.
+    ``sample_fn`` is the make_action_sampler uniform sampler, reused for the
+    epsilon mixture."""
+    name = cfg.train.collect_policy
+    if name.startswith("vdn:"):
+        from mfvae_tpu.baselines.collect_policy import load_collect_policy
+
+        return load_collect_policy(
+            name[len("vdn:"):], env, spec, cfg.train.collect_epsilon,
+            sample_fn,
+        )
     from mfvae_tpu.envs.policies import make_collect_policy
 
     return make_collect_policy(
-        env, spec, cfg.train.collect_policy, cfg.train.collect_epsilon,
-        sample_fn,
+        env, spec, name, cfg.train.collect_epsilon, sample_fn,
     )
 
 
@@ -337,12 +347,18 @@ def make_phase_fns(
     sample_actions, group_actions = make_action_sampler(env, spec)
     collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
 
+    stateful_policy = hasattr(collect_policy, "init_carry")
+
     def collect(carry: Tuple[EnvCarry, BufferState], key, which_buffer: ItemBuffer):
         def body(c, k):
-            env_c, buf_state = c
+            env_c, buf_state, pol_c = c
             k_act, k_step = jax.random.split(k)
             if collect_policy is None:
                 actions = sample_actions(k_act)
+            elif stateful_policy:
+                pol_c, actions = collect_policy.step(
+                    pol_c, env_c.obs, env_c.state, k_act
+                )
             else:
                 actions = collect_policy(env_c.state, k_act)
             obs_g = stacked_to_grouped(spec, env_c.obs)
@@ -369,10 +385,21 @@ def make_phase_fns(
             new_state = jax.tree.map(
                 lambda a, b: jnp.where(done_all, a, b), reset_state, env_state
             )
-            return (EnvCarry(obs=new_obs, state=new_state), buf_state), ()
+            if stateful_policy:
+                # recurrent policy state restarts with the episode — the
+                # same done-masking the Q-agent trained under
+                # (baselines/vdn.py env_step)
+                pol_c = jax.tree.map(
+                    lambda i, p: jnp.where(done_all, i, p),
+                    collect_policy.init_carry(), pol_c,
+                )
+            return (EnvCarry(obs=new_obs, state=new_state), buf_state, pol_c), ()
 
         keys = jax.random.split(key, cfg.train.sample_num)
-        (env_c, buf_state), _ = jax.lax.scan(body, carry, keys)
+        pol_init = collect_policy.init_carry() if stateful_policy else ()
+        (env_c, buf_state, _), _ = jax.lax.scan(
+            body, (carry[0], carry[1], pol_init), keys
+        )
         return env_c, buf_state
 
     def train_phase(train_state, buf_state, key):
@@ -452,14 +479,20 @@ def make_batched_epoch_fn(
         sample_batch_size=local_bs,
     )
 
+    stateful_policy = hasattr(collect_policy, "init_carry")
+
     def collect(carry, key):
         """carry: (EnvCarry [E,...], BufferState [E,...])."""
 
         def body(c, k):
-            env_c, buf_state = c
+            env_c, buf_state, pol_c = c
             k_act, k_step = jax.random.split(k)
             if collect_policy is None:
                 actions = sample_actions(k_act, (E,))
+            elif stateful_policy:
+                pol_c, actions = jax.vmap(collect_policy.step)(
+                    pol_c, env_c.obs, env_c.state, jax.random.split(k_act, E)
+                )
             else:
                 actions = jax.vmap(collect_policy)(
                     env_c.state, jax.random.split(k_act, E)
@@ -489,10 +522,26 @@ def make_batched_epoch_fn(
 
             new_obs = jax.tree.map(pick, reset_obs, next_obs)
             new_state = jax.tree.map(pick, reset_state, env_state)
-            return (EnvCarry(obs=new_obs, state=new_state), buf_state), ()
+            if stateful_policy:
+                pol_c = jax.tree.map(
+                    lambda i, p: pick(jnp.broadcast_to(i, p.shape), p),
+                    collect_policy.init_carry(), pol_c,
+                )
+            return (EnvCarry(obs=new_obs, state=new_state), buf_state, pol_c), ()
 
         keys = jax.random.split(key, cfg.train.sample_num)
-        return jax.lax.scan(body, carry, keys)[0]
+        pol_init = (
+            jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (E,) + x.shape),
+                collect_policy.init_carry(),
+            )
+            if stateful_policy
+            else ()
+        )
+        (env_c, buf_state, _), _ = jax.lax.scan(
+            body, (carry[0], carry[1], pol_init), keys
+        )
+        return env_c, buf_state
 
     def sample_global(buf_state, key):
         keys = jax.random.split(key, E)

@@ -1,287 +1,167 @@
-"""Scripted collection policies (envs/policies.py): the data lever beyond
-the reference's uniform-random rollouts."""
+"""Learned-policy collection (baselines/collect_policy.py): a trained VDN
+greedy policy driving the VAE experiment's replay collection — the
+model-based loop the reference never closes (its model jax_ver/model.py and
+policy vdn.py:133-527 coexist but never touch)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mfvae_tpu.envs.mpe import AdversaryState, MPEState, SimpleAdversaryEnv, SimpleTagEnv
-from mfvae_tpu.envs.policies import make_collect_policy as _raw_make_policy
-from mfvae_tpu.models.mavae import AgentSpec
+from mfvae_tpu.baselines.collect_policy import (
+    QCollectPolicy,
+    load_collect_policy,
+    load_policy,
+    save_policy,
+)
+from mfvae_tpu.baselines.vdn import VdnNetwork, _pack_obs
+from mfvae_tpu.training.experiment import Experiment
 from mfvae_tpu.training.trainer import make_action_sampler
-
-
-def make_collect_policy(env, spec, name, epsilon):
-    sample_fn, _ = make_action_sampler(env, spec)
-    return _raw_make_policy(env, spec, name, epsilon, sample_fn)
-
 from tests.test_training import tiny_cfg
 
 
-def tag_spec(env):
-    return AgentSpec.from_dicts(
-        env.agents,
-        {a: env.obs_dim(a) for a in env.agents},
-        {a: 5 for a in env.agents},
+def make_policy_file(tmp_path, hidden_dim=8, param_share=True):
+    """Init a VdnNetwork for the tiny population and save it."""
+    exp = Experiment(tiny_cfg())
+    n = exp.spec.n_agents
+    action_dim = 5
+    d_pad = max(od for (od, _), _ in exp.spec.groups)
+    net = VdnNetwork(
+        action_dim=action_dim, n_agents=n, hidden_dim=hidden_dim,
+        param_share=param_share,
     )
+    params = net.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, n, hidden_dim)),
+        jnp.zeros((1, 1, n, d_pad + n)),
+        jnp.zeros((1, 1), bool),
+    )
+    path = str(tmp_path / "policy.npz")
+    save_policy(
+        path, params, hidden_dim=hidden_dim, param_share=param_share,
+        action_dim=action_dim, n_agents=n,
+    )
+    return path, params
 
 
-class TestPursuitPolicy:
-    def test_chase_and_evade_directions(self):
-        """Hand-placed state: the adversary at origin must move +x toward
-        the prey at (1, 0.2); the prey must move +x away from it."""
-        env = SimpleTagEnv(num_adversaries=1, num_good_agents=1, num_obs=1,
-                           max_steps=8)
-        policy = make_collect_policy(env, tag_spec(env), "pursuit", epsilon=0.0)
-        state = MPEState(
-            agent_pos=jnp.asarray([[0.0, 0.0], [1.0, 0.2]]),
-            agent_vel=jnp.zeros((2, 2)),
-            landmark_pos=jnp.asarray([[5.0, 5.0]]),
-            step=jnp.int32(0),
+class TestSaveLoad:
+    def test_roundtrip(self, tmp_path):
+        exp = Experiment(tiny_cfg())
+        path, params = make_policy_file(tmp_path)
+        loaded, meta = load_policy(path)
+        assert meta == {
+            "hidden_dim": 8, "param_share": True, "action_dim": 5,
+            "n_agents": exp.spec.n_agents,
+        }
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # tree STRUCTURE must survive too (apply would fail otherwise)
+        assert (
+            jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+            == jax.tree_util.tree_structure(jax.tree.map(np.asarray, loaded))
         )
-        actions = policy(state, jax.random.PRNGKey(0))
-        assert int(actions[0]) == 2  # adversary: +x toward prey
-        assert int(actions[1]) == 2  # prey: +x away from adversary
 
-    def test_continuous_points_at_prey(self):
-        env = SimpleTagEnv(num_adversaries=1, num_good_agents=1, num_obs=1,
-                           max_steps=8, discrete_actions=False)
-        spec = AgentSpec.from_dicts(
-            env.agents, {a: env.obs_dim(a) for a in env.agents},
-            {a: 2 for a in env.agents},
-        )
-        policy = make_collect_policy(env, spec, "pursuit", epsilon=0.0)
-        state = MPEState(
-            agent_pos=jnp.asarray([[0.0, 0.0], [0.6, 0.8]]),
-            agent_vel=jnp.zeros((2, 2)),
-            landmark_pos=jnp.asarray([[5.0, 5.0]]),
-            step=jnp.int32(0),
-        )
-        actions = policy(state, jax.random.PRNGKey(0))
+
+class TestPacking:
+    def test_pack_matches_vdn_pack_obs(self, tmp_path):
+        """The stacked-obs packer must produce exactly what the VDN net was
+        trained on (baselines/vdn._pack_obs over the dict obs)."""
+        exp = Experiment(tiny_cfg())
+        path, _ = make_policy_file(tmp_path)
+        sample_fn, _ = make_action_sampler(exp.env, exp.spec)
+        pol = load_collect_policy(path, exp.env, exp.spec, 0.0, sample_fn)
+
+        obs, state = exp.env.reset_stacked(jax.random.PRNGKey(0))
+        packed = pol._pack(obs)
+
+        # dict form of the same observation, via the spec slot map
+        slot = {}
+        for g, ((_, _), idxs) in enumerate(exp.spec.groups):
+            for p, i in enumerate(idxs):
+                slot[i] = (g, p)
+        obs_g = tuple(obs)
+        obs_dict = {
+            a: obs_g[slot[i][0]][slot[i][1]][None]
+            for i, a in enumerate(exp.spec.agents)
+        }
+        want = _pack_obs(exp.env, obs_dict, exp.spec.n_agents)
         np.testing.assert_allclose(
-            np.asarray(actions[0]), [0.6, 0.8], atol=1e-5
-        )  # unit vector toward prey
+            np.asarray(packed), np.asarray(want), rtol=1e-6
+        )
+
+
+class TestPolicyStep:
+    def test_greedy_matches_network_argmax(self, tmp_path):
+        exp = Experiment(tiny_cfg())
+        path, params = make_policy_file(tmp_path)
+        sample_fn, _ = make_action_sampler(exp.env, exp.spec)
+        pol = load_collect_policy(path, exp.env, exp.spec, 0.0, sample_fn)
+
+        obs, state = exp.env.reset_stacked(jax.random.PRNGKey(1))
+        carry = pol.init_carry()
+        new_carry, actions = pol.step(carry, obs, state, jax.random.PRNGKey(2))
+        net = pol.network
+        hidden, q = net.apply(
+            params, carry, pol._pack(obs)[None], jnp.zeros((1, 1), bool)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(actions), np.asarray(jnp.argmax(q[0, 0], axis=-1))
+        )
         np.testing.assert_allclose(
-            np.asarray(actions[1]), [0.6, 0.8], atol=1e-5
-        )  # fleeing along the same ray
-
-    def test_adversary_scenario_goal_seek(self):
-        """Good agents head for the goal; the adversary (goal-blind)
-        chases the nearest good agent."""
-        env = SimpleAdversaryEnv(num_good_agents=2, max_steps=8)
-        spec = AgentSpec.from_dicts(
-            env.agents, {a: env.obs_dim(a) for a in env.agents},
-            {a: 5 for a in env.agents},
-        )
-        policy = make_collect_policy(env, spec, "pursuit", epsilon=0.0)
-        state = AdversaryState(
-            agent_pos=jnp.asarray([[0.0, 0.0], [0.5, 0.0], [-0.5, 0.0]]),
-            agent_vel=jnp.zeros((3, 2)),
-            landmark_pos=jnp.asarray([[9.0, 9.0], [0.5, 1.0]]),
-            goal=jnp.int32(1),
-            step=jnp.int32(0),
-        )
-        actions = policy(state, jax.random.PRNGKey(0))
-        assert int(actions[0]) == 2  # adversary: +x toward agent_0 (nearest)
-        assert int(actions[1]) == 4  # agent_0: +y toward the goal (0.5, 1.0)
-        assert int(actions[2]) == 2  # agent_1: +x (goal is at dx=1.0, dy=1.0 -> x ties broken by argmax=first... )
-
-    def test_pursuit_produces_more_contacts_than_random(self):
-        """The point of the lever: rolled out, pursuit yields contact
-        events (nonzero tag rewards) far more often than random."""
-        env = SimpleTagEnv(num_adversaries=3, num_good_agents=1, num_obs=1,
-                           max_steps=200)
-        spec = tag_spec(env)
-        policy = make_collect_policy(env, spec, "pursuit", epsilon=0.05)
-
-        def rollout(policy_fn, key):
-            obs, state = env.reset_stacked(key)
-
-            def body(c, k):
-                s = c
-                acts = policy_fn(s, k)
-                _, s, rew, _, _ = env.step_stacked(k, s, acts)
-                # adversary reward is positive ONLY on a tag (contact);
-                # good-agent rewards also carry boundary penalties, so
-                # they are not a contact proxy
-                return s, jnp.any(rew[:3] > 0.0)
-
-            _, hits = jax.lax.scan(
-                body, state, jax.random.split(key, 200)
-            )
-            return jnp.mean(hits.astype(jnp.float32))
-
-        def random_policy(s, k):
-            return jax.random.randint(k, (4,), 0, 5)
-
-        p_jit = jax.jit(lambda k: rollout(policy, k))
-        r_jit = jax.jit(lambda k: rollout(random_policy, k))
-        hit_pursuit = float(np.mean(
-            [float(p_jit(jax.random.PRNGKey(s))) for s in range(4)]
-        ))
-        hit_random = float(np.mean(
-            [float(r_jit(jax.random.PRNGKey(s))) for s in range(4)]
-        ))
-        assert hit_pursuit > max(2 * hit_random, 0.01), (
-            hit_pursuit, hit_random,
+            np.asarray(new_carry), np.asarray(hidden), rtol=1e-6
         )
 
-    def test_unknown_policy_and_unsupported_env_rejected(self):
-        env = SimpleTagEnv(num_adversaries=1, num_good_agents=1, num_obs=1)
-        with pytest.raises(ValueError, match="unknown collect_policy"):
-            make_collect_policy(env, tag_spec(env), "nonsense", 0.1)
-        from mfvae_tpu.envs.mpe import SimpleSpreadEnv
-
-        senv = SimpleSpreadEnv(num_agents=2)
-        sspec = AgentSpec.from_dicts(
-            senv.agents, {a: senv.obs_dim() for a in senv.agents},
-            {a: 5 for a in senv.agents},
+    def test_epsilon_one_is_uniform_sampler(self, tmp_path):
+        """epsilon=1.0 must reproduce the uniform sampler's draws exactly
+        (same key path as the scripted policies' mixture)."""
+        exp = Experiment(tiny_cfg())
+        path, _ = make_policy_file(tmp_path)
+        sample_fn, _ = make_action_sampler(exp.env, exp.spec)
+        pol = load_collect_policy(path, exp.env, exp.spec, 1.0, sample_fn)
+        obs, state = exp.env.reset_stacked(jax.random.PRNGKey(1))
+        key = jax.random.PRNGKey(5)
+        _, actions = pol.step(pol.init_carry(), obs, state, key)
+        _, k_rand = jax.random.split(key)
+        np.testing.assert_array_equal(
+            np.asarray(actions), np.asarray(sample_fn(k_rand))
         )
-        with pytest.raises(ValueError, match="not defined"):
-            make_collect_policy(senv, sspec, "pursuit", 0.1)
+
+    def test_rejects_wrong_population(self, tmp_path):
+        exp = Experiment(tiny_cfg())
+        path, _ = make_policy_file(tmp_path)
+        params, meta = load_policy(path)
+        meta["n_agents"] += 1
+        sample_fn, _ = make_action_sampler(exp.env, exp.spec)
+        with pytest.raises(ValueError, match="agents"):
+            QCollectPolicy(exp.env, exp.spec, params, meta, 0.0, sample_fn)
 
 
-class TestPolicyDrivenTraining:
-    def test_fused_epoch_trains_with_pursuit(self, tmp_path):
-        from mfvae_tpu.training.experiment import Experiment
-
-        cfg = tiny_cfg(tmp_path, epoch_num=2)
-        cfg.train.collect_policy = "pursuit"
-        cfg.train.collect_epsilon = 0.2
+class TestEndToEnd:
+    def test_experiment_trains_under_vdn_collection(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        path, _ = make_policy_file(tmp_path, hidden_dim=8)
+        cfg.train.collect_policy = f"vdn:{path}"
+        cfg.train.collect_epsilon = 0.25
         exp = Experiment(cfg).setup()
-        result = exp.run()
-        assert np.isfinite(result["loss_train"])
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
 
-    def test_batched_epoch_trains_with_pursuit(self, tmp_path):
-        from mfvae_tpu.training.experiment import Experiment
-
-        cfg = tiny_cfg(tmp_path, n_envs=2, epoch_num=2)
-        cfg.train.collect_policy = "pursuit"
+    def test_batched_envs_train_under_vdn_collection(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        path, _ = make_policy_file(tmp_path, hidden_dim=8)
+        cfg.train.collect_policy = f"vdn:{path}"
+        cfg.train.n_envs = 2
         exp = Experiment(cfg).setup()
-        result = exp.run()
-        assert np.isfinite(result["loss_train"])
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
 
-    def test_continuous_pursuit_trains(self, tmp_path):
-        from mfvae_tpu.training.experiment import Experiment
-
-        cfg = tiny_cfg(tmp_path, epoch_num=2)
-        cfg.env.discrete_actions = False
-        cfg.model.discrete_act = False
-        cfg.train.collect_policy = "pursuit"
+    def test_independent_params_policy(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        path, _ = make_policy_file(tmp_path, param_share=False)
+        cfg.train.collect_policy = f"vdn:{path}"
         exp = Experiment(cfg).setup()
-        result = exp.run()
-        assert np.isfinite(result["loss_train"])
-
-    def test_host_experiment_trains_with_pursuit(self, tmp_path):
-        """The host collectors run the numpy pursuit mirror: end-to-end
-        host training with collect_policy=pursuit."""
-        from mfvae_tpu.training.host_experiment import HostExperiment
-
-        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=6, train_num=2)
-        cfg.buffer.min_size = 4
-        cfg.buffer.batch_size = 4
-        cfg.train.collect_policy = "pursuit"
-        cfg.train.collect_epsilon = 0.2
-        exp = HostExperiment(cfg).setup()
-        result = exp.run()
-        assert np.isfinite(result["loss_train"])
-
-    def test_host_batched_pursuit(self, tmp_path):
-        from mfvae_tpu.envs.native_engine import native_engine_available
-        from mfvae_tpu.training.host_experiment import HostExperiment
-
-        if not native_engine_available():
-            pytest.skip("no native toolchain")
-        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=8, train_num=2)
-        cfg.env.n_host_envs = 4
-        cfg.buffer.min_size = 4
-        cfg.buffer.batch_size = 4
-        cfg.train.collect_policy = "pursuit"
-        exp = HostExperiment(cfg).setup()
-        from mfvae_tpu.envs.host_adapter import NativeBatchedCollector
-
-        assert isinstance(exp.collector, NativeBatchedCollector)
-        assert exp.collector._pursuit_kind == "tag"
-        result = exp.run()
-        assert np.isfinite(result["loss_train"])
-
-    def test_host_pursuit_unsupported_env_rejected(self, tmp_path):
-        """Scenarios without a scripted policy raise a clear error at
-        collector construction instead of silently collecting random."""
-        from mfvae_tpu.training.host_experiment import HostExperiment
-
-        cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=4, train_num=1)
-        cfg.env.name = "MPE_simple_spread_v3"
-        cfg.env.num_good_agents = 3
-        cfg.buffer.min_size = 2
-        cfg.buffer.batch_size = 2
-        cfg.train.collect_policy = "pursuit"
-        with pytest.raises(ValueError, match="no host pursuit policy"):
-            HostExperiment(cfg)
-
-    def test_host_policy_matches_jit_policy(self):
-        """The numpy mirror must agree with the compiled policy at
-        epsilon=0 on a shared state (both backends collect the same
-        distribution)."""
-        from mfvae_tpu.envs.policies import host_pursuit_actions
-
-        env = SimpleTagEnv(num_adversaries=3, num_good_agents=2, num_obs=1,
-                           max_steps=8)
-        spec = tag_spec(env)
-        jit_policy = make_collect_policy(env, spec, "pursuit", epsilon=0.0)
-        rng = np.random.default_rng(4)
-        pos = rng.uniform(-1.2, 1.2, size=(5, 2)).astype(np.float32)
-        state = MPEState(
-            agent_pos=jnp.asarray(pos),
-            agent_vel=jnp.zeros((5, 2)),
-            landmark_pos=jnp.asarray(rng.uniform(-0.9, 0.9, (1, 2)),
-                                     jnp.float32),
-            step=jnp.int32(0),
-        )
-        want = np.asarray(jit_policy(state, jax.random.PRNGKey(0)))
-        got = host_pursuit_actions(
-            "tag", pos, 3, np.random.default_rng(0), epsilon=0.0,
-            discrete=True,
-        )
-        np.testing.assert_array_equal(got, want)
-
-    def test_epsilon_range_validated(self):
-        from mfvae_tpu.config import ExperimentConfig
-
-        cfg = ExperimentConfig()
-        cfg.train.collect_epsilon = 10.0
-        with pytest.raises(ValueError, match="collect_epsilon"):
-            cfg.validate()
-
-    def test_host_policy_matches_jit_policy_adversary(self):
-        """Same agreement check for the adversary kind (goal-seek +
-        goal-blind chase), including the batched [K, A, 2] form."""
-        from mfvae_tpu.envs.policies import host_pursuit_actions
-
-        env = SimpleAdversaryEnv(num_good_agents=3, max_steps=8)
-        spec = AgentSpec.from_dicts(
-            env.agents, {a: env.obs_dim(a) for a in env.agents},
-            {a: 5 for a in env.agents},
-        )
-        jit_policy = make_collect_policy(env, spec, "pursuit", epsilon=0.0)
-        rng = np.random.default_rng(11)
-        K = 3
-        pos = rng.uniform(-1.0, 1.0, size=(K, 4, 2)).astype(np.float32)
-        lmk = rng.uniform(-0.9, 0.9, size=(K, 3, 2)).astype(np.float32)
-        goals = np.array([0, 2, 1])
-        want = []
-        for k in range(K):
-            state = AdversaryState(
-                agent_pos=jnp.asarray(pos[k]),
-                agent_vel=jnp.zeros((4, 2)),
-                landmark_pos=jnp.asarray(lmk[k]),
-                goal=jnp.int32(goals[k]),
-                step=jnp.int32(0),
-            )
-            want.append(np.asarray(jit_policy(state, jax.random.PRNGKey(k))))
-        got = host_pursuit_actions(
-            "adversary", pos, 1, np.random.default_rng(0), epsilon=0.0,
-            discrete=True, goal_pos=lmk[np.arange(K), goals],
-        )
-        np.testing.assert_array_equal(got, np.stack(want))
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
