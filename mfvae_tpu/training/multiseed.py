@@ -36,6 +36,7 @@ def run_multiseed(
     seeds: Sequence[int],
     epochs_per_dispatch: Optional[int] = None,
     replica_batch: Optional[int] = None,
+    tail_metrics: bool = False,
 ) -> dict:
     """Train len(seeds) independent replicas of the experiment in one
     vmapped program.  Returns per-seed final losses and the spread summary.
@@ -53,11 +54,12 @@ def run_multiseed(
     seeds = list(seeds)
     if replica_batch and replica_batch < len(seeds):
         parts = [
-            run_multiseed(cfg, seeds[i : i + replica_batch], epochs_per_dispatch)
+            run_multiseed(cfg, seeds[i : i + replica_batch],
+                          epochs_per_dispatch, tail_metrics=tail_metrics)
             for i in range(0, len(seeds), replica_batch)
         ]
         train_final = np.asarray(sum((p["loss_train"] for p in parts), []))
-        return {
+        out = {
             "seeds": sum((p["seeds"] for p in parts), []),
             "loss_train": [float(x) for x in train_final],
             "loss_test": sum((p["loss_test"] for p in parts), []),
@@ -68,6 +70,11 @@ def run_multiseed(
             "epochs": int(cfg.train.epoch_num),
             "n_seeds": len(train_final),
         }
+        if tail_metrics:
+            out["test_loss_tail"] = sum(
+                (p["test_loss_tail"] for p in parts), []
+            )
+        return out
     seeds = jnp.asarray(list(seeds), jnp.int32)
     n = seeds.shape[0]
     K = epochs_per_dispatch or max(cfg.train.epochs_per_dispatch, 1)
@@ -129,7 +136,7 @@ def run_multiseed(
     final = jax.device_get(metrics)
     train_final = np.asarray(final.train.loss)[:, -1]
     test_final = np.asarray(final.test.loss)[:, -1]
-    return {
+    out = {
         "seeds": [int(s) for s in np.asarray(seeds)],
         "loss_train": [float(x) for x in train_final],
         "loss_test": [float(x) for x in test_final],
@@ -140,3 +147,9 @@ def run_multiseed(
         "epochs": int(cfg.train.epoch_num),
         "n_seeds": int(n),
     }
+    if tail_metrics:
+        # per-seed per-epoch held-out losses of the LAST dispatch chunk
+        # ([N, k]) — enough for last-k-mean quality CIs without storing the
+        # whole training history on device
+        out["test_loss_tail"] = np.asarray(final.test.loss).tolist()
+    return out

@@ -32,3 +32,18 @@ def test_multiseed_seed_relabeling(tmp_path):
     a = run_multiseed(cfg, seeds=[3, 5])
     b = run_multiseed(cfg, seeds=[5, 3])
     np.testing.assert_allclose(a["loss_train"], b["loss_train"][::-1], rtol=1e-6)
+
+
+def test_multiseed_tail_metrics(tmp_path):
+    """tail_metrics returns the last dispatch chunk's per-epoch held-out
+    losses ([N, k]), with the final column equal to loss_test — incl.
+    through the replica_batch partitioning path."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.train.epoch_num = 4
+    out = run_multiseed(
+        cfg, seeds=[0, 1, 2], epochs_per_dispatch=2, replica_batch=2,
+        tail_metrics=True,
+    )
+    tail = np.asarray(out["test_loss_tail"])
+    assert tail.shape == (3, 2)
+    np.testing.assert_allclose(tail[:, -1], out["loss_test"], rtol=1e-6)
