@@ -215,6 +215,8 @@ def make_train(
     reward_fn=None,
     example_reward=None,
     loss_fn_builder=None,
+    imagine_fn=None,
+    imagine_weight: float = 1.0,
 ):
     """Build the compiled training function (reference surface:
     make_train(config, env) -> train(rng), vdn.py:133-139).
@@ -235,7 +237,11 @@ def make_train(
       (default: scalar);
     - loss_fn_builder(network, init_hidden, q_of_actions, config, n_agents)
       -> loss_fn(params, target_params, seq) (default: double-DQN / TD(λ)
-      over the summed VDN joint Q)."""
+      over the summed VDN joint Q);
+    - imagine_fn(params, real_batch, key) -> Timestep windows [S, H, ...]:
+      Dyna hook (baselines/dyna.py) — model-generated training windows whose
+      Q-loss is added with weight ``imagine_weight`` whenever the buffer can
+      sample."""
     base_env = env or make_env(
         config.env_name,
         num_good_agents=config.num_good_agents,
@@ -388,7 +394,11 @@ def make_train(
     )
 
     def update_step(runner: Runner, _):
-        rng, k_roll, k_sample = jax.random.split(runner.rng, 3)
+        if imagine_fn is None:  # split count preserved: plain-VDN rng
+            rng, k_roll, k_sample = jax.random.split(runner.rng, 3)
+            k_img = None
+        else:
+            rng, k_roll, k_sample, k_img = jax.random.split(runner.rng, 4)
         eps = epsilon_by_step(
             runner.update_i, config.eps_start, config.eps_finish, eps_decay_updates
         )
@@ -409,9 +419,25 @@ def make_train(
 
         def do_learn(train_state):
             batch = buffer.sample(buffer_state, k_sample).experience
-            loss, grads = jax.value_and_grad(loss_fn)(
-                train_state.params, runner.target_params, batch
-            )
+            if imagine_fn is None:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    train_state.params, runner.target_params, batch
+                )
+            else:
+                # Dyna (baselines/dyna.py): imagined windows generated from
+                # the real batch's start states under the CURRENT policy —
+                # generation happens outside the grad so only the Q-loss on
+                # the imagined data differentiates, not the data itself
+                img = imagine_fn(train_state.params, batch, k_img)
+
+                def total(p):
+                    return loss_fn(
+                        p, runner.target_params, batch
+                    ) + imagine_weight * loss_fn(
+                        p, runner.target_params, img
+                    )
+
+                loss, grads = jax.value_and_grad(total)(train_state.params)
             return train_state.apply_gradients(grads=grads), loss
 
         can = buffer.can_sample(buffer_state)
