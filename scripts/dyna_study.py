@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Dyna sample-efficiency study (VERDICT r3 item 2b): does imagination help?
+
+Model-free VDN vs Dyna-VDN (baselines/dyna.py: the flagship det128 world
+model imagines H-step TD windows from the agent's real replay states under
+its CURRENT policy) at an IDENTICAL real-env-step budget — same num_envs,
+num_steps, num_updates, same seeds (paired).  The greedy-eval return curve
+(test_return, measured every test_interval updates on held-out episodes) is
+the sample-efficiency story: a Dyna arm above the baseline at update U got
+more return out of the same U x num_envs x num_steps real transitions.
+
+The world model is pre-trained separately (det128, mixture collection
+pursuit@eps — the distribution closest to what an eps-greedy learner visits)
+and FROZEN during Q-learning; its own collection budget is reported in the
+output for honest accounting.
+
+Reference anchor: the reference holds a world model (jax_ver/model.py:100-199)
+and a Q-learner (jax_ver/baselines/QLearning/vdn.py) that never touch; this
+is the framework's second end-to-end consumer of the model (the first is
+learned-policy collection, scripts/policy_collection_study.py).
+
+Run on the TPU env: python scripts/dyna_study.py [n_seeds] [wm_epochs]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import numpy as np  # noqa: E402
+
+from mfvae_tpu.baselines.dyna import make_dyna_train  # noqa: E402
+from mfvae_tpu.baselines.vdn import VdnConfig, make_train  # noqa: E402
+from mfvae_tpu.config import ExperimentConfig  # noqa: E402
+from mfvae_tpu.inference import WorldModel  # noqa: E402
+from mfvae_tpu.training.experiment import Experiment  # noqa: E402
+
+TUNED = Path(__file__).resolve().parents[1] / "mfvae_tpu/baselines/config/vdn_tuned.yaml"
+
+# (arm tag, imagine_weight, horizon); weight 0 = model-free baseline
+ARMS = (("baseline", 0.0, 0), ("dyna_w0.3_h8", 0.3, 8), ("dyna_w1.0_h8", 1.0, 8))
+
+
+def train_world_model(epochs: int) -> Experiment:
+    """det128 under mixture collection (pursuit@0.5) — shares the mixture
+    study's checkpoint dir so the artifact is reused across studies."""
+    cfg = ExperimentConfig()
+    cfg.model.det_features = 128
+    cfg.train.epoch_num = epochs
+    cfg.train.collect_policy = "pursuit"
+    cfg.train.collect_epsilon = 0.5
+    cfg.train.epochs_per_dispatch = 32
+    cfg.train.run_name = "mixture_mix_eps0.5"
+    cfg.train.log_dir = "/tmp/mixture_results"
+    cfg.train.checkpoint_dir = "/tmp/ck_mixture_mix_eps0.5"
+    cfg.train.resume = True
+    exp = Experiment(cfg).setup()
+    exp.run()
+    return exp
+
+
+def main(n_seeds: int = 8, wm_epochs: int = 256):
+    t0 = time.time()
+    exp = train_world_model(wm_epochs)
+    wm = WorldModel(exp.model, exp.carry.train_state.params)
+    print(f"[{time.time()-t0:.0f}s] world model ready", flush=True)
+
+    cfg = VdnConfig.from_yaml(str(TUNED))
+    cfg.num_seeds = n_seeds
+    cfg.test_interval = 50
+    cfg.log_during_training = False
+    rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), n_seeds)  # paired
+
+    per_update_env_steps = cfg.num_envs * cfg.num_steps
+    curves = {}
+    for tag, w, h in ARMS:
+        if w == 0.0:
+            train = make_train(cfg)
+        else:
+            train = make_dyna_train(cfg, wm, horizon=h, imagine_weight=w)
+        out = jax.jit(jax.vmap(train))(rngs)
+        tr = np.asarray(out["metrics"]["test_return"])  # [seeds, updates]
+        curves[tag] = tr
+        print(
+            f"[{time.time()-t0:.0f}s] {tag}: final test_return "
+            f"{tr[:, -1].mean():.2f} +/- {tr[:, -1].std(ddof=1):.2f}",
+            flush=True,
+        )
+
+    # greedy-eval return at equal real-env budgets (paired seeds)
+    checkpoints = [200, 500, 1000, cfg.num_updates - 1]
+    table = {}
+    for tag, tr in curves.items():
+        row = {}
+        for u in checkpoints:
+            vals = tr[:, u]
+            row[f"return@{(u + 1) * per_update_env_steps}steps"] = {
+                "mean": round(float(vals.mean()), 3),
+                "sem": round(float(vals.std(ddof=1) / np.sqrt(len(vals))), 3),
+            }
+        row["auc_mean"] = round(float(tr.mean()), 3)
+        table[tag] = row
+
+    # paired per-seed delta vs baseline at the final budget
+    deltas = {
+        tag: {
+            "final_delta_mean": round(
+                float((tr[:, -1] - curves["baseline"][:, -1]).mean()), 3
+            ),
+            "final_delta_sem": round(
+                float(
+                    (tr[:, -1] - curves["baseline"][:, -1]).std(ddof=1)
+                    / np.sqrt(tr.shape[0])
+                ),
+                3,
+            ),
+        }
+        for tag, tr in curves.items()
+        if tag != "baseline"
+    }
+
+    print(json.dumps({
+        "study": "Dyna-VDN vs model-free VDN, equal real-env budget",
+        "n_seeds": n_seeds,
+        "env_steps_per_update": per_update_env_steps,
+        "num_updates": cfg.num_updates,
+        "wm": {
+            "det_features": 128,
+            "collection": "pursuit@eps0.5",
+            "epochs": wm_epochs,
+            "collect_env_steps_per_epoch": exp.cfg.train.sample_num,
+        },
+        "arms": table,
+        "paired_final_deltas_vs_baseline": deltas,
+    }))
+
+
+if __name__ == "__main__":
+    a = [int(x) for x in sys.argv[1:]]
+    main(*(a or [8]))

@@ -55,6 +55,7 @@ def train_point(tag: str, policy: str, eps: float, epochs: int) -> Experiment:
     cfg.train.run_name = f"mixture_{tag}"
     cfg.train.log_dir = "/tmp/mixture_results"
     cfg.train.checkpoint_dir = f"/tmp/ck_mixture_{tag}"
+    cfg.train.resume = True  # restartable: reuse a prior run's checkpoints
     exp = Experiment(cfg).setup()
     exp.run()
     return exp

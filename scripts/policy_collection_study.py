@@ -64,6 +64,7 @@ def train_world_model(policy: str, epochs: int, tag: str) -> Experiment:
     cfg.train.run_name = f"policy_study_{tag}"
     cfg.train.log_dir = "/tmp/policy_study_results"
     cfg.train.checkpoint_dir = f"/tmp/ck_policy_study_{tag}"
+    cfg.train.resume = True  # restartable: reuse a prior run's checkpoints
     exp = Experiment(cfg).setup()
     exp.run()
     return exp
