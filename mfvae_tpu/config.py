@@ -55,6 +55,13 @@ class ModelConfig:
     # carries state info to the decoders without paying KL, preventing the
     # measured posterior-collapse quality loss (PARITY.md).
     det_features: int = 0
+    # decode next state as a RESIDUAL on the current state instead of an
+    # absolute reconstruction (false = reference structure).  Removes the
+    # latent bottleneck's ~0.4-0.6 Huber reconstruction floor that keeps
+    # the absolute decoder below the frozen-world baseline at state
+    # prediction (PARITY.md round 4, open-loop rollout accuracy); adds no
+    # parameters.
+    residual_state: bool = False
     # run the state and reward decoders (identical hidden widths) as ONE
     # stacked batched-einsum trunk.  Perf-neutral under honest device
     # timing (scripts/perf_matrix.py: 234k vs 237k samples/s at b256 — the

@@ -23,7 +23,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
-from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch
+from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, agent_order_concat
 
 
 class GroupedTransition(NamedTuple):
@@ -80,25 +80,9 @@ class VaeBatch(NamedTuple):
     rewards: jnp.ndarray  # [B, n_agents]
 
 
-def _agent_order_state(
-    spec: AgentSpec, grouped: Tuple[jnp.ndarray, ...]
-) -> jnp.ndarray:
-    """Concatenate per-group [B, A_g, D_g] into the agent-order flat state
-    [B, Σ obs_dims] (the reference's next_states concat order,
-    jax_ver/trainer.py:27-28 iterates agents in codebook order)."""
-    b = grouped[0].shape[0]
-    if spec.grouped_is_identity:
-        return jnp.concatenate([g.reshape(b, -1) for g in grouped], axis=-1)
-    # general case: slice each agent back out in agent order (trace-time loop)
-    parts = []
-    group_of_agent = {}
-    for g, ((_, _), idxs) in enumerate(spec.groups):
-        for pos, agent_idx in enumerate(idxs):
-            group_of_agent[agent_idx] = (g, pos)
-    for i in range(spec.n_agents):
-        g, pos = group_of_agent[i]
-        parts.append(grouped[g][:, pos, :])
-    return jnp.concatenate(parts, axis=-1)
+# shared with the model so the residual-state decoder adds the SAME layout
+# it is trained against (models/mavae.agent_order_concat)
+_agent_order_state = agent_order_concat
 
 
 def vae_batch_from_grouped(

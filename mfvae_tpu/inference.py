@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from mfvae_tpu.config import ModelConfig
-from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
+from mfvae_tpu.models.mavae import (
+    AgentSpec,
+    GroupedBatch,
+    MAVAE,
+    agent_order_concat,
+)
 
 
 class WorldModel:
@@ -36,10 +41,10 @@ class WorldModel:
         self.variables = variables
         spec = model.spec
 
-        def _decode_from(z, aemb, z_shared=None, det=None):
+        def _decode_from(z, aemb, z_shared=None, det=None, base=None):
             return model.apply(
-                variables, z, aemb, z_shared, det,
-                method=lambda m, z_, a_, s_, d_: m.decode(z_, a_, s_, d_),
+                variables, z, aemb, z_shared, det, base,
+                method=lambda m, z_, a_, s_, d_, b_: m.decode(z_, a_, s_, d_, b_),
             )
 
         @jax.jit
@@ -57,7 +62,12 @@ class WorldModel:
             if experts is not None:
                 # mean decode: PoE posterior mean for the shared latent
                 z_shared, _ = model.poe(experts)
-            return _decode_from(mu.astype(jnp.float32), aemb, z_shared, det)
+            base = (
+                agent_order_concat(spec, batch.obs)
+                if model.residual_state
+                else None
+            )
+            return _decode_from(mu.astype(jnp.float32), aemb, z_shared, det, base)
 
         @jax.jit
         def _encode(batch: GroupedBatch):

@@ -164,6 +164,27 @@ def group_dict_batch(
     return GroupedBatch(obs=tuple(obs_g), actions=tuple(act_g)), tuple(ids_g)
 
 
+def agent_order_concat(
+    spec: AgentSpec, grouped: Tuple[jnp.ndarray, ...]
+) -> jnp.ndarray:
+    """Concatenate per-group obs [B, A_g, D_g] into the agent-order flat
+    global state [B, Σ obs_dims] — the exact layout of the decoder's state
+    target (the reference's next_states concat order,
+    jax_ver/trainer.py:27-28)."""
+    b = grouped[0].shape[0]
+    if spec.grouped_is_identity:
+        return jnp.concatenate([g.reshape(b, -1) for g in grouped], axis=-1)
+    parts = []
+    group_of_agent = {}
+    for g, ((_, _), idxs) in enumerate(spec.groups):
+        for pos, agent_idx in enumerate(idxs):
+            group_of_agent[agent_idx] = (g, pos)
+    for i in range(spec.n_agents):
+        g, pos = group_of_agent[i]
+        parts.append(grouped[g][:, pos, :])
+    return jnp.concatenate(parts, axis=-1)
+
+
 class MAVAE(nn.Module):
     spec: AgentSpec
     idx_features: int = 64
@@ -195,6 +216,18 @@ class MAVAE(nn.Module):
     # stochastic split) carries state information to the decoders without
     # paying KL, so reconstruction no longer fights the prior.
     det_features: int = 0
+    # Decode the state head as a RESIDUAL on the current global state
+    # (recon_state = current_state + decoder output) instead of the
+    # reference's absolute next-state reconstruction.  Motivation
+    # (measured, PARITY.md round 4): open-loop rollout accuracy shows the
+    # absolute decoder pays a ~0.4-0.6 Huber reconstruction floor through
+    # the latent bottleneck while MPE states move only ~0.01 Huber/step —
+    # the absolute architecture never beats the frozen-world baseline at
+    # state prediction.  Predicting the DELTA removes the floor: identity
+    # becomes the decoder's zero point, so state error starts at the
+    # persistence baseline and the capacity is spent on actual dynamics.
+    # Adds no parameters; default off (reference structure).
+    residual_state: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -215,6 +248,7 @@ class MAVAE(nn.Module):
             latent_structure=cfg.latent_structure,
             shared_latent=cfg.shared_latent,
             det_features=cfg.det_features,
+            residual_state=cfg.residual_state,
         )
 
     def setup(self):
@@ -411,11 +445,16 @@ class MAVAE(nn.Module):
         aemb: jnp.ndarray,
         z_shared: Optional[jnp.ndarray] = None,
         det: Optional[jnp.ndarray] = None,
+        base_state: Optional[jnp.ndarray] = None,
     ):
         """z, aemb: [B, A, F] in *agent* order; z_shared [B, S] when the
         shared_private structure is on; det [B, A, D] deterministic
         features when det_features > 0.  Joint decode of next global state
-        and per-agent reward (jax_ver/model.py:184-192)."""
+        and per-agent reward (jax_ver/model.py:184-192).
+
+        When ``residual_state`` is on, ``base_state`` [B, Σobs] (the
+        current global state in agent order, agent_order_concat) is
+        REQUIRED and the state head decodes the delta from it."""
         b = z.shape[0]
         parts = [z.reshape(b, -1), aemb.reshape(b, -1)]
         if z_shared is not None:
@@ -431,7 +470,15 @@ class MAVAE(nn.Module):
         else:
             recon_state = self.state_decoder(flat)
             recon_reward = self.reward_linear(self.reward_decoder(flat))
-        return recon_state.astype(jnp.float32), recon_reward.astype(jnp.float32)
+        recon_state = recon_state.astype(jnp.float32)
+        if self.residual_state:
+            if base_state is None:
+                raise ValueError(
+                    "residual_state=True: decode() needs base_state (the "
+                    "current global state, agent_order_concat(spec, obs))"
+                )
+            recon_state = recon_state + base_state.astype(jnp.float32)
+        return recon_state, recon_reward.astype(jnp.float32)
 
     # --------------------------------------------------------- fused (Pallas)
     def fused_call(
@@ -474,7 +521,8 @@ class MAVAE(nn.Module):
                 1.0 + logvar_s - mu_s * mu_s - jnp.exp(logvar_s), axis=-1
             )
             kl_rows = jnp.concatenate([kl_rows, kl_s[:, None]], axis=1)
-        recon_state, recon_reward = self.decode(z, aemb, z_shared, det)
+        base = agent_order_concat(spec, batch.obs) if self.residual_state else None
+        recon_state, recon_reward = self.decode(z, aemb, z_shared, det, base)
         return recon_state, recon_reward, kl_rows
 
     # ------------------------------------------------------------------ call
@@ -492,6 +540,7 @@ class MAVAE(nn.Module):
 
         mu_g, logvar_g, aemb_g, experts, det = self.encode(batch, agent_ids)
         z_g = self.reparameterize(mu_g, logvar_g, rng_key)
+        base = agent_order_concat(spec, batch.obs) if self.residual_state else None
 
         if spec.grouped_is_identity:
             mu, logvar, aemb, z = mu_g, logvar_g, aemb_g, z_g
@@ -514,7 +563,7 @@ class MAVAE(nn.Module):
                 jax.random.fold_in(rng_key, 1), mu_s.shape
             )
             z_shared = mu_s + eps_s * std_s
-            recon_state, recon_reward = self.decode(z, aemb, z_shared, det)
+            recon_state, recon_reward = self.decode(z, aemb, z_shared, det, base)
             # contract extends the reference's [B, A*F] with the shared
             # dims appended: KL over the concatenation = KL(private) +
             # KL(shared)
@@ -526,7 +575,7 @@ class MAVAE(nn.Module):
             )
             return recon_state, recon_reward, mu_all, logvar_all
 
-        recon_state, recon_reward = self.decode(z, aemb, None, det)
+        recon_state, recon_reward = self.decode(z, aemb, None, det, base)
         # Reference contract: concatenated [B, A*F] in agent order
         # (jax_ver/model.py:195-197).
         return (

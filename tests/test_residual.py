@@ -1,0 +1,102 @@
+"""Residual state decoding (model.residual_state): the state head predicts
+the DELTA from the current global state instead of the reference's absolute
+reconstruction (motivation: PARITY.md round-4 rollout-accuracy study — the
+absolute decoder never beats the frozen-world baseline at state
+prediction).  Adds no parameters, so a residual model and a plain model
+share the exact same variable tree."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfvae_tpu.config import ExperimentConfig
+from mfvae_tpu.inference import WorldModel
+from mfvae_tpu.models.mavae import GroupedBatch, MAVAE, agent_order_concat
+from mfvae_tpu.training.experiment import Experiment
+
+
+def tiny_cfg(**model_kw):
+    cfg = ExperimentConfig()
+    cfg.env.num_good_agents = 1
+    cfg.env.num_adversaries = 2
+    cfg.env.num_obs = 1
+    cfg.model.idx_features = 8
+    cfg.model.obs_features = 8
+    cfg.model.action_features = 8
+    cfg.model.encoder_hidden = (16,)
+    cfg.model.action_encoder_hidden = (8,)
+    cfg.model.decoder_hidden = (32,)
+    cfg.model.compute_dtype = "float32"
+    for k, v in model_kw.items():
+        setattr(cfg.model, k, v)
+    return cfg
+
+
+class TestResidualDecode:
+    def test_exact_offset_and_shared_params(self):
+        """Same variables: residual recon_state == plain recon_state +
+        current flat state; rewards identical."""
+        exp = Experiment(tiny_cfg())
+        batch = exp._fake_batch(4)
+        var = exp.model.init(jax.random.PRNGKey(0), batch, None,
+                             jax.random.PRNGKey(1))
+        res_model = dataclasses.replace(exp.model, residual_state=True)
+
+        k = jax.random.PRNGKey(2)
+        s_plain, r_plain, mu_p, lv_p = exp.model.apply(var, batch, None, k)
+        s_res, r_res, mu_r, lv_r = res_model.apply(var, batch, None, k)
+
+        base = agent_order_concat(exp.spec, batch.obs)
+        np.testing.assert_allclose(
+            np.asarray(s_res), np.asarray(s_plain + base), rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(r_res), np.asarray(r_plain))
+        np.testing.assert_array_equal(np.asarray(mu_r), np.asarray(mu_p))
+        np.testing.assert_array_equal(np.asarray(lv_r), np.asarray(lv_p))
+
+    def test_decode_requires_base(self):
+        exp = Experiment(tiny_cfg(residual_state=True))
+        batch = exp._fake_batch(2)
+        var = exp.model.init(jax.random.PRNGKey(0), batch, None,
+                             jax.random.PRNGKey(1))
+        model = exp.model
+        mu, logvar, aemb, experts, det = model.apply(
+            var, batch, None, method=lambda m, b, ids: m.encode(b, ids)
+        )
+        with pytest.raises(ValueError, match="base_state"):
+            model.apply(
+                var, mu, aemb, None, det, None,
+                method=lambda m, z, a, s, d, b: m.decode(z, a, s, d, b),
+            )
+
+    def test_worldmodel_predict_applies_residual(self):
+        """WorldModel.predict on a residual model == plain-model predict +
+        current flat state (shared params)."""
+        exp = Experiment(tiny_cfg())
+        batch = exp._fake_batch(3)
+        var = exp.model.init(jax.random.PRNGKey(0), batch, None,
+                             jax.random.PRNGKey(1))
+        res_model = dataclasses.replace(exp.model, residual_state=True)
+
+        wm_plain = WorldModel(exp.model, var)
+        wm_res = WorldModel(res_model, var)
+        s_p, r_p = wm_plain._predict(batch)
+        s_r, r_r = wm_res._predict(batch)
+        base = agent_order_concat(exp.spec, batch.obs)
+        np.testing.assert_allclose(
+            np.asarray(s_r), np.asarray(s_p + base), rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(r_r), np.asarray(r_p))
+
+    def test_trains_end_to_end(self):
+        cfg = tiny_cfg(residual_state=True)
+        cfg.train.epoch_num = 2
+        cfg.train.run_name = "residual_smoke"
+        cfg.train.log_dir = "/tmp/residual_smoke"
+        cfg.train.checkpoint_dir = "/tmp/residual_smoke_ck"
+        exp = Experiment(cfg).setup()
+        out = exp.run()
+        assert np.isfinite(out["loss_train"]) and np.isfinite(out["loss_test"])
