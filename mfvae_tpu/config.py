@@ -154,6 +154,11 @@ class TrainConfig:
     # (tag + adversary scenarios).
     collect_policy: str = "random"
     collect_epsilon: float = 0.1  # uniform-random mixture for coverage
+    # collect_policy='episode_mix': probability an EPISODE is collected
+    # under the scripted policy (else uniform random) — trajectory-level
+    # distribution mixing (PARITY.md round 4: action-level epsilon mixing
+    # never recovers the random state distribution)
+    collect_mix_frac: float = 0.5
     # replicate the reference's never-resplit key bug for curve parity
     # (jax_ver/main.py:154-158,169,210)
     bug_compat_rng: bool = False
@@ -237,15 +242,22 @@ class ExperimentConfig:
                 f"model={self.model.discrete_act})"
             )
         cp = self.train.collect_policy
-        if cp not in ("random", "pursuit") and not cp.startswith("vdn:"):
+        if cp not in ("random", "pursuit", "episode_mix") and not cp.startswith(
+            "vdn:"
+        ):
             raise ValueError(
                 f"unknown collect_policy {cp!r} (expected 'random', "
-                "'pursuit', or 'vdn:<policy.npz>')"
+                "'pursuit', 'episode_mix', or 'vdn:<policy.npz>')"
             )
         if not 0.0 <= self.train.collect_epsilon <= 1.0:
             raise ValueError(
                 f"collect_epsilon must be in [0, 1]; got "
                 f"{self.train.collect_epsilon}"
+            )
+        if not 0.0 <= self.train.collect_mix_frac <= 1.0:
+            raise ValueError(
+                f"collect_mix_frac must be in [0, 1]; got "
+                f"{self.train.collect_mix_frac}"
             )
         return self
 

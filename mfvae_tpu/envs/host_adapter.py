@@ -360,17 +360,19 @@ class AsyncCollector(_CollectorLoop):
     spread, world_comm) raise a clear error."""
 
     def __init__(self, env, buffer: MultiAgentHostBuffer, seed: int = 0,
-                 policy: str = "random", epsilon: float = 0.1):
+                 policy: str = "random", epsilon: float = 0.1,
+                 mix_frac: float = 0.5):
         super().__init__()
         self.env = env
         self.buffer = buffer
         self.rng = np.random.default_rng(seed)
         self.policy = policy
         self.epsilon = float(epsilon)
-        if policy not in ("random", "pursuit"):
+        self.mix_frac = float(mix_frac)
+        if policy not in ("random", "pursuit", "episode_mix"):
             raise ValueError(f"unknown collect policy {policy!r}")
         self._obs, _ = env.reset(seed=seed)
-        if policy == "pursuit" and (
+        if policy in ("pursuit", "episode_mix") and (
             not hasattr(env, "pursuit_inputs") or env.pursuit_inputs() is None
         ):
             raise ValueError(
@@ -378,6 +380,9 @@ class AsyncCollector(_CollectorLoop):
                 "(supported: simple_tag, simple_adversary on the native "
                 "engine or LocalHostEnv)"
             )
+        # episode_mix: whole episodes alternate scripted/random (the host
+        # mirror of envs/policies.EpisodeMixPolicy); drawn at every reset
+        self._ep_scripted = bool(self.rng.random() < self.mix_frac)
         # immutable per env; avoids a fresh space object per collected step
         self._discrete = hasattr(env.action_space(env.agents[0]), "n")
         # uniform random-rollout sampler per agent, by space type (the
@@ -399,7 +404,10 @@ class AsyncCollector(_CollectorLoop):
 
     def _one_step(self):
         env = self.env
-        if self.policy == "pursuit":
+        scripted_now = self.policy == "pursuit" or (
+            self.policy == "episode_mix" and self._ep_scripted
+        )
+        if scripted_now:
             from mfvae_tpu.envs.policies import host_pursuit_actions
 
             kind, pos, n_adv, goal_pos = env.pursuit_inputs()
@@ -419,6 +427,7 @@ class AsyncCollector(_CollectorLoop):
         self._steps += 1
         if any(terms.values()) or any(truncs.values()) or not env.agents:
             self._obs, _ = env.reset()
+            self._ep_scripted = bool(self.rng.random() < self.mix_frac)
 
 
 class NativeBatchedCollector(_CollectorLoop):
@@ -449,11 +458,13 @@ class NativeBatchedCollector(_CollectorLoop):
         continuous: bool = False,
         collect_policy: str = "random",
         epsilon: float = 0.1,
+        mix_frac: float = 0.5,
     ):
         super().__init__()
         self.continuous = continuous
         self.collect_policy = collect_policy
         self.epsilon = float(epsilon)
+        self.mix_frac = float(mix_frac)
         pop_kwargs = dict(
             n_envs=n_envs, num_good=num_good, num_adversaries=num_adversaries,
             num_obstacles=num_obstacles, max_cycles=max_cycles,
@@ -492,7 +503,7 @@ class NativeBatchedCollector(_CollectorLoop):
         self.n_envs = env.n_envs
         self.rng = np.random.default_rng(seed)
         self._pursuit_kind = None
-        if collect_policy == "pursuit":
+        if collect_policy in ("pursuit", "episode_mix"):
             from mfvae_tpu.envs.native_engine import (
                 NativeSimpleAdversaryEnv,
                 NativeSimpleTagEnv,
@@ -514,25 +525,30 @@ class NativeBatchedCollector(_CollectorLoop):
         self._agents = tuple(env.agents)
         self._action_highs = np.array(env.action_highs)[None, :]
         self._obs = self.env.reset().copy()
+        # episode_mix: per-env flags, redrawn wherever an episode resets
+        # (the batched host mirror of envs/policies.EpisodeMixPolicy)
+        self._ep_scripted = self.rng.random(self.n_envs) < self.mix_frac
 
-    def _sample_actions(self) -> np.ndarray:
+    def _pursuit_actions(self) -> np.ndarray:
         env = self.env
-        if self._pursuit_kind is not None:
-            from mfvae_tpu.envs.policies import host_pursuit_actions
+        from mfvae_tpu.envs.policies import host_pursuit_actions
 
-            # batched accessors: one native call each, vectorized policy
-            # over [K, A, 2] — no per-env Python loop on the hot path
-            pos = env.get_positions()
-            goal_pos = None
-            if self._pursuit_kind == "adversary":
-                lmk = env.get_landmarks()  # [K, L, 2]
-                goals = env.get_goals()  # [K]
-                goal_pos = lmk[np.arange(self.n_envs), goals]
-            return host_pursuit_actions(
-                self._pursuit_kind, pos, self._pursuit_n_adv,
-                self.rng, self.epsilon, discrete=not self.continuous,
-                goal_pos=goal_pos,
-            )
+        # batched accessors: one native call each, vectorized policy
+        # over [K, A, 2] — no per-env Python loop on the hot path
+        pos = env.get_positions()
+        goal_pos = None
+        if self._pursuit_kind == "adversary":
+            lmk = env.get_landmarks()  # [K, L, 2]
+            goals = env.get_goals()  # [K]
+            goal_pos = lmk[np.arange(self.n_envs), goals]
+        return host_pursuit_actions(
+            self._pursuit_kind, pos, self._pursuit_n_adv,
+            self.rng, self.epsilon, discrete=not self.continuous,
+            goal_pos=goal_pos,
+        )
+
+    def _random_actions(self) -> np.ndarray:
+        env = self.env
         if self.continuous:
             # uniform in the Box(-1, 1, (2,)) force contract
             # (envs/mpe.py action_space, native step_continuous)
@@ -542,6 +558,18 @@ class NativeBatchedCollector(_CollectorLoop):
         return self.rng.integers(
             0, self._action_highs, size=(self.n_envs, env.num_agents)
         ).astype(np.int32)
+
+    def _sample_actions(self) -> np.ndarray:
+        if self.collect_policy == "episode_mix":
+            scripted = self._pursuit_actions()
+            rand = self._random_actions()
+            flags = self._ep_scripted.reshape(
+                (self.n_envs,) + (1,) * (scripted.ndim - 1)
+            )
+            return np.where(flags, scripted, rand).astype(scripted.dtype)
+        if self._pursuit_kind is not None:
+            return self._pursuit_actions()
+        return self._random_actions()
 
     def _one_step(self):
         env = self.env
@@ -564,6 +592,8 @@ class NativeBatchedCollector(_CollectorLoop):
         if done.any():
             env.reset_where(done.astype(np.uint8))
             self._obs = env.observe().copy()
+            redraw = self.rng.random(self.n_envs) < self.mix_frac
+            self._ep_scripted = np.where(done, redraw, self._ep_scripted)
         else:
             self._obs = next_obs.copy()
         self._steps += self.n_envs

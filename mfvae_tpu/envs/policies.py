@@ -154,7 +154,46 @@ def host_pursuit_actions(
     return out[0] if single else out
 
 
-def make_collect_policy(env, spec, name: str, epsilon: float, sample_fn):
+class EpisodeMixPolicy:
+    """Per-EPISODE policy mixing: each episode is collected ENTIRELY under
+    the scripted policy (probability ``mix_frac``) or entirely under uniform
+    random actions — trajectory-level mixing, not action-level.
+
+    Motivation (measured, PARITY.md round 4): mixing ACTIONS
+    (collect_epsilon up to 0.7 inside pursuit) never recovers the
+    random-rollout state distribution — eps-mixed pursuit still concentrates
+    states in chase clusters, so every action-mixture point loses the
+    random eval column by >6x.  Episode-level mixing makes the replay a true
+    mixture of the two STATE distributions.
+
+    Implements the stateful collect-policy protocol
+    (baselines/collect_policy.py): carry = (fresh, use_scripted); the
+    trainer resets the carry to init_carry() at episode end, which re-arms
+    ``fresh`` so the next step redraws the episode's policy."""
+
+    def __init__(self, scripted, sample_fn, mix_frac: float):
+        self.scripted = scripted
+        self.sample_fn = sample_fn
+        self.mix_frac = float(mix_frac)
+
+    def init_carry(self):
+        return (jnp.bool_(True), jnp.bool_(False))
+
+    def step(self, carry, stacked_obs, env_state, key):
+        fresh, use_scripted = carry
+        k_draw, k_s, k_r = jax.random.split(key, 3)
+        use_scripted = jnp.where(
+            fresh, jax.random.uniform(k_draw) < self.mix_frac, use_scripted
+        )
+        act = jnp.where(
+            use_scripted, self.scripted(env_state, k_s), self.sample_fn(k_r)
+        )
+        return (jnp.zeros_like(fresh), use_scripted), act
+
+
+def make_collect_policy(
+    env, spec, name: str, epsilon: float, sample_fn, mix_frac: float = 0.5
+):
     """Build a jit-compatible ``(state, key) -> actions`` collection
     policy, or return None for ``name='random'`` (the reference behavior).
 
@@ -164,9 +203,16 @@ def make_collect_policy(env, spec, name: str, epsilon: float, sample_fn):
     vectors.  ``sample_fn(key)`` supplies the uniform-random actions for
     the epsilon mixture — pass the trainer's ``make_action_sampler``
     sampler so the mixture uses the env's own action-space bounds rather
-    than duplicating them here."""
+    than duplicating them here.
+
+    ``'episode_mix'``: EpisodeMixPolicy — whole episodes alternate between
+    the scripted pursuit policy (probability ``mix_frac``) and uniform
+    random collection."""
     if name == "random":
         return None
+    if name == "episode_mix":
+        scripted = make_collect_policy(env, spec, "pursuit", epsilon, sample_fn)
+        return EpisodeMixPolicy(scripted, sample_fn, mix_frac)
     if name != "pursuit":
         raise ValueError(f"unknown collect_policy {name!r}")
     delta_fn = next(

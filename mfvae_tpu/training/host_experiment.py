@@ -79,6 +79,7 @@ class HostExperiment:
                     continuous=not cfg.env.discrete_actions,
                     collect_policy=cfg.train.collect_policy,
                     epsilon=cfg.train.collect_epsilon,
+                    mix_frac=cfg.train.collect_mix_frac,
                 )
             except RuntimeError as e:  # no toolchain: degrade, keep running
                 print(f"n_host_envs={cfg.env.n_host_envs} unavailable ({e}); "
@@ -88,6 +89,7 @@ class HostExperiment:
                 self.env, self.buffer, seed=cfg.train.seed,
                 policy=cfg.train.collect_policy,
                 epsilon=cfg.train.collect_epsilon,
+                mix_frac=cfg.train.collect_mix_frac,
             )
         self.streams = make_streams(cfg.train.seed)
         self.logger: Optional[MetricsLogger] = None

@@ -320,6 +320,7 @@ def _resolve_collect_policy(
 
     return make_collect_policy(
         env, spec, name, cfg.train.collect_epsilon, sample_fn,
+        mix_frac=cfg.train.collect_mix_frac,
     )
 
 

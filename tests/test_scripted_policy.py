@@ -285,3 +285,127 @@ class TestPolicyDrivenTraining:
             discrete=True, goal_pos=lmk[np.arange(K), goals],
         )
         np.testing.assert_array_equal(got, np.stack(want))
+
+
+class TestEpisodeMixPolicy:
+    """Trajectory-level mixing (collect_policy='episode_mix'): whole
+    episodes alternate between scripted pursuit and uniform random —
+    measured motivation in PARITY.md round 4 (action-level epsilon mixing
+    never recovers the random state distribution)."""
+
+    def _env_spec(self):
+        env = SimpleTagEnv(num_adversaries=2, num_good_agents=1, num_obs=1,
+                           max_steps=8)
+        spec = AgentSpec.from_dicts(
+            env.agents, {a: env.obs_dim(a) for a in env.agents},
+            {a: 5 for a in env.agents},
+        )
+        return env, spec
+
+    def _state(self):
+        return MPEState(
+            agent_pos=jnp.asarray([[0.0, 0.0], [0.5, -0.3], [1.0, 0.2]]),
+            agent_vel=jnp.zeros((3, 2)),
+            landmark_pos=jnp.asarray([[5.0, 5.0]]),
+            step=jnp.int32(0),
+        )
+
+    def test_extreme_fracs_select_the_right_policy(self):
+        env, spec = self._env_spec()
+        sample_fn, _ = make_action_sampler(env, spec)
+        scripted = _raw_make_policy(env, spec, "pursuit", 0.0, sample_fn)
+        state, key = self._state(), jax.random.PRNGKey(3)
+        _, k_s, k_r = jax.random.split(key, 3)
+
+        for frac, want in (
+            (1.0, scripted(state, k_s)),
+            (0.0, sample_fn(k_r)),
+        ):
+            pol = _raw_make_policy(
+                env, spec, "episode_mix", 0.0, sample_fn, mix_frac=frac
+            )
+            carry, act = pol.step(pol.init_carry(), None, state, key)
+            np.testing.assert_array_equal(np.asarray(act), np.asarray(want))
+            assert not bool(carry[0])  # fresh consumed
+
+    def test_choice_persists_within_episode(self):
+        """After the first step, the drawn policy sticks for every later
+        step (until the trainer resets the carry at episode end), no matter
+        what later keys would draw."""
+        env, spec = self._env_spec()
+        sample_fn, _ = make_action_sampler(env, spec)
+        pol = _raw_make_policy(
+            env, spec, "episode_mix", 0.0, sample_fn, mix_frac=0.5
+        )
+        state = self._state()
+        carry = pol.init_carry()
+        carry, _ = pol.step(carry, None, state, jax.random.PRNGKey(0))
+        chosen = bool(carry[1])
+        for i in range(1, 20):
+            carry, _ = pol.step(carry, None, state, jax.random.PRNGKey(i))
+            assert bool(carry[1]) == chosen
+        # a fresh carry with a different key CAN choose differently
+        draws = {
+            bool(pol.step(pol.init_carry(), None, state,
+                          jax.random.PRNGKey(i))[0][1])
+            for i in range(20)
+        }
+        assert draws == {True, False}
+
+    def test_trains_end_to_end(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=2)
+        cfg.train.collect_policy = "episode_mix"
+        cfg.train.collect_mix_frac = 0.5
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
+    def test_batched_epoch_trains(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, n_envs=2, epoch_num=2)
+        cfg.train.collect_policy = "episode_mix"
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
+    def test_mix_frac_validated(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, epoch_num=1)
+        cfg.train.collect_policy = "episode_mix"
+        cfg.train.collect_mix_frac = 1.5
+        with pytest.raises(ValueError, match="collect_mix_frac"):
+            cfg.validate()
+
+    def test_host_experiment_trains_with_episode_mix(self, tmp_path):
+        """Both host collectors mirror EpisodeMixPolicy (per-episode
+        scripted/random flags redrawn at reset)."""
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=6, train_num=2)
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        cfg.train.collect_policy = "episode_mix"
+        cfg.train.collect_mix_frac = 0.5
+        exp = HostExperiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
+    def test_host_batched_episode_mix_flags(self, tmp_path):
+        from mfvae_tpu.envs.native_engine import native_engine_available
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        if not native_engine_available():
+            pytest.skip("no native toolchain")
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=8, train_num=2)
+        cfg.env.n_host_envs = 4
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        cfg.train.collect_policy = "episode_mix"
+        exp = HostExperiment(cfg).setup()
+        col = exp.collector
+        assert col._pursuit_kind == "tag"
+        assert col._ep_scripted.shape == (4,)
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
