@@ -34,20 +34,27 @@ from mfvae_tpu.data.transitions import vae_batch_from_grouped  # noqa: E402
 from mfvae_tpu.training.experiment import Experiment  # noqa: E402
 from mfvae_tpu.training.trainer import make_test_step  # noqa: E402
 
-# (tag, collect_policy, collect_epsilon); the endpoints are the specialists
+# (tag, collect_policy, collect_epsilon, collect_mix_frac); the endpoints
+# are the specialists.  ep_mix mixes EPISODES (trajectory-level,
+# envs/policies.EpisodeMixPolicy) — added after the action-level sweep
+# measured an honest negative (every eps point loses the random column).
 POINTS = (
-    ("random", "random", 0.1),
-    ("mix_eps0.7", "pursuit", 0.7),
-    ("mix_eps0.5", "pursuit", 0.5),
-    ("mix_eps0.3", "pursuit", 0.3),
-    ("pursuit", "pursuit", 0.1),
+    ("random", "random", 0.1, 0.5),
+    ("mix_eps0.7", "pursuit", 0.7, 0.5),
+    ("mix_eps0.5", "pursuit", 0.5, 0.5),
+    ("mix_eps0.3", "pursuit", 0.3, 0.5),
+    ("pursuit", "pursuit", 0.1, 0.5),
+    ("ep_mix0.5", "episode_mix", 0.1, 0.5),
 )
 EVAL_TAGS = ("random", "pursuit")  # the two specialist distributions
 
 
-def train_point(tag: str, policy: str, eps: float, epochs: int) -> Experiment:
+def train_point(
+    tag: str, policy: str, eps: float, epochs: int, mix_frac: float = 0.5
+) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
+    cfg.train.collect_mix_frac = mix_frac
     cfg.train.epoch_num = epochs
     cfg.train.collect_policy = policy
     cfg.train.collect_epsilon = eps
@@ -66,8 +73,8 @@ def main(epochs: int = 256, n_eval_batches: int = 64):
 
     t0 = time.time()
     exps = {}
-    for tag, policy, eps in POINTS:
-        exps[tag] = train_point(tag, policy, eps, epochs)
+    for tag, policy, eps, mix_frac in POINTS:
+        exps[tag] = train_point(tag, policy, eps, epochs, mix_frac)
         print(f"[{time.time()-t0:.0f}s] trained {tag}", flush=True)
 
     any_exp = exps["random"]
@@ -107,7 +114,7 @@ def main(epochs: int = 256, n_eval_batches: int = 64):
 
     # dominance check against the specialists' diagonal
     verdicts = {}
-    for tag, _, _ in POINTS:
+    for tag, _, _, _ in POINTS:
         ok = all(
             results[f"model={tag}|eval={e}"]["loss"]
             <= 1.10 * results[f"model={e}|eval={e}"]["loss"]
