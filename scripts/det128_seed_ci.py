@@ -31,7 +31,9 @@ from mfvae_tpu.training.multiseed import run_multiseed  # noqa: E402
 LAST_K = 50
 
 
-def main(n_seeds: int = 8, epochs: int = 1024, replica_batch: int = 4):
+def main(n_seeds: int = 8, epochs: int = 1024, replica_batch: int = 2):
+    # replica_batch=2: det128 + wide eval at 4 vmapped replicas needs
+    # ~19.7G HBM (measured OOM on v5e-1's 16G); 2 fits with headroom
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
     cfg.loss.family = "jax"

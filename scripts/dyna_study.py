@@ -72,11 +72,14 @@ def main(n_seeds: int = 8, wm_epochs: int = 256):
     print(f"[{time.time()-t0:.0f}s] world model ready", flush=True)
 
     cfg = VdnConfig.from_yaml(str(TUNED))
-    cfg.num_seeds = n_seeds
     cfg.test_interval = 50
     cfg.log_during_training = False
     rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), n_seeds)  # paired
 
+    # each vmapped seed carries a full [buffer_size_time, num_envs] replay in
+    # HBM, so run seeds in chunks of 4 (8-at-once OOMs a v5e-1 alongside the
+    # world model) — chunking keeps the seed pairing across arms exact
+    chunk = 4
     per_update_env_steps = cfg.num_envs * cfg.num_steps
     curves = {}
     for tag, w, h in ARMS:
@@ -84,8 +87,13 @@ def main(n_seeds: int = 8, wm_epochs: int = 256):
             train = make_train(cfg)
         else:
             train = make_dyna_train(cfg, wm, horizon=h, imagine_weight=w)
-        out = jax.jit(jax.vmap(train))(rngs)
-        tr = np.asarray(out["metrics"]["test_return"])  # [seeds, updates]
+        train_v = jax.jit(jax.vmap(train))
+        rows = []
+        for c0 in range(0, n_seeds, chunk):
+            out = train_v(rngs[c0 : c0 + chunk])
+            rows.append(np.asarray(out["metrics"]["test_return"]))
+            del out  # drop the final runners (buffers) before the next chunk
+        tr = np.concatenate(rows, axis=0)  # [seeds, updates]
         curves[tag] = tr
         print(
             f"[{time.time()-t0:.0f}s] {tag}: final test_return "
