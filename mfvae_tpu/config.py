@@ -93,6 +93,13 @@ class LossConfig:
     # beta-VAE extensions (BASELINE.json config 4); 0/None disables.
     kl_anneal_steps: int = 0  # linear KL warmup over this many steps
     free_bits: float = 0.0  # per-dim KL floor (nats)
+    # multiplier on the state branch in the combined loss (1.0 = reference
+    # weighting; reported s_loss metrics stay unweighted).  Needed by
+    # model.residual_state: the per-step delta's huber (~0.007) is ~1000x
+    # smaller than the reward branch, so with s_weight=1 the delta head
+    # gets no gradient pull and collapses to zero (measured, PARITY.md
+    # round 4) — s_weight rebalances without touching the reward scale.
+    s_weight: float = 1.0
 
     def resolved_weights(self) -> Tuple[float, float]:
         if self.family == "jax":

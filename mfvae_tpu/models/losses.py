@@ -92,10 +92,11 @@ def combine_losses(
     """Apply the family weighting to already-computed components (used by
     the Pallas fused path, where s/r/kl come from custom kernels)."""
     kw, rw = cfg.resolved_weights()
+    sw = cfg.s_weight  # 1.0 = reference weighting; see LossConfig.s_weight
     if cfg.family == "jax":
-        recons = s_loss * (1.0 - rw) + r_loss * rw
+        recons = sw * s_loss * (1.0 - rw) + r_loss * rw
     else:
-        recons = s_loss + r_loss * rw
+        recons = sw * s_loss + r_loss * rw
     kl_term = kl_loss * kw
     if kl_scale is not None:
         kl_term = kl_term * kl_scale

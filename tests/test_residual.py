@@ -100,3 +100,24 @@ class TestResidualDecode:
         exp = Experiment(cfg).setup()
         out = exp.run()
         assert np.isfinite(out["loss_train"]) and np.isfinite(out["loss_test"])
+
+
+class TestStateWeight:
+    def test_s_weight_rebalances_without_touching_metrics(self):
+        """loss.s_weight scales only the state term inside the combined
+        loss; the reported components stay raw, and the default 1.0 is the
+        reference weighting."""
+        from mfvae_tpu.config import LossConfig
+        from mfvae_tpu.models.losses import combine_losses
+
+        s, r, kl = jnp.float32(0.007), jnp.float32(2.0), jnp.float32(0.5)
+        for family in ("jax", "torch"):
+            base = combine_losses(s, r, kl, LossConfig(family=family))
+            up = combine_losses(
+                s, r, kl, LossConfig(family=family, s_weight=100.0)
+            )
+            np.testing.assert_allclose(float(up.s_loss), float(s))
+            np.testing.assert_allclose(float(up.r_loss), float(r))
+            sw_share = 1.0 - (0.5 if family == "jax" else 0.0)
+            want = float(base.loss) + 99.0 * float(s) * sw_share
+            np.testing.assert_allclose(float(up.loss), want, rtol=1e-6)
