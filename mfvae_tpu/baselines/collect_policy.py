@@ -167,3 +167,94 @@ def load_collect_policy(
     """Config-surface loader for ``train.collect_policy: "vdn:<path>"``."""
     params, meta = load_policy(path)
     return QCollectPolicy(env, spec, params, meta, epsilon, sample_fn)
+
+
+class HostQCollectPolicy:
+    """Host-collector mirror of QCollectPolicy: greedy (epsilon-mixed)
+    actions from the saved policy artifact, for AsyncCollector and
+    NativeBatchedCollector (envs/host_adapter.py).
+
+    The recurrent forward runs as ONE jitted CPU program per collected
+    step, batched over the K host envs; obs packing from the collectors'
+    named-obs dicts happens in numpy.  Episode resets zero the hidden rows
+    of the affected envs (the same done-masking the agent trained with)."""
+
+    def __init__(
+        self,
+        path: str,
+        agents,
+        obs_dims: Dict[str, int],
+        epsilon: float,
+        rng: np.random.Generator,
+        n_envs: int = 1,
+    ):
+        from mfvae_tpu.baselines.vdn import VdnNetwork
+
+        params, meta = load_policy(path)
+        self.agents = list(agents)
+        n = len(self.agents)
+        if meta["n_agents"] != n:
+            raise ValueError(
+                f"policy was trained for {meta['n_agents']} agents but the "
+                f"host env has {n}"
+            )
+        self.epsilon = float(epsilon)
+        self.rng = rng
+        self.n_envs = int(n_envs)
+        self.action_dim = int(meta["action_dim"])
+        self.hidden_dim = int(meta["hidden_dim"])
+        self._d_pad = max(int(obs_dims[a]) for a in self.agents)
+        self._params = params
+        network = VdnNetwork(
+            action_dim=self.action_dim,
+            n_agents=n,
+            hidden_dim=self.hidden_dim,
+            param_share=bool(meta["param_share"]),
+        )
+        self._cpu = jax.devices("cpu")[0]
+
+        def fwd(h, obs):  # h [B, N, H]; obs [B, N, D] -> greedy [B, N]
+            h, q = network.apply(
+                params, h, obs[None], jnp.zeros((1, obs.shape[0]), bool)
+            )
+            return h, jnp.argmax(q[0], axis=-1).astype(jnp.int32)
+
+        self._fwd = jax.jit(fwd)
+        self._onehot = np.eye(n, dtype=np.float32)
+        self.reset()
+
+    def reset(self, done_mask: np.ndarray | None = None) -> None:
+        """Zero the hidden state — everywhere, or only where done."""
+        n = len(self.agents)
+        if done_mask is None or self._hidden_is_fresh():
+            self._h = np.zeros(
+                (self.n_envs, n, self.hidden_dim), np.float32
+            )
+        else:
+            h = np.array(self._h)  # np.asarray of a jax array is read-only
+            h[np.asarray(done_mask, bool)] = 0.0
+            self._h = h
+
+    def _hidden_is_fresh(self) -> bool:
+        return not hasattr(self, "_h")
+
+    def _pack(self, obs: Dict[str, np.ndarray]) -> np.ndarray:
+        """named obs (each [od] or [K, od]) -> [B, N, d_pad + N]."""
+        b = self.n_envs
+        n = len(self.agents)
+        out = np.zeros((b, n, self._d_pad + n), np.float32)
+        for i, a in enumerate(self.agents):
+            v = np.asarray(obs[a], np.float32).reshape(b, -1)
+            out[:, i, : v.shape[1]] = v
+            out[:, i, self._d_pad + i] = 1.0
+        return out
+
+    def actions(self, obs: Dict[str, np.ndarray]) -> np.ndarray:
+        """Greedy eps-mixed actions [B, N] int32 from the named obs."""
+        packed = self._pack(obs)
+        with jax.default_device(self._cpu):
+            self._h, greedy = self._fwd(self._h, packed)
+        acts = np.asarray(greedy)
+        take = self.rng.random(acts.shape) < self.epsilon
+        rand = self.rng.integers(0, self.action_dim, size=acts.shape)
+        return np.where(take, rand, acts).astype(np.int32)

@@ -369,7 +369,23 @@ class AsyncCollector(_CollectorLoop):
         self.policy = policy
         self.epsilon = float(epsilon)
         self.mix_frac = float(mix_frac)
-        if policy not in ("random", "pursuit", "episode_mix"):
+        self._q_policy = None
+        if policy.startswith("vdn:"):
+            from mfvae_tpu.baselines.collect_policy import HostQCollectPolicy
+
+            if not hasattr(env.action_space(env.agents[0]), "n"):
+                raise ValueError(
+                    "learned Q-policy collection needs discrete actions"
+                )
+            self._q_policy = HostQCollectPolicy(
+                policy[len("vdn:"):],
+                env.agents,
+                {a: int(np.prod(env.observation_space(a).shape))
+                 for a in env.agents},
+                epsilon,
+                self.rng,
+            )
+        elif policy not in ("random", "pursuit", "episode_mix"):
             raise ValueError(f"unknown collect policy {policy!r}")
         self._obs, _ = env.reset(seed=seed)
         if policy in ("pursuit", "episode_mix") and (
@@ -404,6 +420,10 @@ class AsyncCollector(_CollectorLoop):
 
     def _one_step(self):
         env = self.env
+        if self._q_policy is not None:
+            acts = self._q_policy.actions(self._obs)[0]  # [N]
+            actions = {a: int(acts[i]) for i, a in enumerate(env.agents)}
+            return self._finish_step(actions)
         scripted_now = self.policy == "pursuit" or (
             self.policy == "episode_mix" and self._ep_scripted
         )
@@ -421,6 +441,10 @@ class AsyncCollector(_CollectorLoop):
             }
         else:
             actions = {a: self._samplers[a]() for a in env.agents}
+        self._finish_step(actions)
+
+    def _finish_step(self, actions):
+        env = self.env
         next_obs, rewards, terms, truncs, _ = env.step(actions)
         self.buffer.add(self._obs, actions, rewards, next_obs, terms, truncs)
         self._obs = next_obs
@@ -428,6 +452,8 @@ class AsyncCollector(_CollectorLoop):
         if any(terms.values()) or any(truncs.values()) or not env.agents:
             self._obs, _ = env.reset()
             self._ep_scripted = bool(self.rng.random() < self.mix_frac)
+            if self._q_policy is not None:
+                self._q_policy.reset()
 
 
 class NativeBatchedCollector(_CollectorLoop):
@@ -503,7 +529,25 @@ class NativeBatchedCollector(_CollectorLoop):
         self.n_envs = env.n_envs
         self.rng = np.random.default_rng(seed)
         self._pursuit_kind = None
-        if collect_policy in ("pursuit", "episode_mix"):
+        self._q_policy = None
+        if collect_policy.startswith("vdn:"):
+            if continuous:
+                raise ValueError(
+                    "learned Q-policy collection needs discrete actions"
+                )
+            from mfvae_tpu.baselines.collect_policy import HostQCollectPolicy
+
+            self.rng = np.random.default_rng(seed)
+            named = env.named_obs(env.reset())  # per-agent widths
+            self._q_policy = HostQCollectPolicy(
+                collect_policy[len("vdn:"):],
+                env.agents,
+                {a: int(v.shape[1]) for a, v in named.items()},
+                epsilon,
+                self.rng,
+                n_envs=env.n_envs,
+            )
+        elif collect_policy in ("pursuit", "episode_mix"):
             from mfvae_tpu.envs.native_engine import (
                 NativeSimpleAdversaryEnv,
                 NativeSimpleTagEnv,
@@ -560,6 +604,8 @@ class NativeBatchedCollector(_CollectorLoop):
         ).astype(np.int32)
 
     def _sample_actions(self) -> np.ndarray:
+        if self._q_policy is not None:
+            return self._q_policy.actions(self.env.named_obs(self._obs))
         if self.collect_policy == "episode_mix":
             scripted = self._pursuit_actions()
             rand = self._random_actions()
@@ -594,6 +640,8 @@ class NativeBatchedCollector(_CollectorLoop):
             self._obs = env.observe().copy()
             redraw = self.rng.random(self.n_envs) < self.mix_frac
             self._ep_scripted = np.where(done, redraw, self._ep_scripted)
+            if self._q_policy is not None:
+                self._q_policy.reset(done_mask=done)
         else:
             self._obs = next_obs.copy()
         self._steps += self.n_envs

@@ -188,3 +188,67 @@ class TestVdnDriverSave:
         obs, state = exp.env.reset_stacked(jax.random.PRNGKey(0))
         _, actions = pol.step(pol.init_carry(), obs, state, jax.random.PRNGKey(1))
         assert actions.shape == (exp.spec.n_agents,)
+
+
+class TestHostCollection:
+    """HostQCollectPolicy: the host collectors' mirror of the learned
+    Q-policy (jitted-on-CPU recurrent forward, numpy packing)."""
+
+    def test_host_greedy_matches_device_policy(self, tmp_path):
+        """epsilon=0: HostQCollectPolicy.actions on the named-obs dict ==
+        QCollectPolicy greedy on the same stacked obs."""
+        from mfvae_tpu.baselines.collect_policy import HostQCollectPolicy
+        from mfvae_tpu.training.trainer import stacked_to_grouped
+
+        exp = Experiment(tiny_cfg())
+        spec = exp.spec
+        path, _ = make_policy_file(tmp_path)
+        sample_fn, _ = make_action_sampler(exp.env, exp.spec)
+        dev = load_collect_policy(path, exp.env, spec, 0.0, sample_fn)
+
+        obs, state = exp.env.reset_stacked(jax.random.PRNGKey(0))
+        _, dev_actions = dev.step(
+            dev.init_carry(), obs, state, jax.random.PRNGKey(1)
+        )
+
+        obs_g = stacked_to_grouped(spec, obs)
+        named = {}
+        for g, ((_, _), idxs) in enumerate(spec.groups):
+            for pos, i in enumerate(idxs):
+                named[spec.agents[i]] = np.asarray(obs_g[g][pos])
+        host = HostQCollectPolicy(
+            path, spec.agents,
+            {a: v.shape[-1] for a, v in named.items()},
+            epsilon=0.0, rng=np.random.default_rng(0),
+        )
+        host_actions = host.actions(named)[0]
+        np.testing.assert_array_equal(host_actions, np.asarray(dev_actions))
+
+    def test_host_experiment_trains_under_vdn_collection(self, tmp_path):
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=6, train_num=2)
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        path, _ = make_policy_file(tmp_path)
+        cfg.train.collect_policy = f"vdn:{path}"
+        exp = HostExperiment(cfg).setup()
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
+
+    def test_host_batched_vdn_collection(self, tmp_path):
+        from mfvae_tpu.envs.native_engine import native_engine_available
+        from mfvae_tpu.training.host_experiment import HostExperiment
+
+        if not native_engine_available():
+            pytest.skip("no native toolchain")
+        cfg = tiny_cfg(tmp_path, epoch_num=2, sample_num=8, train_num=2)
+        cfg.env.n_host_envs = 4
+        cfg.buffer.min_size = 4
+        cfg.buffer.batch_size = 4
+        path, _ = make_policy_file(tmp_path)
+        cfg.train.collect_policy = f"vdn:{path}"
+        exp = HostExperiment(cfg).setup()
+        assert exp.collector._q_policy is not None
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
