@@ -115,23 +115,26 @@ def main(n_seeds: int = 8, wm_epochs: int = 256):
         row["auc_mean"] = round(float(tr.mean()), 3)
         table[tag] = row
 
-    # paired per-seed delta vs baseline at the final budget
-    deltas = {
-        tag: {
-            "final_delta_mean": round(
-                float((tr[:, -1] - curves["baseline"][:, -1]).mean()), 3
-            ),
+    # paired per-seed deltas vs baseline: final return AND AUC (the AUC
+    # pairing uses every eval point, so it is the higher-powered test)
+    deltas = {}
+    for tag, tr in curves.items():
+        if tag == "baseline":
+            continue
+        d_final = tr[:, -1] - curves["baseline"][:, -1]
+        d_auc = tr.mean(axis=1) - curves["baseline"].mean(axis=1)
+        deltas[tag] = {
+            "final_delta_mean": round(float(d_final.mean()), 3),
             "final_delta_sem": round(
-                float(
-                    (tr[:, -1] - curves["baseline"][:, -1]).std(ddof=1)
-                    / np.sqrt(tr.shape[0])
-                ),
-                3,
+                float(d_final.std(ddof=1) / np.sqrt(len(d_final))), 3
             ),
+            "auc_delta_mean": round(float(d_auc.mean()), 3),
+            "auc_delta_sem": round(
+                float(d_auc.std(ddof=1) / np.sqrt(len(d_auc))), 3
+            ),
+            "seeds_improved_auc": int((d_auc > 0).sum()),
+            "n_seeds": int(len(d_auc)),
         }
-        for tag, tr in curves.items()
-        if tag != "baseline"
-    }
 
     print(json.dumps({
         "study": "Dyna-VDN vs model-free VDN, equal real-env budget",
