@@ -204,7 +204,6 @@ class HostQCollectPolicy:
         self.action_dim = int(meta["action_dim"])
         self.hidden_dim = int(meta["hidden_dim"])
         self._d_pad = max(int(obs_dims[a]) for a in self.agents)
-        self._params = params
         network = VdnNetwork(
             action_dim=self.action_dim,
             n_agents=n,
@@ -220,7 +219,6 @@ class HostQCollectPolicy:
             return h, jnp.argmax(q[0], axis=-1).astype(jnp.int32)
 
         self._fwd = jax.jit(fwd)
-        self._onehot = np.eye(n, dtype=np.float32)
         self.reset()
 
     def reset(self, done_mask: np.ndarray | None = None) -> None:

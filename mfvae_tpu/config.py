@@ -95,10 +95,11 @@ class LossConfig:
     free_bits: float = 0.0  # per-dim KL floor (nats)
     # multiplier on the state branch in the combined loss (1.0 = reference
     # weighting; reported s_loss metrics stay unweighted).  Needed by
-    # model.residual_state: the per-step delta's huber (~0.007) is ~1000x
-    # smaller than the reward branch, so with s_weight=1 the delta head
-    # gets no gradient pull and collapses to zero (measured, PARITY.md
-    # round 4) — s_weight rebalances without touching the reward scale.
+    # model.residual_state: the per-step delta's huber (~0.0065) is ~300x
+    # smaller than the reward branch on random-collection data, so with
+    # s_weight=1 the delta head gets no gradient pull and collapses to
+    # zero (measured, PARITY.md round 4) — s_weight~300 equalizes the
+    # branch magnitudes without touching the reward scale.
     s_weight: float = 1.0
 
     def resolved_weights(self) -> Tuple[float, float]:

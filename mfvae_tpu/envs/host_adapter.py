@@ -397,8 +397,14 @@ class AsyncCollector(_CollectorLoop):
                 "engine or LocalHostEnv)"
             )
         # episode_mix: whole episodes alternate scripted/random (the host
-        # mirror of envs/policies.EpisodeMixPolicy); drawn at every reset
-        self._ep_scripted = bool(self.rng.random() < self.mix_frac)
+        # mirror of envs/policies.EpisodeMixPolicy); drawn at every reset.
+        # The draw is guarded so other policies' seeded streams stay
+        # bit-identical to earlier versions.
+        self._ep_scripted = (
+            bool(self.rng.random() < self.mix_frac)
+            if policy == "episode_mix"
+            else False
+        )
         # immutable per env; avoids a fresh space object per collected step
         self._discrete = hasattr(env.action_space(env.agents[0]), "n")
         # uniform random-rollout sampler per agent, by space type (the
@@ -451,7 +457,8 @@ class AsyncCollector(_CollectorLoop):
         self._steps += 1
         if any(terms.values()) or any(truncs.values()) or not env.agents:
             self._obs, _ = env.reset()
-            self._ep_scripted = bool(self.rng.random() < self.mix_frac)
+            if self.policy == "episode_mix":
+                self._ep_scripted = bool(self.rng.random() < self.mix_frac)
             if self._q_policy is not None:
                 self._q_policy.reset()
 
@@ -535,18 +542,6 @@ class NativeBatchedCollector(_CollectorLoop):
                 raise ValueError(
                     "learned Q-policy collection needs discrete actions"
                 )
-            from mfvae_tpu.baselines.collect_policy import HostQCollectPolicy
-
-            self.rng = np.random.default_rng(seed)
-            named = env.named_obs(env.reset())  # per-agent widths
-            self._q_policy = HostQCollectPolicy(
-                collect_policy[len("vdn:"):],
-                env.agents,
-                {a: int(v.shape[1]) for a, v in named.items()},
-                epsilon,
-                self.rng,
-                n_envs=env.n_envs,
-            )
         elif collect_policy in ("pursuit", "episode_mix"):
             from mfvae_tpu.envs.native_engine import (
                 NativeSimpleAdversaryEnv,
@@ -569,9 +564,24 @@ class NativeBatchedCollector(_CollectorLoop):
         self._agents = tuple(env.agents)
         self._action_highs = np.array(env.action_highs)[None, :]
         self._obs = self.env.reset().copy()
-        # episode_mix: per-env flags, redrawn wherever an episode resets
-        # (the batched host mirror of envs/policies.EpisodeMixPolicy)
-        self._ep_scripted = self.rng.random(self.n_envs) < self.mix_frac
+        if collect_policy.startswith("vdn:"):
+            from mfvae_tpu.baselines.collect_policy import HostQCollectPolicy
+
+            named = env.named_obs(self._obs)  # per-agent widths, no reset
+            self._q_policy = HostQCollectPolicy(
+                collect_policy[len("vdn:"):],
+                env.agents,
+                {a: int(v.shape[1]) for a, v in named.items()},
+                epsilon,
+                self.rng,
+                n_envs=env.n_envs,
+            )
+        if collect_policy == "episode_mix":
+            # per-env flags, redrawn wherever an episode resets (the
+            # batched host mirror of envs/policies.EpisodeMixPolicy); the
+            # draw happens only for this policy so other policies' seeded
+            # action streams stay bit-identical to earlier versions
+            self._ep_scripted = self.rng.random(self.n_envs) < self.mix_frac
 
     def _pursuit_actions(self) -> np.ndarray:
         env = self.env
@@ -638,8 +648,9 @@ class NativeBatchedCollector(_CollectorLoop):
         if done.any():
             env.reset_where(done.astype(np.uint8))
             self._obs = env.observe().copy()
-            redraw = self.rng.random(self.n_envs) < self.mix_frac
-            self._ep_scripted = np.where(done, redraw, self._ep_scripted)
+            if self.collect_policy == "episode_mix":
+                redraw = self.rng.random(self.n_envs) < self.mix_frac
+                self._ep_scripted = np.where(done, redraw, self._ep_scripted)
             if self._q_policy is not None:
                 self._q_policy.reset(done_mask=done)
         else:

@@ -81,6 +81,14 @@ def make_rollout_accuracy_fn(
     horizons = tuple(int(k) for k in horizons)
     T = max(horizons)
     sample_actions, group_actions = make_action_sampler(env, spec)
+    if policy not in ("random", "pursuit"):
+        # stateful policies (episode_mix, vdn:) would need carry threading
+        # through the ground-truth scan; the eval distributions of interest
+        # are the two stateless specialists
+        raise ValueError(
+            f"rollout_accuracy supports policy='random'|'pursuit', got "
+            f"{policy!r}"
+        )
     if policy == "random":
         pol = None
     else:

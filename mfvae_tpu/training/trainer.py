@@ -216,6 +216,11 @@ def make_test_step(loss_cfg: LossConfig, mode: str = "Adam") -> Callable:
 class EnvCarry(NamedTuple):
     obs: Any  # stacked obs pytree from env.reset_stacked
     state: Any  # env state
+    # stateful collect-policy carry (QCollectPolicy hidden, EpisodeMixPolicy
+    # episode flag) — persists across collect phases and epochs so an
+    # episode spanning phase boundaries keeps its policy state; () for
+    # stateless policies.  Reset to init_carry() at episode end in-scan.
+    policy: Any = ()
 
 
 class EpochCarry(NamedTuple):
@@ -397,10 +402,25 @@ def make_phase_fns(
             return (EnvCarry(obs=new_obs, state=new_state), buf_state, pol_c), ()
 
         keys = jax.random.split(key, cfg.train.sample_num)
-        pol_init = collect_policy.init_carry() if stateful_policy else ()
-        (env_c, buf_state, _), _ = jax.lax.scan(
-            body, (carry[0], carry[1], pol_init), keys
+        # the policy carry RESUMES from the previous phase/epoch (EnvCarry
+        # .policy) so episodes spanning phase boundaries keep their policy
+        # state; only a fresh experiment (empty carry) initializes it
+        if stateful_policy:
+            # structure check, not value check: an empty carry means a
+            # fresh experiment (EnvCarry.policy defaults to ())
+            pol_init = (
+                carry[0].policy
+                if jax.tree.leaves(carry[0].policy)
+                else collect_policy.init_carry()
+            )
+        else:
+            pol_init = ()
+        # the in-scan EnvCarry rides with policy=() (body rebuilds it);
+        # the live policy state travels as the scan tuple's third element
+        (env_c, buf_state, pol_c), _ = jax.lax.scan(
+            body, (carry[0]._replace(policy=()), carry[1], pol_init), keys
         )
+        env_c = env_c._replace(policy=pol_c)
         return env_c, buf_state
 
     def train_phase(train_state, buf_state, key):
@@ -531,18 +551,24 @@ def make_batched_epoch_fn(
             return (EnvCarry(obs=new_obs, state=new_state), buf_state, pol_c), ()
 
         keys = jax.random.split(key, cfg.train.sample_num)
-        pol_init = (
-            jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (E,) + x.shape),
-                collect_policy.init_carry(),
+        # resume the per-env policy carry from the previous phase/epoch
+        # (see make_phase_fns.collect); broadcast a fresh one otherwise
+        if stateful_policy:
+            # structure check, not value check (see make_phase_fns.collect)
+            pol_init = (
+                carry[0].policy
+                if jax.tree.leaves(carry[0].policy)
+                else jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (E,) + x.shape),
+                    collect_policy.init_carry(),
+                )
             )
-            if stateful_policy
-            else ()
+        else:
+            pol_init = ()
+        (env_c, buf_state, pol_c), _ = jax.lax.scan(
+            body, (carry[0]._replace(policy=()), carry[1], pol_init), keys
         )
-        (env_c, buf_state, _), _ = jax.lax.scan(
-            body, (carry[0], carry[1], pol_init), keys
-        )
-        return env_c, buf_state
+        return env_c._replace(policy=pol_c), buf_state
 
     def sample_global(buf_state, key):
         keys = jax.random.split(key, E)

@@ -409,3 +409,30 @@ class TestEpisodeMixPolicy:
         assert col._ep_scripted.shape == (4,)
         result = exp.run()
         assert np.isfinite(result["loss_train"])
+
+    def test_choice_persists_across_collect_phases(self, tmp_path):
+        """The policy carry rides in EnvCarry.policy across phase/epoch
+        boundaries: an episode spanning multiple collect dispatches keeps
+        ONE policy (regression: the carry used to be rebuilt per phase,
+        degrading episode mixing to sample_num-step segment mixing)."""
+        from mfvae_tpu.training.experiment import Experiment
+        from mfvae_tpu.training.trainer import make_phase_fns
+
+        cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=4)
+        cfg.env.max_steps = 10_000  # the episode outlives every phase
+        cfg.train.collect_policy = "episode_mix"
+        exp = Experiment(cfg).setup()
+        collect, _, _ = make_phase_fns(
+            exp.env, exp.spec, exp.buffer, exp.test_buffer, cfg
+        )
+        env_c, buf = exp.carry.env, exp.carry.buffer_state
+        flags = []
+        for i in range(8):
+            env_c, buf = collect((env_c, buf), jax.random.PRNGKey(i), exp.buffer)
+            fresh, flag = env_c.policy
+            assert not bool(fresh)  # consumed on the first in-episode step
+            flags.append(bool(flag))
+        # one episode -> one draw; if the carry were re-armed per phase the
+        # 8 flags would be independent Bernoulli(0.5) draws (P[all equal]
+        # = 2^-7)
+        assert all(f == flags[0] for f in flags)
