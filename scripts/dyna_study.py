@@ -115,26 +115,36 @@ def main(n_seeds: int = 8, wm_epochs: int = 256):
         row["auc_mean"] = round(float(tr.mean()), 3)
         table[tag] = row
 
-    # paired per-seed deltas vs baseline: final return AND AUC (the AUC
-    # pairing uses every eval point, so it is the higher-powered test)
+    # archive the raw curves so later analyses don't need a rerun
+    np.savez(
+        "/tmp/dyna_curves.npz",
+        **{tag: tr for tag, tr in curves.items()},
+    )
+
+    # paired per-seed deltas vs baseline at every budget checkpoint plus
+    # final and AUC (pairing uses the shared seeds, the highest-powered
+    # test; sample efficiency is an EARLY-budget claim, so the early
+    # checkpoints are the ones that matter)
+    def paired(d):
+        return {
+            "mean": round(float(d.mean()), 3),
+            "sem": round(float(d.std(ddof=1) / np.sqrt(len(d))), 3),
+            "seeds_improved": int((d > 0).sum()),
+        }
+
     deltas = {}
     for tag, tr in curves.items():
         if tag == "baseline":
             continue
-        d_final = tr[:, -1] - curves["baseline"][:, -1]
-        d_auc = tr.mean(axis=1) - curves["baseline"].mean(axis=1)
-        deltas[tag] = {
-            "final_delta_mean": round(float(d_final.mean()), 3),
-            "final_delta_sem": round(
-                float(d_final.std(ddof=1) / np.sqrt(len(d_final))), 3
-            ),
-            "auc_delta_mean": round(float(d_auc.mean()), 3),
-            "auc_delta_sem": round(
-                float(d_auc.std(ddof=1) / np.sqrt(len(d_auc))), 3
-            ),
-            "seeds_improved_auc": int((d_auc > 0).sum()),
-            "n_seeds": int(len(d_auc)),
+        row = {
+            f"delta@{(u + 1) * per_update_env_steps}steps": paired(
+                tr[:, u] - curves["baseline"][:, u]
+            )
+            for u in checkpoints
         }
+        row["auc_delta"] = paired(tr.mean(axis=1) - curves["baseline"].mean(axis=1))
+        row["n_seeds"] = int(tr.shape[0])
+        deltas[tag] = row
 
     print(json.dumps({
         "study": "Dyna-VDN vs model-free VDN, equal real-env budget",
