@@ -302,14 +302,35 @@ class Experiment:
         step = self.ckpt.latest_step()
         if step is None:
             return
-        payload = self.ckpt.restore(
-            step,
-            like={
-                "carry": self.carry,
+        try:
+            payload = self.ckpt.restore(
+                step,
+                like={
+                    "carry": self.carry,
+                    "epoch": 0,
+                },
+            )
+            self.carry = payload["carry"]
+        except ValueError:
+            # pre-round-4 checkpoint: EnvCarry had no `policy` field.
+            # Restore through a template without it, then reattach the
+            # fresh policy carry (stateful policies re-arm their episode
+            # state at the next step, which IS the episode-start behavior).
+            old_env = {"obs": self.carry.env.obs, "state": self.carry.env.state}
+            like = {
+                "carry": self.carry._replace(env=old_env),
                 "epoch": 0,
-            },
-        )
-        self.carry = payload["carry"]
+            }
+            payload = self.ckpt.restore(step, like=like)
+            env_d = payload["carry"].env
+            self.carry = payload["carry"]._replace(
+                env=EnvCarry(
+                    obs=env_d["obs"],
+                    state=env_d["state"],
+                    policy=self.carry.env.policy,
+                )
+            )
+            print("(migrated a pre-policy-carry checkpoint)")
         self.start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from checkpoint step {step} (epoch {self.start_epoch})")
 
