@@ -140,11 +140,21 @@ class Experiment:
 
         train_state = jax.jit(build_state)(k_model, fake_batch)
 
+        from mfvae_tpu.training.trainer import init_policy_carry
+
         self.carry = EpochCarry(
             train_state=train_state,
             buffer_state=buffer_state,
             test_buffer_state=test_buffer_state,
-            env=EnvCarry(obs=obs, state=env_state),
+            env=EnvCarry(
+                obs=obs,
+                state=env_state,
+                # seeded here so the epoch carry structure is constant
+                # across epochs (scan-of-epochs requirement)
+                policy=init_policy_carry(
+                    self.env, self.spec, cfg, cfg.train.n_envs
+                ),
+            ),
         )
 
         if cfg.train.n_envs > 1:

@@ -28,7 +28,7 @@ import numpy as np
 from mfvae_tpu.config import ExperimentConfig
 from mfvae_tpu.rng import make_streams
 from mfvae_tpu.training.experiment import Experiment
-from mfvae_tpu.training.trainer import make_epoch_fn
+from mfvae_tpu.training.trainer import init_policy_carry, make_epoch_fn
 
 
 def run_multiseed(
@@ -103,7 +103,11 @@ def run_multiseed(
                 train_state=train_state,
                 buffer_state=buffer_state,
                 test_buffer_state=test_buffer_state,
-                env=EnvCarry(obs=obs, state=env_state),
+                env=EnvCarry(
+                    obs=obs,
+                    state=env_state,
+                    policy=init_policy_carry(exp.env, exp.spec, cfg),
+                ),
             ),
             streams["train"].base,
         )

@@ -329,6 +329,24 @@ def _resolve_collect_policy(
     )
 
 
+def init_policy_carry(env, spec: AgentSpec, cfg: ExperimentConfig, n_envs: int = 1):
+    """The initial EnvCarry.policy for a fresh experiment: () for stateless
+    collection, the policy's init_carry() (broadcast over n_envs for the
+    batched path) otherwise.  Seeding this at setup keeps the epoch
+    program's carry structure CONSTANT — required by the scan-of-epochs
+    dispatch (lax.scan needs identical carry structure in and out)."""
+    sample_fn, _ = make_action_sampler(env, spec)
+    policy = _resolve_collect_policy(env, spec, cfg, sample_fn)
+    if not hasattr(policy, "init_carry"):
+        return ()
+    carry = policy.init_carry()
+    if n_envs > 1:
+        carry = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_envs,) + x.shape), carry
+        )
+    return carry
+
+
 def make_phase_fns(
     env,
     spec: AgentSpec,

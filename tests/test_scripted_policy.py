@@ -436,3 +436,16 @@ class TestEpisodeMixPolicy:
         # 8 flags would be independent Bernoulli(0.5) draws (P[all equal]
         # = 2^-7)
         assert all(f == flags[0] for f in flags)
+
+    def test_scanned_epochs_with_episode_mix(self, tmp_path):
+        """The policy carry is seeded at setup so the epoch carry structure
+        is constant — required by the scan-of-epochs dispatch (regression:
+        lazily initializing it inside collect changed the carry structure
+        between scan iterations)."""
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=4, epochs_per_dispatch=2)
+        cfg.train.collect_policy = "episode_mix"
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
