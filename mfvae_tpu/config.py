@@ -62,6 +62,13 @@ class ModelConfig:
     # prediction (PARITY.md round 4, open-loop rollout accuracy); adds no
     # parameters.
     residual_state: bool = False
+    # feed the CURRENT global state to the decoders as a skip input
+    # (condition p(next|current, action, z) on current directly).  Measured
+    # (PARITY.md round 4): residual_state alone cannot learn dynamics at
+    # any loss weight or decoder width — the decoder would have to cancel
+    # the base state to ~0.0065 huber through an encoder code that only
+    # reconstructs it at ~0.29.  Pair with residual_state + loss.s_weight.
+    state_skip: bool = False
     # run the state and reward decoders (identical hidden widths) as ONE
     # stacked batched-einsum trunk.  Perf-neutral under honest device
     # timing (scripts/perf_matrix.py: 234k vs 237k samples/s at b256 — the

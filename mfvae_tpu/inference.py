@@ -64,7 +64,7 @@ class WorldModel:
                 z_shared, _ = model.poe(experts)
             base = (
                 agent_order_concat(spec, batch.obs)
-                if model.residual_state
+                if (model.residual_state or model.state_skip)
                 else None
             )
             return _decode_from(mu.astype(jnp.float32), aemb, z_shared, det, base)

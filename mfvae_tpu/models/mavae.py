@@ -228,6 +228,16 @@ class MAVAE(nn.Module):
     # persistence baseline and the capacity is spent on actual dynamics.
     # Adds no parameters; default off (reference structure).
     residual_state: bool = False
+    # Feed the CURRENT global state to the decoders as a skip input
+    # (condition p(next|current, action, z) on current directly).
+    # Measured motivation (PARITY.md round 4): residual_state alone cannot
+    # learn dynamics at ANY loss weight or decoder width, because the
+    # decoder only sees the encoder's lossy code — it would have to cancel
+    # the base state to ~0.0065 huber through features that reconstruct it
+    # at only ~0.29.  With the skip, the delta is computable from the
+    # actual velocities in the input.  Widens the decoder input by Σobs
+    # (new parameters); default off (reference structure).
+    state_skip: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -249,6 +259,7 @@ class MAVAE(nn.Module):
             shared_latent=cfg.shared_latent,
             det_features=cfg.det_features,
             residual_state=cfg.residual_state,
+            state_skip=cfg.state_skip,
         )
 
     def setup(self):
@@ -452,15 +463,23 @@ class MAVAE(nn.Module):
         features when det_features > 0.  Joint decode of next global state
         and per-agent reward (jax_ver/model.py:184-192).
 
-        When ``residual_state`` is on, ``base_state`` [B, Σobs] (the
-        current global state in agent order, agent_order_concat) is
-        REQUIRED and the state head decodes the delta from it."""
+        When ``residual_state`` or ``state_skip`` is on, ``base_state``
+        [B, Σobs] (the current global state in agent order,
+        agent_order_concat) is REQUIRED: state_skip appends it to the
+        decoder input; residual_state decodes the delta from it."""
         b = z.shape[0]
         parts = [z.reshape(b, -1), aemb.reshape(b, -1)]
         if z_shared is not None:
             parts.append(z_shared)
         if det is not None:
             parts.append(det.reshape(b, -1))
+        if self.state_skip:
+            if base_state is None:
+                raise ValueError(
+                    "state_skip=True: decode() needs base_state (the "
+                    "current global state, agent_order_concat(spec, obs))"
+                )
+            parts.append(base_state)
         flat = jnp.concatenate(parts, axis=-1).astype(self.dtype)
         if self.fused_decoders:
             both = jnp.broadcast_to(flat[:, None, :], (b, 2) + flat.shape[-1:])
@@ -521,7 +540,11 @@ class MAVAE(nn.Module):
                 1.0 + logvar_s - mu_s * mu_s - jnp.exp(logvar_s), axis=-1
             )
             kl_rows = jnp.concatenate([kl_rows, kl_s[:, None]], axis=1)
-        base = agent_order_concat(spec, batch.obs) if self.residual_state else None
+        base = (
+            agent_order_concat(spec, batch.obs)
+            if (self.residual_state or self.state_skip)
+            else None
+        )
         recon_state, recon_reward = self.decode(z, aemb, z_shared, det, base)
         return recon_state, recon_reward, kl_rows
 
@@ -540,7 +563,11 @@ class MAVAE(nn.Module):
 
         mu_g, logvar_g, aemb_g, experts, det = self.encode(batch, agent_ids)
         z_g = self.reparameterize(mu_g, logvar_g, rng_key)
-        base = agent_order_concat(spec, batch.obs) if self.residual_state else None
+        base = (
+            agent_order_concat(spec, batch.obs)
+            if (self.residual_state or self.state_skip)
+            else None
+        )
 
         if spec.grouped_is_identity:
             mu, logvar, aemb, z = mu_g, logvar_g, aemb_g, z_g

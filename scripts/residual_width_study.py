@@ -41,16 +41,21 @@ from mfvae_tpu.training.experiment import Experiment  # noqa: E402
 from residual_sweight_study import delta_diagnostics  # noqa: E402
 
 HORIZONS = (1, 5, 25)
+# (tag, decoder widths, state_skip): both width arms measured inert ->
+# the `skip` arm conditions the decoder on the current state directly
+# (model.state_skip), the dynamics-capable configuration
 ARMS = (
-    ("bottleneck", (1024, 256, 64, 256, 1024)),
-    ("wide", (1024, 1024)),
+    ("bottleneck", (1024, 256, 64, 256, 1024), False),
+    ("wide", (1024, 1024), False),
+    ("skip", (1024, 256, 64, 256, 1024), True),
 )
 
 
-def train(tag: str, widths, epochs: int) -> Experiment:
+def train(tag: str, widths, epochs: int, state_skip: bool = False) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
     cfg.model.residual_state = True
+    cfg.model.state_skip = state_skip
     cfg.model.decoder_hidden = widths
     cfg.loss.s_weight = 300.0
     cfg.train.epoch_num = epochs
@@ -75,8 +80,8 @@ def train(tag: str, widths, epochs: int) -> Experiment:
 def main(epochs: int = 256, n_starts: int = 256):
     t0 = time.time()
     out_all = {}
-    for tag, widths in ARMS:
-        exp = train(tag, widths, epochs)
+    for tag, widths, skip in ARMS:
+        exp = train(tag, widths, epochs, skip)
         wm = WorldModel(exp.model, exp.carry.train_state.params)
         print(f"[{time.time()-t0:.0f}s] trained {tag}", flush=True)
         diag = delta_diagnostics(exp, wm)
@@ -97,8 +102,8 @@ def main(epochs: int = 256, n_starts: int = 256):
             cells[f"eval={eval_policy}"] = cell
             print(f"[{time.time()-t0:.0f}s] {tag} eval={eval_policy}: "
                   f"{json.dumps(cell)}", flush=True)
-        out_all[tag] = {"decoder_hidden": list(widths), "diag": diag,
-                        "rollout": cells}
+        out_all[tag] = {"decoder_hidden": list(widths), "state_skip": skip,
+                        "diag": diag, "rollout": cells}
 
     print(json.dumps({
         "study": "residual dynamics vs decoder bottleneck width",

@@ -121,3 +121,58 @@ class TestStateWeight:
             sw_share = 1.0 - (0.5 if family == "jax" else 0.0)
             want = float(base.loss) + 99.0 * float(s) * sw_share
             np.testing.assert_allclose(float(up.loss), want, rtol=1e-6)
+
+
+class TestStateSkip:
+    def test_trains_and_serves_end_to_end(self):
+        """state_skip + residual_state + s_weight: the dynamics-capable
+        configuration trains and serves (the skip changes decoder input
+        width, so params differ from the reference structure)."""
+        cfg = tiny_cfg(residual_state=True, state_skip=True)
+        cfg.loss.s_weight = 300.0
+        cfg.train.epoch_num = 2
+        cfg.train.run_name = "skip_smoke"
+        cfg.train.log_dir = "/tmp/skip_smoke"
+        cfg.train.checkpoint_dir = "/tmp/skip_smoke_ck"
+        exp = Experiment(cfg).setup()
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
+        wm = WorldModel(exp.model, exp.carry.train_state.params)
+        batch = exp._fake_batch(3)
+        s, r = wm._predict(batch)
+        assert s.shape == (3, sum(exp.spec.obs_dims))
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_skip_actually_conditions_the_decoder(self):
+        """Same latents, different base -> different state prediction (the
+        skip input reaches the decoder); without state_skip the prediction
+        ignores the base entirely (holding encoder inputs fixed)."""
+        exp = Experiment(tiny_cfg(state_skip=True))
+        batch = exp._fake_batch(2)
+        var = exp.model.init(jax.random.PRNGKey(0), batch, None,
+                             jax.random.PRNGKey(1))
+        model = exp.model
+        mu, logvar, aemb, experts, det = model.apply(
+            var, batch, None, method=lambda m, b, ids: m.encode(b, ids)
+        )
+        base1 = agent_order_concat(exp.spec, batch.obs)
+        base2 = base1 + 1.0
+        dec = lambda m, z, a, s, d, b: m.decode(z, a, s, d, b)
+        s1, _ = model.apply(var, mu, aemb, None, det, base1, method=dec)
+        s2, _ = model.apply(var, mu, aemb, None, det, base2, method=dec)
+        assert float(np.abs(np.asarray(s1 - s2)).max()) > 0.0
+
+    def test_state_skip_requires_base(self):
+        exp = Experiment(tiny_cfg(state_skip=True))
+        batch = exp._fake_batch(2)
+        var = exp.model.init(jax.random.PRNGKey(0), batch, None,
+                             jax.random.PRNGKey(1))
+        model = exp.model
+        mu, logvar, aemb, experts, det = model.apply(
+            var, batch, None, method=lambda m, b, ids: m.encode(b, ids)
+        )
+        with pytest.raises(ValueError, match="base_state"):
+            model.apply(
+                var, mu, aemb, None, det, None,
+                method=lambda m, z, a, s, d, b: m.decode(z, a, s, d, b),
+            )
