@@ -48,6 +48,11 @@ ARMS = (
     ("bottleneck", (1024, 256, 64, 256, 1024), False),
     ("wide", (1024, 1024), False),
     ("skip", (1024, 256, 64, 256, 1024), True),
+    # the completing cell: skip gives the decoder the INFORMATION, width
+    # gives it the CHANNEL — each alone measured inert (small-scale
+    # pipeline runs with a bottleneck-free decoder learn delta to corr
+    # 0.998, so both levers must be present at canonical scale)
+    ("skip_wide", (1024, 1024), True),
 )
 
 
