@@ -69,6 +69,14 @@ class ModelConfig:
     # the base state to ~0.0065 huber through an encoder code that only
     # reconstructs it at ~0.29.  Pair with residual_state + loss.s_weight.
     state_skip: bool = False
+    # LayerNorm before every decoder Dense.  Measured necessity (PARITY.md
+    # round 4): at canonical input width the raw observation concat is so
+    # ill-conditioned that Adam never recovers the linearly-recoverable
+    # delta signal (pure-MLP repro pinned at the zero-delta floor; with
+    # LayerNorm the same budget reaches delta corr ~0.9).  The dynamics
+    # recipe is residual_state + state_skip + decoder_layernorm +
+    # loss.s_weight.  Off = reference structure.
+    decoder_layernorm: bool = False
     # run the state and reward decoders (identical hidden widths) as ONE
     # stacked batched-einsum trunk.  Perf-neutral under honest device
     # timing (scripts/perf_matrix.py: 234k vs 237k samples/s at b256 — the

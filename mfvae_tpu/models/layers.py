@@ -30,13 +30,24 @@ class MLP(nn.Module):
     out_dim: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # LayerNorm before every Dense.  Measured necessity (PARITY.md round
+    # 4): at the canonical 40-agent input width the raw observation
+    # concat is so ill-conditioned that Adam cannot recover the (linearly
+    # recoverable, R²=0.976) state-delta signal — huber stays pinned at
+    # the zero-delta floor for any lr/width; with LayerNorm the same
+    # budget reaches delta corr ~0.9.  Off = reference structure.
+    layernorm: bool = False
 
     @nn.compact
     def __call__(self, x):
         dense = nn.remat(nn.Dense) if self.remat else nn.Dense
         for i, h in enumerate(self.hidden):
+            if self.layernorm:
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
             x = dense(h, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
+        if self.layernorm:
+            x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
         x = dense(self.out_dim, dtype=self.dtype, name="out")(x)
         return x
 
@@ -115,13 +126,18 @@ class StackedMLP(nn.Module):
     out_dim: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    layernorm: bool = False  # see MLP.layernorm
 
     @nn.compact
     def __call__(self, x):
         dense = nn.remat(StackedDense) if self.remat else StackedDense
         for i, h in enumerate(self.hidden):
+            if self.layernorm:
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
             x = dense(self.stack, h, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
+        if self.layernorm:
+            x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
         x = dense(self.stack, self.out_dim, dtype=self.dtype, name="out")(x)
         return x
 

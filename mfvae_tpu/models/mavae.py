@@ -238,6 +238,10 @@ class MAVAE(nn.Module):
     # actual velocities in the input.  Widens the decoder input by Σobs
     # (new parameters); default off (reference structure).
     state_skip: bool = False
+    # LayerNorm before every decoder Dense (layers.MLP.layernorm).
+    # Measured necessity for learning dynamics at canonical scale
+    # (PARITY.md round 4); off = reference structure.
+    decoder_layernorm: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -260,6 +264,7 @@ class MAVAE(nn.Module):
             det_features=cfg.det_features,
             residual_state=cfg.residual_state,
             state_skip=cfg.state_skip,
+            decoder_layernorm=cfg.decoder_layernorm,
         )
 
     def setup(self):
@@ -323,6 +328,7 @@ class MAVAE(nn.Module):
                 out_dim=self.decoder_hidden[-1],
                 dtype=self.dtype,
                 remat=self.remat,
+                layernorm=self.decoder_layernorm,
                 name="decoder_trunk",
             )
             self.state_head = nn.Dense(
@@ -335,6 +341,7 @@ class MAVAE(nn.Module):
                 out_dim=sum(spec.obs_dims),
                 dtype=self.dtype,
                 remat=self.remat,
+                layernorm=self.decoder_layernorm,
                 name="state_decoder",
             )
             self.reward_decoder = MLP(
@@ -342,6 +349,7 @@ class MAVAE(nn.Module):
                 out_dim=n,
                 dtype=self.dtype,
                 remat=self.remat,
+                layernorm=self.decoder_layernorm,
                 name="reward_decoder",
             )
         # PopArt output head.  torch parity uses all-ones weight / zero bias

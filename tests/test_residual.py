@@ -176,3 +176,38 @@ class TestStateSkip:
                 var, mu, aemb, None, det, None,
                 method=lambda m, z, a, s, d, b: m.decode(z, a, s, d, b),
             )
+
+
+class TestDecoderLayerNorm:
+    def test_dynamics_recipe_trains_and_predicts(self):
+        """residual + skip + layernorm + s_weight — the measured dynamics
+        recipe — trains end-to-end and serves."""
+        cfg = tiny_cfg(residual_state=True, state_skip=True,
+                       decoder_layernorm=True)
+        cfg.loss.s_weight = 300.0
+        cfg.train.epoch_num = 2
+        cfg.train.run_name = "ln_smoke"
+        cfg.train.log_dir = "/tmp/ln_smoke"
+        cfg.train.checkpoint_dir = "/tmp/ln_smoke_ck"
+        exp = Experiment(cfg).setup()
+        out = exp.run()
+        assert np.isfinite(out["loss_train"])
+        wm = WorldModel(exp.model, exp.carry.train_state.params)
+        s, r = wm._predict(exp._fake_batch(2))
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_layernorm_params_exist_only_when_on(self):
+        exp_on = Experiment(tiny_cfg(decoder_layernorm=True))
+        exp_off = Experiment(tiny_cfg())
+        b = exp_on._fake_batch(2)
+        v_on = exp_on.model.init(jax.random.PRNGKey(0), b, None,
+                                 jax.random.PRNGKey(1))
+        v_off = exp_off.model.init(jax.random.PRNGKey(0), b, None,
+                                   jax.random.PRNGKey(1))
+        flat_on = jax.tree_util.tree_flatten_with_path(v_on)[0]
+        names_on = {"/".join(str(p) for p in path) for path, _ in flat_on}
+        flat_off = jax.tree_util.tree_flatten_with_path(v_off)[0]
+        names_off = {"/".join(str(p) for p in path) for path, _ in flat_off}
+        assert any("ln" in n for n in names_on - names_off)
+        assert not any("ln" in n and "ln" == n.split("'")[1][:2]
+                       for n in names_off)
