@@ -47,27 +47,39 @@ TUNED = Path(__file__).resolve().parents[1] / "mfvae_tpu/baselines/config/vdn_tu
 ARMS = (("baseline", 0.0, 0), ("dyna_w0.3_h8", 0.3, 8), ("dyna_w1.0_h8", 1.0, 8))
 
 
-def train_world_model(epochs: int) -> Experiment:
+def train_world_model(epochs: int, recipe: bool = False) -> Experiment:
     """det128 under mixture collection (pursuit@0.5) — shares the mixture
-    study's checkpoint dir so the artifact is reused across studies."""
+    study's checkpoint dir so the artifact is reused across studies.
+
+    ``recipe=True`` swaps in the dynamics recipe (PARITY round 4:
+    residual+skip+layernorm+unfused+s_weight — one-step state error 2.9x
+    below persistence vs the absolute decoder's 60x above) with the SAME
+    collection, isolating the world model's accuracy as the variable."""
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
+    if recipe:
+        cfg.model.residual_state = True
+        cfg.model.state_skip = True
+        cfg.model.decoder_layernorm = True
+        cfg.model.fused_decoders = False
+        cfg.loss.s_weight = 300.0
     cfg.train.epoch_num = epochs
     cfg.train.collect_policy = "pursuit"
     cfg.train.collect_epsilon = 0.5
     cfg.train.epochs_per_dispatch = 32
-    cfg.train.run_name = "mixture_mix_eps0.5"
+    tag = "recipe_mix_eps0.5" if recipe else "mixture_mix_eps0.5"
+    cfg.train.run_name = tag
     cfg.train.log_dir = "/tmp/mixture_results"
-    cfg.train.checkpoint_dir = "/tmp/ck_mixture_mix_eps0.5"
+    cfg.train.checkpoint_dir = f"/tmp/ck_{tag}"
     cfg.train.resume = True
     exp = Experiment(cfg).setup()
     exp.run()
     return exp
 
 
-def main(n_seeds: int = 8, wm_epochs: int = 256):
+def main(n_seeds: int = 8, wm_epochs: int = 256, recipe: int = 0):
     t0 = time.time()
-    exp = train_world_model(wm_epochs)
+    exp = train_world_model(wm_epochs, recipe=bool(recipe))
     wm = WorldModel(exp.model, exp.carry.train_state.params)
     print(f"[{time.time()-t0:.0f}s] world model ready", flush=True)
 
@@ -117,7 +129,7 @@ def main(n_seeds: int = 8, wm_epochs: int = 256):
 
     # archive the raw curves so later analyses don't need a rerun
     np.savez(
-        "/tmp/dyna_curves.npz",
+        "/tmp/dyna_curves_recipe.npz" if recipe else "/tmp/dyna_curves.npz",
         **{tag: tr for tag, tr in curves.items()},
     )
 
@@ -152,6 +164,7 @@ def main(n_seeds: int = 8, wm_epochs: int = 256):
         "env_steps_per_update": per_update_env_steps,
         "num_updates": cfg.num_updates,
         "wm": {
+            "recipe": bool(recipe),
             "det_features": 128,
             "collection": "pursuit@eps0.5",
             "epochs": wm_epochs,
