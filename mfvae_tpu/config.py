@@ -182,6 +182,14 @@ class TrainConfig:
     # distribution mixing (PARITY.md round 4: action-level epsilon mixing
     # never recovers the random state distribution)
     collect_mix_frac: float = 0.5
+    # >1: train on windows of this many CONSECUTIVE transitions, rolled
+    # open-loop — the model's predicted state feeds back as the next input
+    # and the ELBO applies at every horizon (BPTT; training/unroll.py).
+    # Optimizes the error that compounds at serving time
+    # (WorldModel.rollout); 1 = the reference's i.i.d. one-step objective.
+    # Requires mode='Adam', no pallas, buffer.max_size % sample_num == 0,
+    # and the single-env epoch program (n_envs == 1).
+    unroll_steps: int = 1
     # replicate the reference's never-resplit key bug for curve parity
     # (jax_ver/main.py:154-158,169,210)
     bug_compat_rng: bool = False

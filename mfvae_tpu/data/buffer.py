@@ -114,6 +114,65 @@ class ItemBuffer:
         batch = jax.tree.map(lambda buf: jnp.take(buf, idx, axis=0), state.data)
         return SampleBatch(experience=batch)
 
+    def sample_window(
+        self,
+        state: BufferState,
+        rng_key: jax.Array,
+        window: int,
+        block: int = 0,
+    ) -> SampleBatch:
+        """Sample [sample_batch_size, window, ...] runs of CONSECUTIVE items.
+
+        Valid because sequential `add`s write time-adjacent entries at
+        adjacent ring slots; two seams break that adjacency and are excluded
+        from the start distribution:
+
+        - the write seam once the ring is full (newest abuts oldest) —
+          handled exactly like TrajectoryBuffer.sample: starts live in
+          [cursor, cursor + capacity - window] mod capacity;
+        - caller-injected discontinuities every ``block`` items (e.g. the
+          epoch program interleaves train- and test-phase collection, so
+          entries i*sample_num-1 and i*sample_num are NOT consecutive env
+          steps): with block > 0 (must divide max_length), windows are
+          additionally restricted to lie inside one block.
+
+        Episode boundaries WITHIN a window are the caller's job (mask on the
+        stored ``done`` flags — see training/unroll.py)."""
+        assert window <= self.max_length
+        if block:
+            assert window <= block <= self.max_length
+            assert self.max_length % block == 0, (self.max_length, block)
+        k_a, k_b = jax.random.split(rng_key)
+        full = state.size >= self.max_length
+        if block:
+            # start = block_start + offset, offset in [0, block - window]
+            n_blocks_valid = jnp.maximum(state.size // block, 1)
+            blk = jax.random.randint(
+                k_a, (self.sample_batch_size,), 0, n_blocks_valid
+            )
+            off = jax.random.randint(
+                k_b, (self.sample_batch_size,), 0, block - window + 1
+            )
+            starts = blk * block + off
+            # when full the ring seam sits at a block boundary (block
+            # divides capacity and adds arrive in block-sized phases), so
+            # in-block windows never cross it and no cursor shift is needed
+        else:
+            n_starts = jnp.where(
+                full,
+                self.max_length - window + 1,
+                jnp.maximum(state.size - window + 1, 1),
+            )
+            base = jnp.where(full, state.cursor, 0)
+            starts = (
+                base
+                + jax.random.randint(k_a, (self.sample_batch_size,), 0, n_starts)
+            ) % self.max_length
+        offs = jnp.arange(window, dtype=jnp.int32)
+        idx = (starts[:, None] + offs[None, :]) % self.max_length
+        batch = jax.tree.map(lambda buf: buf[idx], state.data)
+        return SampleBatch(experience=batch)
+
 
 @dataclass(frozen=True)
 class TrajectoryBuffer:

@@ -363,10 +363,23 @@ def make_phase_fns(
     and test collection phases (identical avals).  Steady-state cost is
     just 4 host dispatches per epoch.
     """
-    train_step = make_train_step(
-        cfg.loss, cfg.train.mode, cfg.train.popart_beta,
-        use_pallas=cfg.model.use_pallas,
-    )
+    W = cfg.train.unroll_steps
+    if W > 1:
+        from mfvae_tpu.training.unroll import make_unroll_train_step
+
+        assert buffer.max_length % cfg.train.sample_num == 0, (
+            f"unroll_steps > 1 needs buffer.max_size ({buffer.max_length}) "
+            f"divisible by train.sample_num ({cfg.train.sample_num}) so "
+            f"windows never straddle collection phases"
+        )
+        unroll_step = make_unroll_train_step(
+            spec, cfg.loss, W, cfg.train.mode, use_pallas=cfg.model.use_pallas
+        )
+    else:
+        train_step = make_train_step(
+            cfg.loss, cfg.train.mode, cfg.train.popart_beta,
+            use_pallas=cfg.model.use_pallas,
+        )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     sample_actions, group_actions = make_action_sampler(env, spec)
     collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
@@ -444,6 +457,11 @@ def make_phase_fns(
     def train_phase(train_state, buf_state, key):
         def body(ts, k):
             k_sample, k_model = jax.random.split(k)
+            if W > 1:
+                wb = buffer.sample_window(
+                    buf_state, k_sample, W, block=cfg.train.sample_num
+                )
+                return unroll_step(ts, wb.experience, k_model)
             batch = buffer.sample(buf_state, k_sample)
             vb = vae_batch_from_grouped(spec, batch.experience)
             ts, outs = train_step(ts, vb, k_model)
@@ -499,6 +517,12 @@ def make_batched_epoch_fn(
     collection, buffers, and training all scale with zero host changes
     (BASELINE.json config 5 structure).
     """
+    if cfg.train.unroll_steps > 1:
+        raise NotImplementedError(
+            "train.unroll_steps > 1 runs on the single-env epoch program "
+            "(train.n_envs == 1); per-shard window sampling for the batched "
+            "path is not wired up"
+        )
     train_step = make_train_step(
         cfg.loss, cfg.train.mode, cfg.train.popart_beta,
         use_pallas=cfg.model.use_pallas,
