@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""MPC planning study: can the world model CONTROL, not just predict?
+
+The third consumer of the model-based loop (planning.py): random-shooting
+MPC maximizes the adversaries' imagined return through WorldModel.rollout
+and is scored on REAL simple_tag return at canonical 40-agent scale,
+against two model-free anchors under identical opponents (good agents
+uniform-random — which also makes the planner's implicit uniform opponent
+model exact):
+
+  - random:   adversaries act uniformly (the floor)
+  - pursuit:  the scripted chase heuristic (envs/policies.py — a strong
+              hand-coded upper anchor that knows the true dynamics)
+  - mpc:w     MPC through world models trained with unroll_steps=w
+              (reusing the unroll_study checkpoints; resume=True makes
+              retraining a no-op)
+
+Run on the TPU env AFTER scripts/unroll_study.py:
+    python scripts/mpc_study.py [n_episodes] [ep_len]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from mfvae_tpu.inference import WorldModel  # noqa: E402
+from mfvae_tpu.planning import eval_joint_policy, make_mpc_actor  # noqa: E402
+from mfvae_tpu.training.trainer import make_action_sampler  # noqa: E402
+from mfvae_tpu.envs.policies import make_collect_policy  # noqa: E402
+
+from unroll_study import train  # noqa: E402
+
+HORIZON = 8
+N_CANDIDATES = 256
+
+
+def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
+    t0 = time.time()
+    exp = train(1, epochs)  # resume=True: loads /tmp/ck_unroll1_random
+    env, spec = exp.env, exp.spec
+    n_adv = exp.cfg.env.num_adversaries
+    adv_idx = tuple(range(n_adv))
+    is_adv = jnp.arange(spec.n_agents) < n_adv
+    sample_actions, _ = make_action_sampler(env, spec)
+    scripted = make_collect_policy(env, spec, "pursuit", 0.0, sample_actions)
+
+    def arm_random(obs, state, key):
+        return sample_actions(key)
+
+    def arm_pursuit(obs, state, key):
+        k1, k2 = jax.random.split(key)
+        return jnp.where(is_adv, scripted(state, k1), sample_actions(k2))
+
+    arms = {"random": arm_random, "pursuit": arm_pursuit}
+
+    for w in (1, 8):
+        exp_w = train(w, epochs)
+        wm = WorldModel(exp_w.model, exp_w.carry.train_state.params)
+        mpc = make_mpc_actor(
+            wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
+            plan_agents=adv_idx,
+        )
+
+        def arm_mpc(obs, state, key, mpc=mpc):
+            k1, k2 = jax.random.split(key)
+            return jnp.where(is_adv, mpc(obs, k1), sample_actions(k2))
+
+        arms[f"mpc:w{w}"] = arm_mpc
+    print(f"[{time.time()-t0:.0f}s] world models ready", flush=True)
+
+    results = {}
+    for name, pol in arms.items():
+        rewards = eval_joint_policy(
+            env, spec, pol, n_episodes=n_episodes, ep_len=ep_len,
+            key=jax.random.PRNGKey(1234),
+        )
+        adv_ret = np.asarray(jnp.sum(rewards[:, :, :n_adv], axis=(1, 2)))  # [E]
+        results[name] = {
+            "adv_return_mean": float(adv_ret.mean()),
+            "adv_return_sem": float(adv_ret.std(ddof=1) / np.sqrt(len(adv_ret))),
+            "n_episodes": int(len(adv_ret)),
+        }
+        print(f"[{time.time()-t0:.0f}s] {name}: {json.dumps(results[name])}",
+              flush=True)
+
+    print(json.dumps({
+        "study": "MPC planning vs model-free anchors (real env return)",
+        "horizon": HORIZON, "n_candidates": N_CANDIDATES,
+        "ep_len": ep_len, "arms": results,
+    }))
+
+
+if __name__ == "__main__":
+    main(*[int(a) for a in sys.argv[1:3]])

@@ -1,0 +1,88 @@
+"""MPC planning (mfvae_tpu/planning.py): actor mechanics + eval harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfvae_tpu.config import ExperimentConfig
+from mfvae_tpu.inference import WorldModel
+from mfvae_tpu.models.mavae import MAVAE
+from mfvae_tpu.planning import eval_joint_policy, make_mpc_actor
+from mfvae_tpu.training.experiment import Experiment
+from mfvae_tpu.training.trainer import make_action_sampler
+
+
+def tiny_env_model():
+    cfg = ExperimentConfig()
+    cfg.env.num_good_agents = 1
+    cfg.env.num_adversaries = 2
+    cfg.env.num_obs = 1
+    cfg.env.max_steps = 16
+    cfg.model.idx_features = 8
+    cfg.model.obs_features = 8
+    cfg.model.action_features = 8
+    cfg.model.encoder_hidden = (16,)
+    cfg.model.decoder_hidden = (32,)
+    cfg.model.compute_dtype = "float32"
+    exp = Experiment(cfg)
+    env, spec, model = exp.env, exp.spec, exp.model
+    obs, _ = env.reset_stacked(jax.random.PRNGKey(0))
+    from mfvae_tpu.models.mavae import GroupedBatch, zero_actions_grouped
+    from mfvae_tpu.training.trainer import stacked_to_grouped
+
+    obs_g = tuple(o[None] for o in stacked_to_grouped(spec, obs))
+    batch = GroupedBatch(obs=obs_g, actions=zero_actions_grouped(spec, 1, True))
+    variables = model.init(
+        jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1)
+    )
+    return env, spec, WorldModel(model, variables)
+
+
+class TestMPC:
+    def test_actor_returns_valid_joint_action(self):
+        env, spec, wm = tiny_env_model()
+        act = make_mpc_actor(wm, env, spec, horizon=3, n_candidates=8,
+                             plan_agents=(0, 1))
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(2))
+        a = act(obs, jax.random.PRNGKey(3))
+        assert a.shape == (spec.n_agents,)
+        assert (np.asarray(a) >= 0).all()
+        assert (np.asarray(a) < np.asarray(spec.act_dims)).all()
+
+    def test_actor_picks_highest_scoring_candidate(self):
+        """With n_candidates=1 the 'plan' is forced; with many, the chosen
+        first action must be the argmax candidate's — checked by replaying
+        the same key through the sampler and rollout."""
+        env, spec, wm = tiny_env_model()
+        H, N = 3, 8
+        act = make_mpc_actor(wm, env, spec, horizon=H, n_candidates=N)
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(4))
+        key = jax.random.PRNGKey(5)
+        a = act(obs, key)
+        sample_actions, group_actions = make_action_sampler(env, spec)
+        from mfvae_tpu.training.trainer import stacked_to_grouped
+
+        plans = sample_actions(key, (H, N))
+        obs_g = tuple(
+            jnp.broadcast_to(o[None], (N,) + o.shape)
+            for o in stacked_to_grouped(spec, obs)
+        )
+        _, rewards = wm._rollout(obs_g, group_actions(plans))
+        best = int(jnp.argmax(jnp.sum(rewards, axis=(0, 2))))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(plans[0, best]))
+
+    def test_eval_harness_runs_mpc_in_the_loop(self):
+        env, spec, wm = tiny_env_model()
+        mpc = make_mpc_actor(wm, env, spec, horizon=2, n_candidates=4,
+                             plan_agents=(0, 1))
+        sample_actions, _ = make_action_sampler(env, spec)
+        is_adv = jnp.arange(spec.n_agents) < 2
+
+        def joint(obs, state, key):
+            k1, k2 = jax.random.split(key)
+            return jnp.where(is_adv, mpc(obs, k1), sample_actions(k2))
+
+        rewards = eval_joint_policy(env, spec, joint, n_episodes=2, ep_len=4,
+                                    key=jax.random.PRNGKey(6))
+        assert rewards.shape == (2, 4, spec.n_agents)
+        assert np.isfinite(np.asarray(rewards)).all()
