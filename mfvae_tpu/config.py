@@ -190,6 +190,12 @@ class TrainConfig:
     # Requires mode='Adam', no pallas, buffer.max_size % sample_num == 0,
     # and the single-env epoch program (n_envs == 1).
     unroll_steps: int = 1
+    # unroll_steps > 1 only: detach the fed-back prediction
+    # (scheduled-sampling-style exposure instead of full BPTT).  The model
+    # still trains on its own-prediction input distribution at every
+    # horizon, but gradients stop at each step boundary — the measured
+    # rescue for the W=8 BPTT divergence (PARITY.md round 4).
+    unroll_stop_gradient: bool = False
     # replicate the reference's never-resplit key bug for curve parity
     # (jax_ver/main.py:154-158,169,210)
     bug_compat_rng: bool = False

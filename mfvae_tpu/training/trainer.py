@@ -373,7 +373,9 @@ def make_phase_fns(
             f"windows never straddle collection phases"
         )
         unroll_step = make_unroll_train_step(
-            spec, cfg.loss, W, cfg.train.mode, use_pallas=cfg.model.use_pallas
+            spec, cfg.loss, W, cfg.train.mode,
+            use_pallas=cfg.model.use_pallas,
+            stop_gradient=cfg.train.unroll_stop_gradient,
         )
     else:
         train_step = make_train_step(

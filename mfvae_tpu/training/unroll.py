@@ -86,12 +86,18 @@ def make_unroll_loss_fn(
     spec: AgentSpec,
     loss_cfg: LossConfig,
     unroll_steps: int,
+    stop_gradient: bool = False,
 ) -> Callable:
     """Build ``loss_fn(apply_fn, params, wbatch, rng_key, kl_scale) ->
     (loss, LossOutputs)`` over a window batch (GroupedTransition leaves
     [B, W, ...]).  Exposed separately from the train step so eval-side
     consumers (scripts, tests) can score the multi-step objective without
-    an optimizer."""
+    an optimizer.
+
+    ``stop_gradient`` detaches the fed-back prediction: every horizon still
+    trains on the model's own-prediction input distribution, but gradients
+    stop at step boundaries (scheduled-sampling-style) instead of flowing
+    through the whole chain (BPTT)."""
     W = int(unroll_steps)
     assert W >= 1
 
@@ -125,10 +131,11 @@ def make_unroll_loss_fn(
                 jnp.sum(kl_rows * mask),
                 jnp.sum(mask),
             )
-            # feed the prediction back (gradients flow: BPTT through the
-            # scan carry); windows die at episode boundaries
+            # feed the prediction back (gradients flow through the scan
+            # carry unless stop_gradient); windows die at episode boundaries
             new_mask = mask * (1.0 - done_t)
-            return (state_to_grouped(spec, recon_s), new_mask), sums
+            fb = jax.lax.stop_gradient(recon_s) if stop_gradient else recon_s
+            return (state_to_grouped(spec, fb), new_mask), sums
 
         _, (s_sum, r_sum, kl_sum, w_sum) = jax.lax.scan(
             step,
@@ -151,6 +158,7 @@ def make_unroll_train_step(
     unroll_steps: int,
     mode: str = "Adam",
     use_pallas: bool = False,
+    stop_gradient: bool = False,
 ) -> Callable:
     """Fused multi-step train step: (state, wbatch, rng_key) ->
     (state, LossOutputs).  ``wbatch`` is a GroupedTransition window batch
@@ -165,7 +173,7 @@ def make_unroll_train_step(
             "unroll_steps > 1 is incompatible with model.use_pallas (the "
             "fused kernel is a one-step program)"
         )
-    loss_fn = make_unroll_loss_fn(spec, loss_cfg, unroll_steps)
+    loss_fn = make_unroll_loss_fn(spec, loss_cfg, unroll_steps, stop_gradient)
 
     from mfvae_tpu.training.trainer import _kl_scale  # avoid cycle at import
 

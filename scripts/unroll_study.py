@@ -39,7 +39,14 @@ from residual_sweight_study import delta_diagnostics  # noqa: E402
 HORIZONS = (1, 5, 25)
 
 
-def train(unroll: int, epochs: int, policy: str = "random") -> Experiment:
+def train(
+    unroll: int,
+    epochs: int,
+    policy: str = "random",
+    grad_clip: float = 0.0,
+    stop_gradient: bool = False,
+    tag: str = "",
+) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
     cfg.model.residual_state = True
@@ -49,13 +56,15 @@ def train(unroll: int, epochs: int, policy: str = "random") -> Experiment:
     cfg.loss.s_weight = 300.0
     cfg.buffer.max_size = 10240  # 80 * sample_num: windows never straddle phases
     cfg.train.unroll_steps = unroll
+    cfg.train.unroll_stop_gradient = stop_gradient
+    cfg.train.grad_clip = grad_clip
     cfg.train.epoch_num = epochs
     cfg.train.collect_policy = policy
     cfg.train.collect_epsilon = 0.1
     cfg.train.epochs_per_dispatch = 32
-    cfg.train.run_name = f"unroll{unroll}_{policy}"
+    cfg.train.run_name = f"unroll{unroll}{tag}_{policy}"
     cfg.train.log_dir = "/tmp/unroll_results"
-    cfg.train.checkpoint_dir = f"/tmp/ck_unroll{unroll}_{policy}"
+    cfg.train.checkpoint_dir = f"/tmp/ck_unroll{unroll}{tag}_{policy}"
     cfg.train.resume = True
     exp = Experiment(cfg).setup()
     exp.run()

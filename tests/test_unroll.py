@@ -172,6 +172,25 @@ class TestUnrollLoss:
         loss_d, _ = loss_fn(model.apply, variables, wb_d, key)
         assert not np.allclose(np.asarray(loss_a), np.asarray(loss_d))
 
+    def test_stop_gradient_same_forward_different_grads(self):
+        """Detaching the feedback must not change the LOSS (identical
+        forward) but must change the GRADIENT (no path through the chain)."""
+        spec, model, variables = tiny_model()
+        loss_cfg = LossConfig(family="jax")
+        wb = window_batch(spec, jax.random.PRNGKey(8), W=3)
+        key = jax.random.PRNGKey(13)
+        fn_bptt = make_unroll_loss_fn(spec, loss_cfg, 3, stop_gradient=False)
+        fn_sg = make_unroll_loss_fn(spec, loss_cfg, 3, stop_gradient=True)
+        l_bptt, _ = fn_bptt(model.apply, variables, wb, key)
+        l_sg, _ = fn_sg(model.apply, variables, wb, key)
+        np.testing.assert_allclose(np.asarray(l_bptt), np.asarray(l_sg), rtol=1e-6)
+        g_bptt = jax.grad(lambda p: fn_bptt(model.apply, p, wb, key)[0])(variables)
+        g_sg = jax.grad(lambda p: fn_sg(model.apply, p, wb, key)[0])(variables)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g_bptt, g_sg
+        )
+        assert max(jax.tree.leaves(diffs)) > 0.0
+
     def test_state_to_grouped_roundtrip(self):
         spec, _, _ = tiny_model()
         state = jax.random.normal(jax.random.PRNGKey(6), (5, sum(spec.obs_dims)))
