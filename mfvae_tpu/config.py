@@ -196,6 +196,11 @@ class TrainConfig:
     # horizon, but gradients stop at each step boundary — the measured
     # rescue for the W=8 BPTT divergence (PARITY.md round 4).
     unroll_stop_gradient: bool = False
+    # unroll_steps > 1 only: feed back the posterior-MEAN prediction (the
+    # exact serving path, MAVAE.mean_call) instead of the sampled
+    # reconstruction — aligns the training-time feedback distribution with
+    # WorldModel.rollout at the cost of a second decode per step.
+    unroll_mean_feedback: bool = False
     # replicate the reference's never-resplit key bug for curve parity
     # (jax_ver/main.py:154-158,169,210)
     bug_compat_rng: bool = False

@@ -156,7 +156,12 @@ class ItemBuffer:
             starts = blk * block + off
             # when full the ring seam sits at a block boundary (block
             # divides capacity and adds arrive in block-sized phases), so
-            # in-block windows never cross it and no cursor shift is needed
+            # in-block windows never cross it and no cursor shift is needed.
+            # Guard against misuse outside that invariant (size below or
+            # unaligned to block): clamp starts into the valid prefix so a
+            # caller can never read the zero-initialized tail — windows
+            # degrade to overlapping valid ones instead of fabricated data.
+            starts = jnp.minimum(starts, jnp.maximum(state.size - window, 0))
         else:
             n_starts = jnp.where(
                 full,

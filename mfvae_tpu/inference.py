@@ -31,7 +31,7 @@ from mfvae_tpu.models.mavae import (
     AgentSpec,
     GroupedBatch,
     MAVAE,
-    agent_order_concat,
+    state_to_grouped,
 )
 
 
@@ -41,33 +41,12 @@ class WorldModel:
         self.variables = variables
         spec = model.spec
 
-        def _decode_from(z, aemb, z_shared=None, det=None, base=None):
-            return model.apply(
-                variables, z, aemb, z_shared, det, base,
-                method=lambda m, z_, a_, s_, d_, b_: m.decode(z_, a_, s_, d_, b_),
-            )
-
         @jax.jit
         def _predict(batch: GroupedBatch):
-            mu, logvar, aemb, experts, det = model.apply(
-                variables, batch, None, method=lambda m, b, ids: m.encode(b, ids)
-            )
-            if not spec.grouped_is_identity:
-                perm = jnp.asarray(spec.perm_from_grouped)
-                mu = jnp.take(mu, perm, axis=1)
-                aemb = jnp.take(aemb, perm, axis=1)
-                if det is not None:
-                    det = jnp.take(det, perm, axis=1)
-            z_shared = None
-            if experts is not None:
-                # mean decode: PoE posterior mean for the shared latent
-                z_shared, _ = model.poe(experts)
-            base = (
-                agent_order_concat(spec, batch.obs)
-                if (model.residual_state or model.state_skip)
-                else None
-            )
-            return _decode_from(mu.astype(jnp.float32), aemb, z_shared, det, base)
+            # posterior-mean forward (z = mu; PoE mean for the shared
+            # latent) — the module's own mean_call, so serving and unroll
+            # training's mean feedback are one code path
+            return model.apply(variables, batch, None, method="mean_call")
 
         @jax.jit
         def _encode(batch: GroupedBatch):
@@ -83,20 +62,10 @@ class WorldModel:
 
             return jax.vmap(one)(jax.random.split(key, n))
 
-        import numpy as np
-
-        offsets = np.cumsum([0] + list(spec.obs_dims))
-
         def _state_to_grouped(state: jnp.ndarray):
-            """[B, Σobs] global state -> per-group obs tensors (static
-            slices; the concat order is agent order)."""
-            obs_g = []
-            for (od, _), idxs in spec.groups:
-                cols = [
-                    state[:, int(offsets[i]) : int(offsets[i]) + od] for i in idxs
-                ]
-                obs_g.append(jnp.stack(cols, axis=1))
-            return tuple(obs_g)
+            # shared with training/unroll.py so serving and training
+            # re-split the flat state identically (models/mavae.py)
+            return state_to_grouped(spec, state)
 
         @jax.jit
         def _rollout(obs_g, action_plan):

@@ -185,6 +185,22 @@ def agent_order_concat(
     return jnp.concatenate(parts, axis=-1)
 
 
+def state_to_grouped(spec: AgentSpec, state: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """[B, Σobs] agent-order global state -> per-group obs tensors
+    [B, A_g, od] — the static-slice inverse of agent_order_concat.  The ONE
+    place the feedback re-split lives: serving rollouts
+    (inference.WorldModel) and unroll training (training/unroll.py) must
+    re-split identically or their state layouts silently diverge."""
+    offsets = [0]
+    for d in spec.obs_dims:
+        offsets.append(offsets[-1] + d)
+    obs_g = []
+    for (od, _), idxs in spec.groups:
+        cols = [state[:, offsets[i] : offsets[i] + od] for i in idxs]
+        obs_g.append(jnp.stack(cols, axis=1))
+    return tuple(obs_g)
+
+
 class MAVAE(nn.Module):
     spec: AgentSpec
     idx_features: int = 64
@@ -555,6 +571,37 @@ class MAVAE(nn.Module):
         )
         recon_state, recon_reward = self.decode(z, aemb, z_shared, det, base)
         return recon_state, recon_reward, kl_rows
+
+    # ------------------------------------------------------------- mean call
+    def mean_call(
+        self,
+        batch: GroupedBatch,
+        agent_ids: Optional[Tuple[jnp.ndarray, ...]] = None,
+    ):
+        """Deterministic posterior-MEAN forward: z = mu (and the PoE
+        posterior mean for the shared latent).  This is the serving
+        prediction (inference.WorldModel.predict/rollout) and the
+        serving-consistent feedback for unroll training's
+        ``unroll_mean_feedback``.  Returns (recon_state, recon_reward)."""
+        spec = self.spec
+        mu_g, _, aemb_g, experts, det = self.encode(batch, agent_ids)
+        if spec.grouped_is_identity:
+            mu, aemb = mu_g, aemb_g
+        else:
+            perm = jnp.asarray(spec.perm_from_grouped)
+            mu = jnp.take(mu_g, perm, axis=1)
+            aemb = jnp.take(aemb_g, perm, axis=1)
+            if det is not None:
+                det = jnp.take(det, perm, axis=1)
+        z_shared = None
+        if experts is not None:
+            z_shared, _ = self.poe(experts)
+        base = (
+            agent_order_concat(spec, batch.obs)
+            if (self.residual_state or self.state_skip)
+            else None
+        )
+        return self.decode(mu.astype(jnp.float32), aemb, z_shared, det, base)
 
     # ------------------------------------------------------------------ call
     def __call__(

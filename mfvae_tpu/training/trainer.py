@@ -376,6 +376,7 @@ def make_phase_fns(
             spec, cfg.loss, W, cfg.train.mode,
             use_pallas=cfg.model.use_pallas,
             stop_gradient=cfg.train.unroll_stop_gradient,
+            mean_feedback=cfg.train.unroll_mean_feedback,
         )
     else:
         train_step = make_train_step(

@@ -8,15 +8,20 @@ the dynamics-recipe model only MATCHES the frozen-world baseline by k=25.
 This module trains the model the way it is served (inference.WorldModel
 .rollout): sample windows of W consecutive transitions, roll the model
 forward feeding its own predicted state back as the next observation, and
-apply the ELBO at EVERY horizon — backpropagating through the feedback
-loop (BPTT through the scan), so the optimizer sees exactly the error that
-compounds at serving time.
+apply the ELBO at EVERY horizon — by default backpropagating through the
+feedback loop (BPTT through the scan).  Feedback distribution caveat: the
+default feedback is the SAMPLED reconstruction (z drawn through the
+reparameterization, like the one-step objective), while the serving
+rollout feeds back the posterior-MEAN prediction; ``mean_feedback=True``
+(train.unroll_mean_feedback) switches the feedback to the serving-exact
+mean path (MAVAE.mean_call — the same code serving runs), at the cost of
+a second decode per step.
 
 Loss pooling: per-step per-sample losses are validity-masked (a window may
 cross an episode boundary — steps after the first stored ``done`` are
 excluded) and pooled over all valid (sample, step) slots, so W=1 with all
-slots valid reproduces the reference one-step loss exactly
-(tests/test_unroll.py asserts this to the bit, including grads).
+slots valid reproduces the reference one-step loss (tests/test_unroll.py
+asserts loss AND gradient equality to allclose tolerance).
 
 Design constraints (asserted at factory time):
 - mode='Adam' (PopArt reward normalization would need per-step target
@@ -33,26 +38,17 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from mfvae_tpu.config import LossConfig
 from mfvae_tpu.data.transitions import GroupedTransition
 from mfvae_tpu.models.losses import LossOutputs, combine_losses
-from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, agent_order_concat
-
-
-def state_to_grouped(spec: AgentSpec, state: jnp.ndarray):
-    """[B, Σobs] agent-order global state -> per-group obs tensors
-    [B, A_g, od] (static slices; inverse of agent_order_concat).  Mirrors
-    inference.WorldModel._state_to_grouped — the training-time feedback
-    uses the same layout the serving rollout uses."""
-    offsets = np.cumsum([0] + list(spec.obs_dims))
-    obs_g = []
-    for (od, _), idxs in spec.groups:
-        cols = [state[:, int(offsets[i]) : int(offsets[i]) + od] for i in idxs]
-        obs_g.append(jnp.stack(cols, axis=1))
-    return tuple(obs_g)
+from mfvae_tpu.models.mavae import (
+    AgentSpec,
+    GroupedBatch,
+    agent_order_concat,
+    state_to_grouped,
+)
 
 
 def _huber_rows(x: jnp.ndarray, y: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -87,6 +83,7 @@ def make_unroll_loss_fn(
     loss_cfg: LossConfig,
     unroll_steps: int,
     stop_gradient: bool = False,
+    mean_feedback: bool = False,
 ) -> Callable:
     """Build ``loss_fn(apply_fn, params, wbatch, rng_key, kl_scale) ->
     (loss, LossOutputs)`` over a window batch (GroupedTransition leaves
@@ -97,7 +94,10 @@ def make_unroll_loss_fn(
     ``stop_gradient`` detaches the fed-back prediction: every horizon still
     trains on the model's own-prediction input distribution, but gradients
     stop at step boundaries (scheduled-sampling-style) instead of flowing
-    through the whole chain (BPTT)."""
+    through the whole chain (BPTT).  ``mean_feedback`` feeds back the
+    posterior-MEAN prediction (MAVAE.mean_call — the exact serving path)
+    instead of the sampled reconstruction; the per-step loss keeps scoring
+    the sampled reconstruction either way (it IS the ELBO)."""
     W = int(unroll_steps)
     assert W >= 1
 
@@ -134,7 +134,17 @@ def make_unroll_loss_fn(
             # feed the prediction back (gradients flow through the scan
             # carry unless stop_gradient); windows die at episode boundaries
             new_mask = mask * (1.0 - done_t)
-            fb = jax.lax.stop_gradient(recon_s) if stop_gradient else recon_s
+            if mean_feedback:
+                fb, _ = apply_fn(
+                    params,
+                    GroupedBatch(obs=carry_obs, actions=act_t),
+                    None,
+                    method="mean_call",
+                )
+            else:
+                fb = recon_s
+            if stop_gradient:
+                fb = jax.lax.stop_gradient(fb)
             return (state_to_grouped(spec, fb), new_mask), sums
 
         _, (s_sum, r_sum, kl_sum, w_sum) = jax.lax.scan(
@@ -159,6 +169,7 @@ def make_unroll_train_step(
     mode: str = "Adam",
     use_pallas: bool = False,
     stop_gradient: bool = False,
+    mean_feedback: bool = False,
 ) -> Callable:
     """Fused multi-step train step: (state, wbatch, rng_key) ->
     (state, LossOutputs).  ``wbatch`` is a GroupedTransition window batch
@@ -173,7 +184,9 @@ def make_unroll_train_step(
             "unroll_steps > 1 is incompatible with model.use_pallas (the "
             "fused kernel is a one-step program)"
         )
-    loss_fn = make_unroll_loss_fn(spec, loss_cfg, unroll_steps, stop_gradient)
+    loss_fn = make_unroll_loss_fn(
+        spec, loss_cfg, unroll_steps, stop_gradient, mean_feedback
+    )
 
     from mfvae_tpu.training.trainer import _kl_scale  # avoid cycle at import
 

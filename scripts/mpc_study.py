@@ -63,7 +63,7 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
     arms = {"random": arm_random, "pursuit": arm_pursuit}
 
     for w in (1, 8):
-        exp_w = train(w, epochs)
+        exp_w = exp if w == 1 else train(w, epochs)
         wm = WorldModel(exp_w.model, exp_w.carry.train_state.params)
         mpc = make_mpc_actor(
             wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,

@@ -45,6 +45,7 @@ def train(
     policy: str = "random",
     grad_clip: float = 0.0,
     stop_gradient: bool = False,
+    mean_feedback: bool = False,
     tag: str = "",
 ) -> Experiment:
     cfg = ExperimentConfig()
@@ -57,6 +58,7 @@ def train(
     cfg.buffer.max_size = 10240  # 80 * sample_num: windows never straddle phases
     cfg.train.unroll_steps = unroll
     cfg.train.unroll_stop_gradient = stop_gradient
+    cfg.train.unroll_mean_feedback = mean_feedback
     cfg.train.grad_clip = grad_clip
     cfg.train.epoch_num = epochs
     cfg.train.collect_policy = policy

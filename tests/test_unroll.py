@@ -128,6 +128,25 @@ class TestUnrollLoss:
         for a, b in zip(out, expected):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
+        # gradient equality too — the unroll path must be a drop-in
+        # replacement for the one-step objective at W=1
+        def one_step_loss(p):
+            rs, rr, m, lv = model.apply(p, gb, None, k0)
+            return elbo_losses(
+                rs, rr,
+                agent_order_concat(spec, tuple(o[:, 0] for o in wb.next_obs)),
+                wb.rewards[:, 0], m, lv, loss_cfg,
+            ).loss
+
+        g_unroll = jax.grad(lambda p: loss_fn(model.apply, p, wb, key)[0])(variables)
+        g_one = jax.grad(one_step_loss)(variables)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            ),
+            g_unroll, g_one,
+        )
+
     def test_done_masks_later_steps(self):
         """done at step 0 for every row -> steps 1+ contribute nothing: the
         loss is invariant to their targets."""
@@ -190,6 +209,44 @@ class TestUnrollLoss:
             lambda a, b: float(jnp.max(jnp.abs(a - b))), g_bptt, g_sg
         )
         assert max(jax.tree.leaves(diffs)) > 0.0
+
+    def test_mean_feedback_matches_serving_prediction(self):
+        """mean_feedback=True must feed step 2 the SAME state the serving
+        rollout would: WorldModel.predict (posterior-mean) on step 1's
+        input.  Verified by replaying step 2's loss contribution by hand."""
+        from mfvae_tpu.inference import WorldModel
+        from mfvae_tpu.training.unroll import state_to_grouped
+
+        spec, model, variables = tiny_model()
+        loss_cfg = LossConfig(family="jax")
+        wb = window_batch(spec, jax.random.PRNGKey(14), W=2)
+        key = jax.random.PRNGKey(15)
+        fn = make_unroll_loss_fn(spec, loss_cfg, 2, mean_feedback=True)
+        _, out = fn(model.apply, variables, wb, key)
+
+        wm = WorldModel(model, variables)
+        k0, k1 = jax.random.split(key, 2)
+        gb0 = GroupedBatch(
+            obs=tuple(o[:, 0] for o in wb.obs),
+            actions=tuple(a[:, 0] for a in wb.actions),
+        )
+        mean_next, _ = wm.predict(gb0, None)
+        gb1 = GroupedBatch(
+            obs=state_to_grouped(spec, mean_next),
+            actions=tuple(a[:, 1] for a in wb.actions),
+        )
+        # replay both steps' losses by hand and pool
+        parts = []
+        for gb, t, kk in ((gb0, 0, k0), (gb1, 1, k1)):
+            rs, rr, m, lv = model.apply(variables, gb, None, kk)
+            parts.append(elbo_losses(
+                rs, rr,
+                agent_order_concat(spec, tuple(o[:, t] for o in wb.next_obs)),
+                wb.rewards[:, t], m, lv, loss_cfg,
+            ))
+        pooled = [(np.asarray(a) + np.asarray(b)) / 2 for a, b in zip(*parts)]
+        for got, want in zip(out, pooled):
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
 
     def test_state_to_grouped_roundtrip(self):
         spec, _, _ = tiny_model()
