@@ -11,9 +11,9 @@ model exact):
   - random:   adversaries act uniformly (the floor)
   - pursuit:  the scripted chase heuristic (envs/policies.py — a strong
               hand-coded upper anchor that knows the true dynamics)
-  - mpc:w     MPC through world models trained with unroll_steps=w
-              (reusing the unroll_study checkpoints; resume=True makes
-              retraining a no-op)
+  - mpc:*     MPC through two world models: the one-step recipe (w1) and
+              the best long-horizon configuration (w8+clip10, from the
+              rescue study; resume=True makes retraining a no-op)
 
 Run on the TPU env AFTER scripts/unroll_study.py:
     python scripts/mpc_study.py [n_episodes] [ep_len]
@@ -62,8 +62,11 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
 
     arms = {"random": arm_random, "pursuit": arm_pursuit}
 
-    for w in (1, 8):
-        exp_w = exp if w == 1 else train(w, epochs)
+    wm_arms = {
+        "mpc:w1": exp,
+        "mpc:w8_clip10": train(8, epochs, grad_clip=10.0, tag="_w8_clip10"),
+    }
+    for name, exp_w in wm_arms.items():
         wm = WorldModel(exp_w.model, exp_w.carry.train_state.params)
         mpc = make_mpc_actor(
             wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
@@ -74,7 +77,7 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
             k1, k2 = jax.random.split(key)
             return jnp.where(is_adv, mpc(obs, k1), sample_actions(k2))
 
-        arms[f"mpc:w{w}"] = arm_mpc
+        arms[name] = arm_mpc
     print(f"[{time.time()-t0:.0f}s] world models ready", flush=True)
 
     results = {}
