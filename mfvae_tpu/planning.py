@@ -43,17 +43,29 @@ def make_mpc_actor(
     horizon: int = 8,
     n_candidates: int = 64,
     plan_agents: Optional[Sequence[int]] = None,
+    score_fn=None,
 ):
     """Build ``act(stacked_obs, key) -> joint actions [A(, act_dim)]``.
 
     ``plan_agents``: agent indices whose predicted reward is maximized
     (default: all).  The returned joint action carries random components
     for the other agents — callers overwrite those with the opponents'
-    real policy (scripts/mpc_study.py)."""
+    real policy (scripts/mpc_study.py).
+
+    ``score_fn(states, rewards) -> [N]`` replaces the default
+    predicted-reward objective (sum of plan_agents' rewards over the
+    horizon) with a custom objective over the imagined futures —
+    ``states`` [H, N, Σobs], ``rewards`` [H, N, A].  This is the planning
+    hook that lets accurate STATE dynamics drive control even where the
+    reward head is coarse (e.g. a distance-to-prey potential,
+    scripts/mpc_study.py)."""
     sample_actions, group_actions = make_action_sampler(env, spec)
     idx = jnp.asarray(
         tuple(plan_agents) if plan_agents is not None else tuple(range(spec.n_agents))
     )
+    if score_fn is None:
+        def score_fn(states, rewards):
+            return jnp.sum(rewards[..., idx], axis=(0, 2))
 
     def act(stacked_obs, key):
         plans = sample_actions(key, (horizon, n_candidates))  # [H, N, A(, d)]
@@ -61,8 +73,8 @@ def make_mpc_actor(
             jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
             for o in stacked_to_grouped(spec, stacked_obs)
         )
-        _, rewards = wm._rollout(obs_g, group_actions(plans))  # [H, N, A]
-        score = jnp.sum(rewards[..., idx], axis=(0, 2))  # [N]
+        states, rewards = wm._rollout(obs_g, group_actions(plans))
+        score = score_fn(states, rewards)  # [N]
         return plans[0, jnp.argmax(score)]
 
     return act

@@ -15,6 +15,19 @@ model exact):
               the best long-horizon configuration (w8+clip10, from the
               rescue study; resume=True makes retraining a no-op)
 
+Hypothesis arms (after the first run measured reward-scored MPC AT the
+random baseline — the reward head under random collection is too coarse
+to rank candidate plans):
+
+  - mpc:pursuitWM      reward-scored, but through the PURSUIT-trained
+                       recipe model whose reward head actually saw
+                       contacts (loads /tmp/ck_recipe_pursuit)
+  - mpc:*_dist         state-scored: a distance-to-prey potential computed
+                       from the PREDICTED states (the accurate head) via
+                       planning.py's score_fn hook — each adversary's
+                       imagined observation carries the relative prey
+                       positions (envs/mpe.py _observe layout)
+
 Run on the TPU env AFTER scripts/unroll_study.py:
     python scripts/mpc_study.py [n_episodes] [ep_len]
 """
@@ -62,15 +75,41 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
 
     arms = {"random": arm_random, "pursuit": arm_pursuit}
 
+    # distance-to-prey potential over PREDICTED states: adversary i's obs
+    # slice carries the relative positions of every good agent at offset
+    # 4 + 2L + 2*(n_adv-1) (self_vel, self_pos, landmark_rel, other_rel
+    # with the good agents last — envs/mpe.py SimpleTagEnv._observe);
+    # score = -sum over adversaries and horizon of min prey distance.
+    n_good = exp.cfg.env.num_good_agents
+    od_adv = spec.obs_dims[0]
+    prey_off = 4 + 2 * exp.cfg.env.num_obs + 2 * (n_adv - 1)
+
+    def distance_score(states, rewards):
+        # states [H, N, Σobs]; adversaries are agents 0..n_adv-1 in the
+        # agent-order concat, each of width od_adv
+        h, n = states.shape[:2]
+        adv_obs = states[:, :, : n_adv * od_adv].reshape(h, n, n_adv, od_adv)
+        rel = adv_obs[..., prey_off : prey_off + 2 * n_good].reshape(
+            h, n, n_adv, n_good, 2
+        )
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12)  # [H,N,adv,good]
+        return -jnp.sum(jnp.min(dist, axis=-1), axis=(0, 2))  # [N]
+
+    from dynamics_recipe_study import train as train_recipe
+
+    exp_w8 = train(8, epochs, grad_clip=10.0, tag="_w8_clip10")
     wm_arms = {
-        "mpc:w1": exp,
-        "mpc:w8_clip10": train(8, epochs, grad_clip=10.0, tag="_w8_clip10"),
+        "mpc:w1": (exp, None),
+        "mpc:w8_clip10": (exp_w8, None),
+        "mpc:pursuitWM": (train_recipe("pursuit", epochs), None),
+        "mpc:w1_dist": (exp, distance_score),
+        "mpc:w8_clip10_dist": (exp_w8, distance_score),
     }
-    for name, exp_w in wm_arms.items():
+    for name, (exp_w, score) in wm_arms.items():
         wm = WorldModel(exp_w.model, exp_w.carry.train_state.params)
         mpc = make_mpc_actor(
             wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
-            plan_agents=adv_idx,
+            plan_agents=adv_idx, score_fn=score,
         )
 
         def arm_mpc(obs, state, key, mpc=mpc):

@@ -71,6 +71,32 @@ class TestMPC:
         best = int(jnp.argmax(jnp.sum(rewards, axis=(0, 2))))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(plans[0, best]))
 
+    def test_custom_score_fn_drives_selection(self):
+        """score_fn replaces the reward objective: scoring by NEGATIVE
+        predicted reward must select the argmin-reward candidate."""
+        env, spec, wm = tiny_env_model()
+        H, N = 3, 8
+
+        def neg_reward(states, rewards):
+            return -jnp.sum(rewards, axis=(0, 2))
+
+        act = make_mpc_actor(wm, env, spec, horizon=H, n_candidates=N,
+                             score_fn=neg_reward)
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(7))
+        key = jax.random.PRNGKey(8)
+        a = act(obs, key)
+        sample_actions, group_actions = make_action_sampler(env, spec)
+        from mfvae_tpu.training.trainer import stacked_to_grouped
+
+        plans = sample_actions(key, (H, N))
+        obs_g = tuple(
+            jnp.broadcast_to(o[None], (N,) + o.shape)
+            for o in stacked_to_grouped(spec, obs)
+        )
+        _, rewards = wm._rollout(obs_g, group_actions(plans))
+        worst = int(jnp.argmin(jnp.sum(rewards, axis=(0, 2))))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(plans[0, worst]))
+
     def test_eval_harness_runs_mpc_in_the_loop(self):
         env, spec, wm = tiny_env_model()
         mpc = make_mpc_actor(wm, env, spec, horizon=2, n_candidates=4,
