@@ -44,6 +44,8 @@ def make_mpc_actor(
     n_candidates: int = 64,
     plan_agents: Optional[Sequence[int]] = None,
     score_fn=None,
+    factorized: bool = False,
+    candidate_mode: str = "random",
 ):
     """Build ``act(stacked_obs, key) -> joint actions [A(, act_dim)]``.
 
@@ -52,30 +54,66 @@ def make_mpc_actor(
     for the other agents — callers overwrite those with the opponents'
     real policy (scripts/mpc_study.py).
 
-    ``score_fn(states, rewards) -> [N]`` replaces the default
-    predicted-reward objective (sum of plan_agents' rewards over the
-    horizon) with a custom objective over the imagined futures —
-    ``states`` [H, N, Σobs], ``rewards`` [H, N, A].  This is the planning
-    hook that lets accurate STATE dynamics drive control even where the
-    reward head is coarse (e.g. a distance-to-prey potential,
-    scripts/mpc_study.py)."""
+    ``score_fn(states, rewards)`` replaces the default predicted-reward
+    objective over the imagined futures — ``states`` [H, N, Σobs],
+    ``rewards`` [H, N, A].  It must return [N] (joint mode) or
+    [N, len(plan_agents)] per-agent scores (factorized mode).  This is the
+    planning hook that lets accurate STATE dynamics drive control even
+    where the reward head is coarse (e.g. a distance-to-prey potential,
+    scripts/mpc_study.py).
+
+    ``factorized=True`` selects PER PLAN AGENT: agent j executes the first
+    action of the candidate that maximizes ITS OWN score column.  Joint
+    argmax over a many-agent team is statistically dead — the sum of ~30
+    agents' outcomes over random joint plans concentrates (CLT), so the
+    argmax of N candidates is noise (measured: joint MPC lands exactly on
+    the random baseline, results/r4/mpc_study.json).  Factorized selection
+    gives every agent its own N-way tournament.  The executed joint action
+    stitches winners from different candidates — exact when agents'
+    outcomes are independent, an approximation under interaction.
+
+    ``candidate_mode='repeat'`` samples ONE action per (candidate, agent)
+    and holds it for the whole horizon (constant-action plans) — the
+    candidate set becomes "which direction should I commit to for H
+    steps", concentrating selection pressure on direction instead of
+    averaging over random walks."""
+    assert candidate_mode in ("random", "repeat"), candidate_mode
     sample_actions, group_actions = make_action_sampler(env, spec)
     idx = jnp.asarray(
         tuple(plan_agents) if plan_agents is not None else tuple(range(spec.n_agents))
     )
     if score_fn is None:
-        def score_fn(states, rewards):
-            return jnp.sum(rewards[..., idx], axis=(0, 2))
+        if factorized:
+            def score_fn(states, rewards):
+                return jnp.sum(rewards[..., idx], axis=0)  # [N, P]
+        else:
+            def score_fn(states, rewards):
+                return jnp.sum(rewards[..., idx], axis=(0, 2))  # [N]
 
     def act(stacked_obs, key):
-        plans = sample_actions(key, (horizon, n_candidates))  # [H, N, A(, d)]
+        if candidate_mode == "repeat":
+            first = sample_actions(key, (n_candidates,))  # [N, A(, d)]
+            plans = jnp.broadcast_to(
+                first[None], (horizon,) + first.shape
+            )  # [H, N, A(, d)]
+        else:
+            plans = sample_actions(key, (horizon, n_candidates))
         obs_g = tuple(
             jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
             for o in stacked_to_grouped(spec, stacked_obs)
         )
         states, rewards = wm._rollout(obs_g, group_actions(plans))
-        score = score_fn(states, rewards)  # [N]
-        return plans[0, jnp.argmax(score)]
+        score = score_fn(states, rewards)
+        first_acts = plans[0]  # [N, A(, d)]
+        if not factorized:
+            return first_acts[jnp.argmax(score)]
+        assert score.ndim == 2, (
+            "factorized=True needs per-agent scores [N, len(plan_agents)]"
+        )
+        best = jnp.argmax(score, axis=0)  # [P]
+        # candidate row per agent: non-plan agents take candidate 0
+        n_for_agent = jnp.zeros((spec.n_agents,), jnp.int32).at[idx].set(best)
+        return first_acts[n_for_agent, jnp.arange(spec.n_agents)]
 
     return act
 

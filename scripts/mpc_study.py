@@ -84,7 +84,7 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
     od_adv = spec.obs_dims[0]
     prey_off = 4 + 2 * exp.cfg.env.num_obs + 2 * (n_adv - 1)
 
-    def distance_score(states, rewards):
+    def _min_prey_dist(states):
         # states [H, N, Σobs]; adversaries are agents 0..n_adv-1 in the
         # agent-order concat, each of width od_adv
         h, n = states.shape[:2]
@@ -93,23 +93,40 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
             h, n, n_adv, n_good, 2
         )
         dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12)  # [H,N,adv,good]
-        return -jnp.sum(jnp.min(dist, axis=-1), axis=(0, 2))  # [N]
+        return jnp.min(dist, axis=-1)  # [H, N, adv]
+
+    def distance_score(states, rewards):
+        return -jnp.sum(_min_prey_dist(states), axis=(0, 2))  # [N]
+
+    def distance_score_fact(states, rewards):
+        return -jnp.sum(_min_prey_dist(states), axis=0)  # [N, adv]
 
     from dynamics_recipe_study import train as train_recipe
 
     exp_w8 = train(8, epochs, grad_clip=10.0, tag="_w8_clip10")
+    exp_pursuit = train_recipe("pursuit", epochs)
+    # (exp, score_fn, factorized, candidate_mode)
     wm_arms = {
-        "mpc:w1": (exp, None),
-        "mpc:w8_clip10": (exp_w8, None),
-        "mpc:pursuitWM": (train_recipe("pursuit", epochs), None),
-        "mpc:w1_dist": (exp, distance_score),
-        "mpc:w8_clip10_dist": (exp_w8, distance_score),
+        # joint argmax round (measured AT the random baseline — kept as the
+        # honest anchors for the factorized fix)
+        "mpc:w1": (exp, None, False, "random"),
+        "mpc:w8_clip10": (exp_w8, None, False, "random"),
+        "mpc:pursuitWM": (exp_pursuit, None, False, "random"),
+        "mpc:w1_dist": (exp, distance_score, False, "random"),
+        "mpc:w8_clip10_dist": (exp_w8, distance_score, False, "random"),
+        # factorized per-agent selection (+ constant-action candidates)
+        "mpc:w1_fact_rep": (exp, None, True, "repeat"),
+        "mpc:w1_dist_fact": (exp, distance_score_fact, True, "random"),
+        "mpc:w1_dist_fact_rep": (exp, distance_score_fact, True, "repeat"),
+        "mpc:w8_dist_fact_rep": (exp_w8, distance_score_fact, True, "repeat"),
+        "mpc:pursuitWM_fact_rep": (exp_pursuit, None, True, "repeat"),
     }
-    for name, (exp_w, score) in wm_arms.items():
+    for name, (exp_w, score, fact, cmode) in wm_arms.items():
         wm = WorldModel(exp_w.model, exp_w.carry.train_state.params)
         mpc = make_mpc_actor(
             wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
-            plan_agents=adv_idx, score_fn=score,
+            plan_agents=adv_idx, score_fn=score, factorized=fact,
+            candidate_mode=cmode,
         )
 
         def arm_mpc(obs, state, key, mpc=mpc):

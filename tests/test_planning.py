@@ -97,6 +97,52 @@ class TestMPC:
         worst = int(jnp.argmin(jnp.sum(rewards, axis=(0, 2))))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(plans[0, worst]))
 
+    def test_factorized_selection_stitches_per_agent_winners(self):
+        """Each plan agent must execute the first action of the candidate
+        maximizing ITS OWN score column — replayed by hand."""
+        env, spec, wm = tiny_env_model()
+        H, N = 2, 8
+
+        def per_agent_neg_dist(states, rewards):
+            # arbitrary deterministic per-agent score: per-agent reward sums
+            return jnp.sum(rewards[..., :2], axis=0)  # [N, 2]
+
+        act = make_mpc_actor(
+            wm, env, spec, horizon=H, n_candidates=N, plan_agents=(0, 1),
+            score_fn=per_agent_neg_dist, factorized=True,
+        )
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(9))
+        key = jax.random.PRNGKey(10)
+        a = act(obs, key)
+        sample_actions, group_actions = make_action_sampler(env, spec)
+        from mfvae_tpu.training.trainer import stacked_to_grouped
+
+        plans = sample_actions(key, (H, N))
+        obs_g = tuple(
+            jnp.broadcast_to(o[None], (N,) + o.shape)
+            for o in stacked_to_grouped(spec, obs)
+        )
+        _, rewards = wm._rollout(obs_g, group_actions(plans))
+        score = np.asarray(jnp.sum(rewards[..., :2], axis=0))  # [N, 2]
+        for j in (0, 1):
+            assert int(a[j]) == int(plans[0, int(score[:, j].argmax()), j])
+        # non-plan agent takes candidate 0
+        assert int(a[2]) == int(plans[0, 0, 2])
+
+    def test_repeat_candidates_hold_one_action(self):
+        """candidate_mode='repeat': selection still works and the actor
+        returns a valid action (constant-action plans internally)."""
+        env, spec, wm = tiny_env_model()
+        act = make_mpc_actor(
+            wm, env, spec, horizon=4, n_candidates=8, factorized=True,
+            candidate_mode="repeat",
+        )
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(11))
+        a = act(obs, jax.random.PRNGKey(12))
+        assert a.shape == (spec.n_agents,)
+        assert (np.asarray(a) >= 0).all()
+        assert (np.asarray(a) < np.asarray(spec.act_dims)).all()
+
     def test_eval_harness_runs_mpc_in_the_loop(self):
         env, spec, wm = tiny_env_model()
         mpc = make_mpc_actor(wm, env, spec, horizon=2, n_candidates=4,
