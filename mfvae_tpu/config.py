@@ -284,12 +284,12 @@ class ExperimentConfig:
                 f"model={self.model.discrete_act})"
             )
         cp = self.train.collect_policy
-        if cp not in ("random", "pursuit", "episode_mix") and not cp.startswith(
-            "vdn:"
+        if cp not in ("random", "pursuit", "episode_mix", "sticky") and not (
+            cp.startswith("vdn:")
         ):
             raise ValueError(
                 f"unknown collect_policy {cp!r} (expected 'random', "
-                "'pursuit', 'episode_mix', or 'vdn:<policy.npz>')"
+                "'pursuit', 'episode_mix', 'sticky', or 'vdn:<policy.npz>')"
             )
         if not 0.0 <= self.train.collect_epsilon <= 1.0:
             raise ValueError(

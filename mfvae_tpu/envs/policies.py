@@ -191,6 +191,54 @@ class EpisodeMixPolicy:
         return (jnp.zeros_like(fresh), use_scripted), act
 
 
+class StickyRandomPolicy:
+    """Sticky random actions: each agent REPEATS its previous action with
+    probability ``sticky_prob`` and resamples uniformly otherwise
+    (per-agent, per-step — the Atari sticky-actions scheme applied to
+    collection).
+
+    Motivation (measured, PARITY.md round 4 action-sensitivity probe): the
+    per-step action effect on the state is ~1% of the step delta under
+    uniform random walks, so a world model can reach 0.85 delta
+    correlation while being ACTION-BLIND (action_effect_ratio 0.012) —
+    every imagined future is identical and planning is impossible.  Sticky
+    actions make action effects ACCUMULATE (a held direction displaces the
+    agent ~0.5 units over 8 steps), so multi-step objectives
+    (train.unroll_steps) see a large action-attributable error.
+
+    Stateful collect-policy protocol: carry = (prev_actions, fresh); the
+    trainer resets the carry at episode end, re-arming a full resample."""
+
+    def __init__(self, env, spec, sample_fn, sticky_prob: float):
+        self.sample_fn = sample_fn
+        self.sticky_prob = float(sticky_prob)
+        self.n_agents = spec.n_agents
+        self.discrete = getattr(env, "discrete_actions", True)
+        from mfvae_tpu.models.mavae import zero_actions_grouped
+
+        # flat zero-action vector in agent order (init carry shape)
+        if self.discrete:
+            self._zero = jnp.zeros((spec.n_agents,), jnp.int32)
+        else:
+            ad = spec.act_dims[0]
+            self._zero = jnp.zeros((spec.n_agents, ad), jnp.float32)
+
+    def init_carry(self):
+        return (self._zero, jnp.bool_(True))
+
+    def step(self, carry, stacked_obs, env_state, key):
+        prev, fresh = carry
+        k_keep, k_rand = jax.random.split(key)
+        rand = self.sample_fn(k_rand)
+        keep = (
+            jax.random.uniform(k_keep, (self.n_agents,)) < self.sticky_prob
+        ) & ~fresh
+        if not self.discrete:
+            keep = keep[:, None]
+        act = jnp.where(keep, prev, rand)
+        return (act, jnp.zeros_like(fresh)), act
+
+
 def make_collect_policy(
     env, spec, name: str, epsilon: float, sample_fn, mix_frac: float = 0.5
 ):
@@ -207,12 +255,18 @@ def make_collect_policy(
 
     ``'episode_mix'``: EpisodeMixPolicy — whole episodes alternate between
     the scripted pursuit policy (probability ``mix_frac``) and uniform
-    random collection."""
+    random collection.
+
+    ``'sticky'``: StickyRandomPolicy — per-agent sticky random actions
+    (repeat probability ``mix_frac``; reuses the mix_frac knob as the hold
+    probability)."""
     if name == "random":
         return None
     if name == "episode_mix":
         scripted = make_collect_policy(env, spec, "pursuit", epsilon, sample_fn)
         return EpisodeMixPolicy(scripted, sample_fn, mix_frac)
+    if name == "sticky":
+        return StickyRandomPolicy(env, spec, sample_fn, mix_frac)
     if name != "pursuit":
         raise ValueError(f"unknown collect_policy {name!r}")
     delta_fn = next(

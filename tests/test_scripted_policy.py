@@ -378,6 +378,64 @@ class TestEpisodeMixPolicy:
         with pytest.raises(ValueError, match="collect_mix_frac"):
             cfg.validate()
 
+
+class TestStickyRandomPolicy:
+    """Per-agent sticky random actions (collect_policy='sticky'):
+    action-sensitivity motivation in PARITY.md round 4."""
+
+    def _env_spec(self):
+        env = SimpleTagEnv(num_adversaries=2, num_good_agents=1, num_obs=1,
+                           max_steps=8)
+        spec = AgentSpec.from_dicts(
+            env.agents, {a: env.obs_dim(a) for a in env.agents},
+            {a: 5 for a in env.agents},
+        )
+        return env, spec
+
+    def test_fresh_step_resamples_everything(self):
+        """fresh=True must force a full resample (the zero init carry must
+        never leak noop actions into the data with probability p)."""
+        env, spec = self._env_spec()
+        sample_fn, _ = make_action_sampler(env, spec)
+        pol = _raw_make_policy(env, spec, "sticky", 0.0, sample_fn,
+                               mix_frac=1.0)  # hold prob 1: only fresh resamples
+        key = jax.random.PRNGKey(0)
+        _, k_rand = jax.random.split(key)
+        carry, act = pol.step(pol.init_carry(), None, None, key)
+        np.testing.assert_array_equal(
+            np.asarray(act), np.asarray(sample_fn(k_rand))
+        )
+        # from then on, hold prob 1.0 repeats forever
+        for i in range(1, 5):
+            carry, act2 = pol.step(carry, None, None, jax.random.PRNGKey(i))
+            np.testing.assert_array_equal(np.asarray(act2), np.asarray(act))
+
+    def test_hold_probability_is_per_agent(self):
+        env, spec = self._env_spec()
+        sample_fn, _ = make_action_sampler(env, spec)
+        pol = _raw_make_policy(env, spec, "sticky", 0.0, sample_fn,
+                               mix_frac=0.5)
+        carry, prev = pol.step(pol.init_carry(), None, None, jax.random.PRNGKey(0))
+        held = changed = 0
+        for i in range(1, 200):
+            carry, act = pol.step(carry, None, None, jax.random.PRNGKey(i))
+            held += int((np.asarray(act) == np.asarray(prev)).sum())
+            changed += int((np.asarray(act) != np.asarray(prev)).sum())
+            prev = act
+        frac_held = held / (held + changed)
+        # hold prob 0.5 plus 1/5 chance a resample repeats: ~0.6
+        assert 0.5 < frac_held < 0.7
+
+    def test_trains_end_to_end(self, tmp_path):
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=2)
+        cfg.train.collect_policy = "sticky"
+        cfg.train.collect_mix_frac = 0.75
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+
     def test_host_experiment_trains_with_episode_mix(self, tmp_path):
         """Both host collectors mirror EpisodeMixPolicy (per-episode
         scripted/random flags redrawn at reset)."""
