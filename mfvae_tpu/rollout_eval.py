@@ -67,6 +67,7 @@ def make_rollout_accuracy_fn(
     burn_in: int = 32,
     policy: str = "random",
     collect_epsilon: float = 0.1,
+    collect_mix_frac: float = 0.5,
 ):
     """Build the compiled evaluator ``fn(key) -> metrics dict``.
 
@@ -81,42 +82,45 @@ def make_rollout_accuracy_fn(
     horizons = tuple(int(k) for k in horizons)
     T = max(horizons)
     sample_actions, group_actions = make_action_sampler(env, spec)
-    if policy not in ("random", "pursuit"):
-        # stateful policies (episode_mix, vdn:) would need carry threading
-        # through the ground-truth scan; the eval distributions of interest
-        # are the two stateless specialists
-        raise ValueError(
-            f"rollout_accuracy supports policy='random'|'pursuit', got "
-            f"{policy!r}"
-        )
     if policy == "random":
         pol = None
     else:
         from mfvae_tpu.envs.policies import make_collect_policy
 
-        pol = make_collect_policy(env, spec, policy, collect_epsilon, sample_actions)
+        pol = make_collect_policy(
+            env, spec, policy, collect_epsilon, sample_actions,
+            mix_frac=collect_mix_frac,
+        )
+    # stateful policies (sticky, episode_mix) thread their carry through
+    # the ground-truth scan; the model itself never sees the carry — only
+    # the logged action sequence
+    stateful = hasattr(pol, "init_carry")
 
     def one_traj(key):
         k_reset, k_burn, k_roll = jax.random.split(key, 3)
         obs, state = env.reset_stacked(k_reset)
+        pol_c = pol.init_carry() if stateful else ()
 
         def step(c, k):
-            obs_c, state_c = c
+            obs_c, state_c, pc = c
             k_act, k_step = jax.random.split(k)
-            actions = (
-                sample_actions(k_act) if pol is None else pol(state_c, k_act)
-            )
+            if pol is None:
+                actions = sample_actions(k_act)
+            elif stateful:
+                pc, actions = pol.step(pc, obs_c, state_c, k_act)
+            else:
+                actions = pol(state_c, k_act)
             next_obs, next_state, rewards, done, _ = env.step_stacked(
                 k_step, state_c, actions
             )
-            return (next_obs, next_state), (actions, rewards, next_obs)
+            return (next_obs, next_state, pc), (actions, rewards, next_obs)
 
-        (obs, state), _ = jax.lax.scan(
-            step, (obs, state), jax.random.split(k_burn, burn_in)
+        (obs, state, pol_c), _ = jax.lax.scan(
+            step, (obs, state, pol_c), jax.random.split(k_burn, burn_in)
         )
         start_obs = obs
         _, (actions, rewards, next_obs_seq) = jax.lax.scan(
-            step, (obs, state), jax.random.split(k_roll, T)
+            step, (obs, state, pol_c), jax.random.split(k_roll, T)
         )
         # start_obs: StackedObs; actions [T, A(, act)], rewards [T, A],
         # next_obs_seq: StackedObs with leading [T]
@@ -163,11 +167,13 @@ def rollout_accuracy(
     burn_in: int = 32,
     policy: str = "random",
     collect_epsilon: float = 0.1,
+    collect_mix_frac: float = 0.5,
 ) -> Dict[str, float]:
     """One-call wrapper: build, run, and fetch to host floats (single
     device_get — per-scalar float() would pay the tunnel RTT per metric)."""
     fn = make_rollout_accuracy_fn(
-        wm, env, spec, horizons, n_starts, burn_in, policy, collect_epsilon
+        wm, env, spec, horizons, n_starts, burn_in, policy, collect_epsilon,
+        collect_mix_frac,
     )
     out = jax.device_get(fn(key))
     return {k: float(v) for k, v in out.items()}

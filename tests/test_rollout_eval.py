@@ -127,6 +127,16 @@ class TestRolloutAccuracy:
         )
         assert np.isfinite(out["state_huber/2"])
 
+    def test_stateful_policy_threads_carry(self):
+        """Stateful collection policies (sticky) now drive the ground-truth
+        scan: the carry threads through burn-in into the eval rollout."""
+        exp, wm = build_wm()
+        out = rollout_accuracy(
+            wm, exp.env, exp.spec, jax.random.PRNGKey(5),
+            horizons=(1, 2), n_starts=4, burn_in=2, policy="sticky",
+        )
+        assert np.isfinite(out["state_huber/2"])
+
     def test_persist_beats_frozen_or_equal_at_k1(self):
         """At k=1 persistence and frozen are the same predictor (both s0)."""
         exp, wm = build_wm()
