@@ -38,7 +38,8 @@ HORIZON = 8
 N_CANDIDATES = 256
 
 
-def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
+def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 1,
+         epochs: int = 256):
     t0 = time.time()
     exp = train_sticky(8, epochs, grad_clip=10.0, tag="_sticky_w8_clip10")
     env, spec = exp.env, exp.spec
@@ -90,11 +91,17 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
 
     results = {}
     for name, pol in arms.items():
-        rewards = eval_joint_policy(
-            env, spec, pol, n_episodes=n_episodes, ep_len=ep_len,
-            key=jax.random.PRNGKey(1234),
-        )
-        adv_ret = np.asarray(jnp.sum(rewards[:, :, :n_adv], axis=(1, 2)))
+        # chunked episode batches: E x N_CANDIDATES rollouts at E=128 in one
+        # program overflowed HBM and crashed the TPU worker — pool chunks
+        # of n_episodes instead (identical statistics, bounded memory)
+        rets = []
+        for c in range(chunks):
+            rewards = eval_joint_policy(
+                env, spec, pol, n_episodes=n_episodes, ep_len=ep_len,
+                key=jax.random.PRNGKey(1234 + c),
+            )
+            rets.append(np.asarray(jnp.sum(rewards[:, :, :n_adv], axis=(1, 2))))
+        adv_ret = np.concatenate(rets)
         results[name] = {
             "adv_return_mean": float(adv_ret.mean()),
             "adv_return_sem": float(adv_ret.std(ddof=1) / np.sqrt(len(adv_ret))),
@@ -111,4 +118,4 @@ def main(n_episodes: int = 32, ep_len: int = 128, epochs: int = 256):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:3]])
+    main(*[int(a) for a in sys.argv[1:4]])
