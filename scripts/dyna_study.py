@@ -78,8 +78,19 @@ def train_world_model(epochs: int, recipe: bool = False) -> Experiment:
 
 
 def main(n_seeds: int = 8, wm_epochs: int = 256, recipe: int = 0):
+    """recipe: 0 = absolute det128 (mixture collection), 1 = dynamics
+    recipe (same collection), 2 = the ACTION-CONDITIONED model (sticky
+    collection + unroll W=8+clip10, PARITY round 4 action-blindness
+    chapter) — reuses the sticky_study checkpoint."""
     t0 = time.time()
-    exp = train_world_model(wm_epochs, recipe=bool(recipe))
+    if recipe == 2:
+        from sticky_study import train_sticky
+
+        exp = train_world_model_sticky = train_sticky(
+            8, wm_epochs, grad_clip=10.0, tag="_sticky_w8_clip10"
+        )
+    else:
+        exp = train_world_model(wm_epochs, recipe=bool(recipe))
     wm = WorldModel(exp.model, exp.carry.train_state.params)
     print(f"[{time.time()-t0:.0f}s] world model ready", flush=True)
 
@@ -129,7 +140,8 @@ def main(n_seeds: int = 8, wm_epochs: int = 256, recipe: int = 0):
 
     # archive the raw curves so later analyses don't need a rerun
     np.savez(
-        "/tmp/dyna_curves_recipe.npz" if recipe else "/tmp/dyna_curves.npz",
+        {0: "/tmp/dyna_curves.npz", 1: "/tmp/dyna_curves_recipe.npz",
+         2: "/tmp/dyna_curves_sticky.npz"}[recipe],
         **{tag: tr for tag, tr in curves.items()},
     )
 
@@ -164,9 +176,9 @@ def main(n_seeds: int = 8, wm_epochs: int = 256, recipe: int = 0):
         "env_steps_per_update": per_update_env_steps,
         "num_updates": cfg.num_updates,
         "wm": {
-            "recipe": bool(recipe),
+            "recipe": int(recipe),
             "det_features": 128,
-            "collection": "pursuit@eps0.5",
+            "collection": "sticky@0.75" if recipe == 2 else "pursuit@eps0.5",
             "epochs": wm_epochs,
             "collect_env_steps_per_epoch": exp.cfg.train.sample_num,
         },

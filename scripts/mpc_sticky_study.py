@@ -39,9 +39,13 @@ N_CANDIDATES = 256
 
 
 def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 1,
-         epochs: int = 256):
+         hold_pct: int = 75, epochs: int = 256):
     t0 = time.time()
-    exp = train_sticky(8, epochs, grad_clip=10.0, tag="_sticky_w8_clip10")
+    hold = hold_pct / 100.0
+    tag = "_sticky_w8_clip10" if hold_pct == 75 else (
+        f"_sticky{hold_pct}_w8_clip10"
+    )
+    exp = train_sticky(8, epochs, hold=hold, grad_clip=10.0, tag=tag)
     env, spec = exp.env, exp.spec
     wm = WorldModel(exp.model, exp.carry.train_state.params)
     n_adv = exp.cfg.env.num_adversaries
@@ -118,4 +122,4 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 1,
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:4]])
+    main(*[int(a) for a in sys.argv[1:5]])

@@ -75,6 +75,9 @@ def train_sticky(
 ARMS = (
     {"name": "sticky_w1", "unroll": 1, "grad_clip": 0.0},
     {"name": "sticky_w8_clip10", "unroll": 8, "grad_clip": 10.0},
+    # hold-probability sweep around the 0.75 default (round 2)
+    {"name": "sticky50_w8_clip10", "unroll": 8, "grad_clip": 10.0, "hold": 0.5},
+    {"name": "sticky90_w8_clip10", "unroll": 8, "grad_clip": 10.0, "hold": 0.9},
 )
 
 
@@ -83,8 +86,8 @@ def main(epochs: int = 256, n_starts: int = 256):
     out_all = {}
     for arm in ARMS:
         exp = train_sticky(
-            arm["unroll"], epochs, grad_clip=arm["grad_clip"],
-            tag="_" + arm["name"],
+            arm["unroll"], epochs, hold=arm.get("hold", 0.75),
+            grad_clip=arm["grad_clip"], tag="_" + arm["name"],
         )
         wm = WorldModel(exp.model, exp.carry.train_state.params)
         print(f"[{time.time()-t0:.0f}s] trained {arm['name']}", flush=True)
