@@ -187,8 +187,9 @@ class TrainConfig:
     # and the ELBO applies at every horizon (BPTT; training/unroll.py).
     # Optimizes the error that compounds at serving time
     # (WorldModel.rollout); 1 = the reference's i.i.d. one-step objective.
-    # Requires mode='Adam', no pallas, buffer.max_size % sample_num == 0,
-    # and the single-env epoch program (n_envs == 1).
+    # Requires mode='Adam', no pallas, and (per-shard) buffer capacity
+    # divisible by sample_num; composes with the batched/DP epoch program
+    # (windows sample per env shard).
     unroll_steps: int = 1
     # unroll_steps > 1 only: detach the fed-back prediction
     # (scheduled-sampling-style exposure instead of full BPTT).  The model

@@ -520,16 +520,21 @@ def make_batched_epoch_fn(
     collection, buffers, and training all scale with zero host changes
     (BASELINE.json config 5 structure).
     """
-    if cfg.train.unroll_steps > 1:
-        raise NotImplementedError(
-            "train.unroll_steps > 1 runs on the single-env epoch program "
-            "(train.n_envs == 1); per-shard window sampling for the batched "
-            "path is not wired up"
+    W = cfg.train.unroll_steps
+    if W > 1:
+        from mfvae_tpu.training.unroll import make_unroll_train_step
+
+        unroll_step = make_unroll_train_step(
+            spec, cfg.loss, W, cfg.train.mode,
+            use_pallas=cfg.model.use_pallas,
+            stop_gradient=cfg.train.unroll_stop_gradient,
+            mean_feedback=cfg.train.unroll_mean_feedback,
         )
-    train_step = make_train_step(
-        cfg.loss, cfg.train.mode, cfg.train.popart_beta,
-        use_pallas=cfg.model.use_pallas,
-    )
+    else:
+        train_step = make_train_step(
+            cfg.loss, cfg.train.mode, cfg.train.popart_beta,
+            use_pallas=cfg.model.use_pallas,
+        )
     test_step = make_test_step(cfg.loss, cfg.train.mode)
     sample_actions, group_actions = make_action_sampler(env, spec)
     collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
@@ -544,6 +549,17 @@ def make_batched_epoch_fn(
         min_length=max(buffer.min_length // E, 1),
         sample_batch_size=local_bs,
     )
+    if W > 1:
+        # each SHARD is its own sequential stream (one env feeds it), so
+        # windows sample per shard with the same phase-block alignment as
+        # the single-env path
+        assert local_buffer.max_length % cfg.train.sample_num == 0, (
+            f"unroll_steps > 1 with n_envs={E} needs the per-shard capacity "
+            f"({local_buffer.max_length} = max(max_size // n_envs, "
+            f"batch_size // n_envs)) divisible by train.sample_num "
+            f"({cfg.train.sample_num}) so windows never straddle "
+            f"collection phases"
+        )
 
     stateful_policy = hasattr(collect_policy, "init_carry")
 
@@ -624,9 +640,24 @@ def make_batched_epoch_fn(
         )
         return flat
 
+    def sample_global_windows(buf_state, key):
+        keys = jax.random.split(key, E)
+        batch = jax.vmap(
+            lambda s, k: local_buffer.sample_window(
+                s, k, W, block=cfg.train.sample_num
+            )
+        )(buf_state, keys)
+        # [E, local_bs, W, ...] -> [E*local_bs, W, ...]
+        return jax.tree.map(
+            lambda x: x.reshape((E * local_bs,) + x.shape[2:]), batch.experience
+        )
+
     def train_phase(train_state, buf_state, key):
         def body(ts, k):
             k_sample, k_model = jax.random.split(k)
+            if W > 1:
+                wb = sample_global_windows(buf_state, k_sample)
+                return unroll_step(ts, wb, k_model)
             vb = vae_batch_from_grouped(spec, sample_global(buf_state, k_sample))
             return train_step(ts, vb, k_model)
 

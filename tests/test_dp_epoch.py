@@ -41,6 +41,21 @@ class TestBatchedEpoch:
         for leaf in jax.tree.leaves(exp.carry.train_state.params):
             assert leaf.sharding.is_fully_replicated
 
+    def test_dp_over_mesh_with_unroll(self, tmp_path):
+        """Multi-step unroll training composes with DP: per-shard window
+        sampling, sharded env carry, replicated params — one program."""
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, n_envs=8, unroll_steps=4)
+        cfg.buffer.batch_size = 16
+        cfg.buffer.max_size = 128  # per-shard 16, divisible by sample_num=8
+        cfg.mesh.enable = True
+        exp = Experiment(cfg).setup()
+        result = exp.run()
+        assert np.isfinite(result["loss_train"]) and np.isfinite(result["loss_test"])
+        for leaf in jax.tree.leaves(exp.carry.train_state.params):
+            assert leaf.sharding.is_fully_replicated
+
     def test_tp_epoch_over_2d_mesh(self, tmp_path):
         """TP flows through the epoch-level program: with
         mesh.model_axis=2 the batched epoch runs on a ('data','model') =

@@ -277,10 +277,24 @@ class TestUnrollExperiment:
         assert np.isfinite(metrics["loss_train"])
         assert np.isfinite(metrics["loss_test"])
 
-    def test_batched_path_rejects_unroll(self, tmp_path):
+    def test_batched_path_trains_with_unroll(self, tmp_path):
+        """unroll composes with the batched (DP-layout) epoch program:
+        per-shard window sampling, same phase-block alignment."""
         from tests.test_training import tiny_cfg
         from mfvae_tpu.training.experiment import Experiment
 
         cfg = tiny_cfg(tmp_path, epoch_num=2, unroll_steps=4, n_envs=2)
-        with pytest.raises(NotImplementedError):
+        cfg.buffer.max_size = 64  # per-shard 32, divisible by sample_num=8
+        exp = Experiment(cfg).setup()
+        metrics = exp.run()
+        assert np.isfinite(metrics["loss_train"])
+
+    def test_batched_path_rejects_bad_shard_capacity(self, tmp_path):
+        from tests.test_training import tiny_cfg
+        from mfvae_tpu.training.experiment import Experiment
+
+        cfg = tiny_cfg(tmp_path, epoch_num=2, unroll_steps=4, n_envs=2,
+                       sample_num=12)  # per-shard 32 not divisible by 12
+        cfg.buffer.max_size = 64
+        with pytest.raises(AssertionError, match="divisible"):
             Experiment(cfg).setup()
