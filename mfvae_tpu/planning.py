@@ -118,6 +118,103 @@ def make_mpc_actor(
     return act
 
 
+def make_cem_actor(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    horizon: int = 8,
+    n_candidates: int = 64,
+    plan_agents: Optional[Sequence[int]] = None,
+    score_fn=None,
+    iters: int = 3,
+    elite_frac: float = 0.125,
+):
+    """Cross-entropy-method planner (discrete actions): iteratively refit
+    per-(step, agent) categorical action distributions to the elite
+    candidates, re-imagine, and execute each plan agent's best-seen first
+    action.  Selection is factorized per agent throughout (the joint-argmax
+    pathology measured in results/r4/mpc_study.json applies to CEM too),
+    so ``score_fn(states, rewards)`` must return per-agent scores
+    [N, len(plan_agents)] (default: per-agent predicted-reward sums).
+    Everything — ``iters`` rollout rounds included — compiles into the
+    enclosing jit, so the actor drops into eval_joint_policy unchanged."""
+    if not getattr(env, "discrete_actions", True):
+        raise NotImplementedError(
+            "make_cem_actor currently implements the discrete-action "
+            "categorical CEM; use make_mpc_actor for continuous envs"
+        )
+    sample_actions, group_actions = make_action_sampler(env, spec)
+    idx = jnp.asarray(
+        tuple(plan_agents) if plan_agents is not None else tuple(range(spec.n_agents))
+    )
+    P = int(idx.shape[0])
+    n_elite = max(int(n_candidates * elite_frac), 1)
+    if score_fn is None:
+        def score_fn(states, rewards):
+            return jnp.sum(rewards[..., idx], axis=0)  # [N, P]
+    # per-plan-agent action-space sizes (heterogeneous spaces: invalid
+    # action ids are masked to -inf in the categorical logits)
+    act_dims = jnp.asarray(spec.act_dims)[idx]  # [P]
+    K = int(max(spec.act_dims))
+    valid = jnp.arange(K)[None, :] < act_dims[:, None]  # [P, K]
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def act(stacked_obs, key):
+        obs_g = tuple(
+            jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
+            for o in stacked_to_grouped(spec, stacked_obs)
+        )
+        logits0 = jnp.where(valid[None], 0.0, neg_inf)  # [1, P, K]
+        logits0 = jnp.broadcast_to(logits0, (horizon, P, K))
+
+        def one_iter(i, carry):
+            logits, best_score, best_first = carry
+            k_i = jax.random.fold_in(key, i)
+            k_plan, k_other = jax.random.split(k_i)
+            # plan agents from the current categoricals: [H, N, P]
+            plan_acts = jax.random.categorical(
+                k_plan, logits[:, None, :, :], axis=-1,
+                shape=(horizon, n_candidates, P),
+            )
+            # other agents stay uniform random (the eval harness's true
+            # opponent process)
+            full = sample_actions(k_other, (horizon, n_candidates))
+            full = full.at[:, :, idx].set(plan_acts)
+            states, rewards = wm._rollout(obs_g, group_actions(full))
+            scores = score_fn(states, rewards)  # [N, P]
+            # per-agent elites -> refit that agent's [H, K] categoricals
+            _, elite_n = jax.lax.top_k(scores.T, n_elite)  # [P, E]
+            # elite actions for agent p: plan_acts[:, elite_n[p], p] -> [H, P, E]
+            elite_acts = jnp.take_along_axis(
+                jnp.moveaxis(plan_acts, 2, 1),  # [H, P, N]
+                elite_n[None], axis=2,
+            )
+            counts = jax.nn.one_hot(elite_acts, K).sum(axis=2)  # [H, P, K]
+            new_logits = jnp.where(
+                valid[None], jnp.log(counts / n_elite + 1e-4), neg_inf
+            )
+            # track each agent's best-seen first action across iterations
+            col_best = jnp.max(scores, axis=0)  # [P]
+            col_arg = jnp.argmax(scores, axis=0)  # [P]
+            first = plan_acts[0][col_arg, jnp.arange(P)]  # [P]
+            improved = col_best > best_score
+            best_score = jnp.where(improved, col_best, best_score)
+            best_first = jnp.where(improved, first, best_first)
+            return new_logits, best_score, best_first
+
+        init = (
+            logits0,
+            jnp.full((P,), neg_inf),
+            jnp.zeros((P,), jnp.int32),
+        )
+        _, _, best_first = jax.lax.fori_loop(0, iters, one_iter, init)
+        # non-plan agents execute a uniform draw (callers overwrite anyway)
+        out = sample_actions(jax.random.fold_in(key, iters))
+        return out.at[idx].set(best_first)
+
+    return act
+
+
 def eval_joint_policy(
     env,
     spec: AgentSpec,

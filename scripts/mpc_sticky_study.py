@@ -28,7 +28,11 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from mfvae_tpu.inference import WorldModel  # noqa: E402
-from mfvae_tpu.planning import eval_joint_policy, make_mpc_actor  # noqa: E402
+from mfvae_tpu.planning import (  # noqa: E402
+    eval_joint_policy,
+    make_cem_actor,
+    make_mpc_actor,
+)
 from mfvae_tpu.training.trainer import make_action_sampler  # noqa: E402
 from mfvae_tpu.envs.policies import make_collect_policy  # noqa: E402
 
@@ -76,20 +80,27 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 1,
         return jnp.where(is_adv, scripted(state, k1), sample_actions(k2))
 
     arms = {"random": arm_random, "pursuit": arm_pursuit}
+    actors = {}
     for name, (score, fact, cmode) in {
         "mpc:sticky_w8_dist_fact_rep": (dist_fact, True, "repeat"),
         "mpc:sticky_w8_rew_fact_rep": (None, True, "repeat"),
         "mpc:sticky_w8_dist_fact_rand": (dist_fact, True, "random"),
     }.items():
-        mpc = make_mpc_actor(
+        actors[name] = make_mpc_actor(
             wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
             plan_agents=adv_idx, score_fn=score, factorized=fact,
             candidate_mode=cmode,
         )
-
-        def arm_mpc(obs, state, key, mpc=mpc):
+    # CEM: same per-iteration candidate budget; 3 refit rounds (3x rollout
+    # cost per env step vs shooting)
+    actors["cem:sticky_w8_dist_i3"] = make_cem_actor(
+        wm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
+        plan_agents=adv_idx, score_fn=dist_fact, iters=3,
+    )
+    for name, actor in actors.items():
+        def arm_mpc(obs, state, key, actor=actor):
             k1, k2 = jax.random.split(key)
-            return jnp.where(is_adv, mpc(obs, k1), sample_actions(k2))
+            return jnp.where(is_adv, actor(obs, k1), sample_actions(k2))
 
         arms[name] = arm_mpc
 

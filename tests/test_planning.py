@@ -143,6 +143,37 @@ class TestMPC:
         assert (np.asarray(a) >= 0).all()
         assert (np.asarray(a) < np.asarray(spec.act_dims)).all()
 
+    def test_cem_actor_valid_and_deterministic(self):
+        from mfvae_tpu.planning import make_cem_actor
+
+        env, spec, wm = tiny_env_model()
+        act = make_cem_actor(wm, env, spec, horizon=3, n_candidates=8,
+                             plan_agents=(0, 1), iters=2)
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(13))
+        a1 = jax.jit(act)(obs, jax.random.PRNGKey(14))
+        a2 = jax.jit(act)(obs, jax.random.PRNGKey(14))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert a1.shape == (spec.n_agents,)
+        assert (np.asarray(a1) >= 0).all()
+        assert (np.asarray(a1) < np.asarray(spec.act_dims)).all()
+
+    def test_cem_in_the_eval_loop(self):
+        from mfvae_tpu.planning import make_cem_actor
+
+        env, spec, wm = tiny_env_model()
+        cem = make_cem_actor(wm, env, spec, horizon=2, n_candidates=4,
+                             plan_agents=(0, 1), iters=2)
+        sample_actions, _ = make_action_sampler(env, spec)
+        is_adv = jnp.arange(spec.n_agents) < 2
+
+        def joint(obs, state, key):
+            k1, k2 = jax.random.split(key)
+            return jnp.where(is_adv, cem(obs, k1), sample_actions(k2))
+
+        rewards = eval_joint_policy(env, spec, joint, n_episodes=2, ep_len=3,
+                                    key=jax.random.PRNGKey(15))
+        assert np.isfinite(np.asarray(rewards)).all()
+
     def test_eval_harness_runs_mpc_in_the_loop(self):
         env, spec, wm = tiny_env_model()
         mpc = make_mpc_actor(wm, env, spec, horizon=2, n_candidates=4,
