@@ -84,6 +84,16 @@ class ModelConfig:
     # smaller executable.  False restores the reference's separate
     # state_decoder/reward_decoder parameter structure.
     fused_decoders: bool = True
+    # reward head output: 'linear' (reference structure: scalar per agent,
+    # huber/mse loss) | 'twohot' (categorical over reward_bins symlog-spaced
+    # bins, two-hot cross-entropy loss, expectation at serving).  The tag
+    # reward is +10-per-collision sparse (envs/mpe.py:50); a scalar head
+    # regresses it toward the near-zero mean, which is why reward-scored MPC
+    # measured null (PARITY.md round 4).  Two-hot keeps the spike mass as a
+    # mode instead of averaging it away.  Requires train.mode='Adam' and
+    # use_pallas=false (guarded at Experiment.setup).
+    reward_head_mode: str = "linear"
+    reward_bins: int = 65
 
 
 @dataclass

@@ -23,9 +23,63 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from mfvae_tpu.config import LossConfig
+
+# Symlog half-range of the two-hot reward grid (model.reward_head_mode=
+# 'twohot').  Bins are symexp(linspace(-R, R, K)) — a fixed constant so the
+# loss can reconstruct the grid from the logits' last dim alone; R=8 covers
+# per-step rewards up to |r| ~ 1490, far beyond any MPE family here (tag
+# contacts are +/-10 per collision, envs/mpe.py:50).
+TWOHOT_SYMLOG_RANGE = 8.0
+
+
+def symlog(x: jnp.ndarray) -> jnp.ndarray:
+    """sign(x) * log(1 + |x|) — the bi-symmetric log squashing used to place
+    reward bins (Dreamer-v3's trick for sparse/heavy-tailed targets)."""
+    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+
+
+def symexp(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of symlog."""
+    return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
+
+
+def twohot_bins(n_bins: int) -> jnp.ndarray:
+    """The [K] raw-space bin-center grid: uniform in symlog space, so
+    resolution is fine near 0 (where most sparse rewards live) and coarse in
+    the tails."""
+    return symexp(jnp.linspace(-TWOHOT_SYMLOG_RANGE, TWOHOT_SYMLOG_RANGE, n_bins))
+
+
+def twohot_targets(y: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
+    """Two-hot encode raw targets ``y`` [...] onto the (non-uniform) ``bins``
+    [K]: weight split between the two neighbouring bins by linear
+    interpolation IN RAW SPACE, so the encoding is exact:
+    twohot(y) @ bins == clip(y, bins[0], bins[-1])."""
+    k = bins.shape[0]
+    y = jnp.clip(y.astype(jnp.float32), bins[0], bins[-1])
+    lo_idx = jnp.clip(jnp.searchsorted(bins, y, side="right") - 1, 0, k - 2)
+    lo, hi = bins[lo_idx], bins[lo_idx + 1]
+    w_hi = jnp.clip((y - lo) / (hi - lo), 0.0, 1.0)
+    one_lo = jax.nn.one_hot(lo_idx, k)
+    one_hi = jax.nn.one_hot(lo_idx + 1, k)
+    return one_lo * (1.0 - w_hi)[..., None] + one_hi * w_hi[..., None]
+
+
+def twohot_expectation(logits: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
+    """Expected raw-space value of categorical reward logits [..., K]."""
+    return jnp.sum(jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * bins, axis=-1)
+
+
+def twohot_ce_rows(logits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-element cross-entropy of two-hot targets ``y`` [...] against
+    ``logits`` [..., K] (the grid is reconstructed from K)."""
+    bins = twohot_bins(logits.shape[-1])
+    tgt = twohot_targets(y, bins)
+    return -jnp.sum(tgt * jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), axis=-1)
 
 
 def mse(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -119,12 +173,26 @@ def elbo_losses(
     supplied by the trainer when ``cfg.kl_anneal_steps > 0``.
 
     Matches loss_s_r_vae_fn in both reference versions; argument order there
-    is (recon, target) but both huber/mse are symmetric."""
+    is (recon, target) but both huber/mse are symmetric.
+
+    When the model runs the two-hot reward head (``recon_reward`` arrives as
+    logits [B, A, K] instead of scalars [B, A]), the reward term is the
+    two-hot cross-entropy instead of huber/mse — detected by rank, so every
+    train/test step works for both head modes unchanged."""
+    twohot = recon_reward.ndim == rewards.ndim + 1
     if cfg.use_huber:
         s_loss = huber(next_state, recon_state, cfg.huber_delta)
-        r_loss = huber(rewards, recon_reward, cfg.huber_delta)
+        r_loss = (
+            jnp.mean(twohot_ce_rows(recon_reward, rewards))
+            if twohot
+            else huber(rewards, recon_reward, cfg.huber_delta)
+        )
     else:
         s_loss = mse(next_state, recon_state)
-        r_loss = mse(rewards, recon_reward)
+        r_loss = (
+            jnp.mean(twohot_ce_rows(recon_reward, rewards))
+            if twohot
+            else mse(rewards, recon_reward)
+        )
     kl_loss = kl_gaussian(mu, logvar, cfg.free_bits)
     return combine_losses(s_loss, r_loss, kl_loss, cfg, kl_scale)

@@ -258,6 +258,18 @@ class MAVAE(nn.Module):
     # Measured necessity for learning dynamics at canonical scale
     # (PARITY.md round 4); off = reference structure.
     decoder_layernorm: bool = False
+    # 'linear' = reference structure (scalar reward per agent through the
+    # PopArt-rescalable reward_linear head); 'twohot' = categorical logits
+    # over reward_bins symlog-spaced raw-space bins (losses.twohot_bins).
+    # decode()/__call__/fused_call then return reward LOGITS [B, A, K] (the
+    # loss layer detects the extra rank and scores two-hot cross-entropy);
+    # mean_call converts to the expectation so every serving surface keeps
+    # the scalar [B, A] contract.  Motivation: the tag reward is sparse
+    # +10-per-contact — a scalar huber head regresses it toward the
+    # near-zero conditional mean (measured: reward-scored MPC null,
+    # PARITY.md round 4).
+    reward_head_mode: str = "linear"
+    reward_bins: int = 65
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -281,6 +293,8 @@ class MAVAE(nn.Module):
             residual_state=cfg.residual_state,
             state_skip=cfg.state_skip,
             decoder_layernorm=cfg.decoder_layernorm,
+            reward_head_mode=cfg.reward_head_mode,
+            reward_bins=cfg.reward_bins,
         )
 
     def setup(self):
@@ -333,6 +347,12 @@ class MAVAE(nn.Module):
         self.action_encoders = action_encoders
 
 
+        if self.reward_head_mode not in ("linear", "twohot"):
+            raise ValueError(f"unknown reward_head_mode {self.reward_head_mode!r}")
+        # two-hot mode widens the reward output to n_agents * n_bins logits
+        # and skips the (PopArt-rescalable) reward_linear head, which only
+        # makes sense for a scalar output.
+        reward_out = n if self.reward_head_mode == "linear" else n * self.reward_bins
         if self.fused_decoders:
             # state+reward decoders share hidden widths: run both as ONE
             # stacked batched-einsum trunk (stack axis = decoder id) with
@@ -350,7 +370,9 @@ class MAVAE(nn.Module):
             self.state_head = nn.Dense(
                 sum(spec.obs_dims), dtype=self.dtype, name="state_head"
             )
-            self.reward_head = nn.Dense(n, dtype=self.dtype, name="reward_head")
+            self.reward_head = nn.Dense(
+                reward_out, dtype=self.dtype, name="reward_head"
+            )
         else:
             self.state_decoder = MLP(
                 hidden=self.decoder_hidden,
@@ -362,7 +384,7 @@ class MAVAE(nn.Module):
             )
             self.reward_decoder = MLP(
                 hidden=self.decoder_hidden,
-                out_dim=n,
+                out_dim=reward_out,
                 dtype=self.dtype,
                 remat=self.remat,
                 layernorm=self.decoder_layernorm,
@@ -505,14 +527,24 @@ class MAVAE(nn.Module):
                 )
             parts.append(base_state)
         flat = jnp.concatenate(parts, axis=-1).astype(self.dtype)
+        twohot = self.reward_head_mode == "twohot"
         if self.fused_decoders:
             both = jnp.broadcast_to(flat[:, None, :], (b, 2) + flat.shape[-1:])
             h = nn.relu(self.decoder_trunk(both))  # [B, 2, last_hidden]
             recon_state = self.state_head(h[:, 0])
-            recon_reward = self.reward_linear(self.reward_head(h[:, 1]))
+            recon_reward = self.reward_head(h[:, 1])
+            if not twohot:
+                recon_reward = self.reward_linear(recon_reward)
         else:
             recon_state = self.state_decoder(flat)
-            recon_reward = self.reward_linear(self.reward_decoder(flat))
+            recon_reward = self.reward_decoder(flat)
+            if not twohot:
+                recon_reward = self.reward_linear(recon_reward)
+        if twohot:
+            # reward LOGITS [B, A, K]; callers detect the extra rank
+            recon_reward = recon_reward.reshape(
+                b, self.spec.n_agents, self.reward_bins
+            )
         recon_state = recon_state.astype(jnp.float32)
         if self.residual_state:
             if base_state is None:
@@ -582,7 +614,11 @@ class MAVAE(nn.Module):
         posterior mean for the shared latent).  This is the serving
         prediction (inference.WorldModel.predict/rollout) and the
         serving-consistent feedback for unroll training's
-        ``unroll_mean_feedback``.  Returns (recon_state, recon_reward)."""
+        ``unroll_mean_feedback``.  Returns (recon_state, recon_reward) with
+        recon_reward ALWAYS scalar [B, A] — under the two-hot head the
+        categorical logits are collapsed to their expectation here, so the
+        serving surfaces (inference.WorldModel and everything built on it)
+        keep one contract across head modes."""
         spec = self.spec
         mu_g, _, aemb_g, experts, det = self.encode(batch, agent_ids)
         if spec.grouped_is_identity:
@@ -601,7 +637,16 @@ class MAVAE(nn.Module):
             if (self.residual_state or self.state_skip)
             else None
         )
-        return self.decode(mu.astype(jnp.float32), aemb, z_shared, det, base)
+        recon_state, recon_reward = self.decode(
+            mu.astype(jnp.float32), aemb, z_shared, det, base
+        )
+        if self.reward_head_mode == "twohot":
+            from mfvae_tpu.models.losses import twohot_bins, twohot_expectation
+
+            recon_reward = twohot_expectation(
+                recon_reward, twohot_bins(self.reward_bins)
+            )
+        return recon_state, recon_reward
 
     # ------------------------------------------------------------------ call
     def __call__(

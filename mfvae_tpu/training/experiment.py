@@ -89,6 +89,21 @@ class Experiment:
     # ------------------------------------------------------------ lifecycle
     def setup(self):
         cfg = self.cfg
+        if cfg.model.reward_head_mode == "twohot":
+            # PopArt rescales a SCALAR output head and the Pallas huber
+            # kernel is a scalar-reward program — neither is defined for
+            # categorical reward logits.
+            if cfg.train.mode != "Adam":
+                raise ValueError(
+                    "model.reward_head_mode='twohot' requires "
+                    "train.mode='Adam' (ART/POPART normalize scalar reward "
+                    "targets; the two-hot head is categorical)"
+                )
+            if cfg.model.use_pallas:
+                raise ValueError(
+                    "model.reward_head_mode='twohot' is incompatible with "
+                    "model.use_pallas (the fused kernel scores scalar huber)"
+                )
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
         k_reset, _ = self.streams["reset"].next()

@@ -133,6 +133,11 @@ class HostExperiment:
 
     def setup(self):
         cfg = self.cfg
+        if cfg.model.reward_head_mode == "twohot" and cfg.train.mode != "Adam":
+            raise ValueError(
+                "model.reward_head_mode='twohot' requires train.mode='Adam' "
+                "(ART/POPART normalize scalar reward targets)"
+            )
         k_model, _ = self.streams["model"].next()
         fake = self._fake_batch(cfg.buffer.batch_size)
 

@@ -42,7 +42,7 @@ import optax
 
 from mfvae_tpu.config import LossConfig
 from mfvae_tpu.data.transitions import GroupedTransition
-from mfvae_tpu.models.losses import LossOutputs, combine_losses
+from mfvae_tpu.models.losses import LossOutputs, combine_losses, twohot_ce_rows
 from mfvae_tpu.models.mavae import (
     AgentSpec,
     GroupedBatch,
@@ -120,9 +120,14 @@ def make_unroll_loss_fn(
             )
             if loss_cfg.use_huber:
                 s_rows = _huber_rows(recon_s, tgt_s, loss_cfg.huber_delta)
-                r_rows = _huber_rows(recon_r, tgt_r, loss_cfg.huber_delta)
             else:
                 s_rows = _mse_rows(recon_s, tgt_s)
+            if recon_r.ndim == tgt_r.ndim + 1:
+                # two-hot reward head: logits [B, A, K], CE per sample
+                r_rows = jnp.mean(twohot_ce_rows(recon_r, tgt_r), axis=-1)
+            elif loss_cfg.use_huber:
+                r_rows = _huber_rows(recon_r, tgt_r, loss_cfg.huber_delta)
+            else:
                 r_rows = _mse_rows(recon_r, tgt_r)
             kl_rows = _kl_rows(mu, logvar, loss_cfg.free_bits)
             sums = (

@@ -47,7 +47,7 @@ HORIZONS = (1, 5, 25)
 
 def train_sticky(
     unroll: int, epochs: int, hold: float = 0.75, grad_clip: float = 0.0,
-    tag: str = "",
+    tag: str = "", reward_head: str = "linear",
 ) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
@@ -55,6 +55,7 @@ def train_sticky(
     cfg.model.state_skip = True
     cfg.model.decoder_layernorm = True
     cfg.model.fused_decoders = False
+    cfg.model.reward_head_mode = reward_head
     cfg.loss.s_weight = 300.0
     cfg.buffer.max_size = 10240
     cfg.train.unroll_steps = unroll
