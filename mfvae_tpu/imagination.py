@@ -1,0 +1,222 @@
+"""Behavior learned INSIDE the world model: amortized imagination policies.
+
+The planners in planning.py buy real-env return at a steep serving price —
+random-shooting MPC imagines N(=256) futures per env step and the CEM
+planner 3N.  This module closes the loop the other way: train a
+decentralized policy network entirely inside ``WorldModel`` imagination
+(REINFORCE over policy-in-the-loop imagined rollouts, per-start baselines,
+no new environment interaction beyond the start states the world model was
+already trained on), then serve it as ONE forward pass per step.  This is
+the Dreamer recipe (learn behavior in the learned model, execute in the
+real env) rebuilt on this framework's serving surface; the reference has
+no inference path at all, let alone imagination training
+(jax_ver/main.py:239-240 pickles params and never loads them).
+
+Design notes (TPU-first):
+- the whole update — policy-in-the-loop imagination (a ``lax.scan`` whose
+  body is the jitted one-step posterior-mean predict), scoring, REINFORCE
+  gradient, Adam — is ONE compiled program; start states are tiled to
+  [S starts x N rollouts] so the leave-one-mean baseline is a reshape;
+- actions are sampled per imagined step from the policy's categorical
+  (``jax.random.categorical``), gradients flow through the log-probs only
+  (score-function estimator) — no model surgery for discrete actions;
+- non-plan agents act uniformly at random inside imagination, matching
+  the eval harness's true opponent process (planning.py's convention).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from mfvae_tpu.inference import WorldModel
+from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch
+from mfvae_tpu.training.trainer import make_action_sampler, stacked_to_grouped
+
+
+class PolicyMLP(nn.Module):
+    """Per-agent decentralized policy: own observation row -> action logits.
+    Parameters are shared across the plan agents (they are homogeneous in
+    every MPE family here), so one apply vectorizes over [B, P, od]."""
+
+    hidden: Tuple[int, ...] = (128, 128)
+    act_dim: int = 5
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs.astype(jnp.float32)
+        x = nn.LayerNorm()(x)
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return nn.Dense(self.act_dim)(x)
+
+
+def _plan_prefix(spec: AgentSpec, plan_agents: Sequence[int]) -> int:
+    """The imagination trainer assumes the plan agents are the leading
+    prefix of group 0 (true for every adversary team here: agents 0..P-1
+    share the adversary obs/act dims, mpe.py group layout)."""
+    p = len(plan_agents)
+    assert tuple(plan_agents) == tuple(range(p)), (
+        "plan_agents must be the leading agent prefix (0..P-1)"
+    )
+    g0 = spec.groups[0][1]
+    assert tuple(g0[:p]) == tuple(range(p)), (
+        "plan agents must sit at the head of spec group 0"
+    )
+    return p
+
+
+def make_imagination_rollout(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    plan_agents: Sequence[int],
+    horizon: int = 8,
+):
+    """Policy-in-the-loop imagination.  Returns
+    ``rollout(params, policy_apply, obs_g, key) ->
+    (states [H, B, Σobs], rewards [H, B, A], logp [H, B, P], ent [H, B, P])``
+    — fully scan-compiled; gradients reach ``params`` through ``logp``/
+    ``ent`` only (discrete actions)."""
+    sample_actions, group_actions = make_action_sampler(env, spec)
+    P = _plan_prefix(spec, plan_agents)
+    assert getattr(env, "discrete_actions", True), (
+        "imagination policies are discrete-action (categorical REINFORCE); "
+        "extend with a tanh-Gaussian head for continuous envs"
+    )
+
+    def rollout(params, policy_apply, obs_g, key):
+        b = obs_g[0].shape[0]
+
+        def step(carry_obs, k_t):
+            k_plan, k_other = jax.random.split(k_t)
+            logits = policy_apply(params, carry_obs[0][:, :P])  # [B, P, K]
+            logits = jax.nn.log_softmax(logits, axis=-1)
+            acts_p = jax.random.categorical(k_plan, logits)  # [B, P]
+            logp = jnp.take_along_axis(
+                logits, acts_p[..., None], axis=-1
+            )[..., 0]  # [B, P]
+            ent = -jnp.sum(jnp.exp(logits) * logits, axis=-1)  # [B, P]
+            full = sample_actions(k_other, (b,))  # [B, A]
+            full = full.at[:, :P].set(acts_p)
+            ns, rw = wm._predict(
+                GroupedBatch(obs=carry_obs, actions=group_actions(full))
+            )
+            return wm._state_to_grouped(ns), (ns, rw, logp, ent)
+
+        _, (states, rewards, logp, ent) = jax.lax.scan(
+            step, obs_g, jax.random.split(key, horizon)
+        )
+        return states, rewards, logp, ent
+
+    return rollout
+
+
+def make_imagination_trainer(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    plan_agents: Sequence[int],
+    score_fn: Optional[Callable] = None,
+    horizon: int = 8,
+    n_rollouts: int = 16,
+    learning_rate: float = 3e-4,
+    entropy_coef: float = 1e-2,
+    hidden: Tuple[int, ...] = (128, 128),
+) -> Tuple[PolicyMLP, Callable, Callable]:
+    """Build the compiled REINFORCE update over imagined futures.
+
+    ``score_fn(states [H, B, Σobs], rewards [H, B, A]) -> [B, P]`` per-agent
+    scores (default: each plan agent's predicted-reward sum — use a
+    distance potential where the reward head is coarse, scripts/
+    mpc_study.py's lesson).  Each optimizer step tiles S start states
+    ``n_rollouts`` times, imagines S*N futures under the current policy,
+    and ascends d/dθ E[score]: advantage = per-start score minus the
+    per-start mean over the N rollouts (leave-one-mean baseline),
+    normalized per start, times the trajectory log-prob, plus an entropy
+    bonus.
+
+    Returns ``(policy, init_fn, update_fn)``:
+      init_fn(key, example_obs_row [od]) -> (params, opt_state)
+      update_fn(params, opt_state, obs_starts_g, key)
+        -> (params, opt_state, metrics) — obs_starts_g is a per-group
+        tuple [S, A_g, od] of REAL start observations (e.g. from the same
+        collection the world model trained on)."""
+    P = _plan_prefix(spec, plan_agents)
+    act_dim = int(spec.act_dims[0])
+    policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
+    rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
+    idx = jnp.arange(P)
+    if score_fn is None:
+        def score_fn(states, rewards):
+            return jnp.sum(rewards[..., idx], axis=0)  # [B, P]
+
+    tx = optax.adam(learning_rate)
+
+    def init_fn(key, example_obs_row):
+        params = policy.init(key, example_obs_row[None, None, :])
+        return params, tx.init(params)
+
+    def loss_fn(params, obs_g, key):
+        states, rewards, logp, ent = rollout(params, policy.apply, obs_g, key)
+        score = score_fn(states, rewards)  # [B=S*N, P]
+        s = score.shape[0] // n_rollouts
+        score = score.reshape(s, n_rollouts, P)
+        adv = score - jnp.mean(score, axis=1, keepdims=True)
+        adv = adv / (jnp.std(score, axis=1, keepdims=True) + 1e-6)
+        logp_sum = jnp.sum(logp, axis=0).reshape(s, n_rollouts, P)
+        pg = -jnp.mean(jax.lax.stop_gradient(adv) * logp_sum)
+        ent_mean = jnp.mean(ent)
+        return pg - entropy_coef * ent_mean, {
+            "score_mean": jnp.mean(score),
+            "entropy": ent_mean,
+            "pg_loss": pg,
+        }
+
+    @jax.jit
+    def update_fn(params, opt_state, obs_starts_g, key):
+        # tile each start n_rollouts times: [S, ...] -> [S*N, ...]
+        obs_g = tuple(
+            jnp.repeat(o, n_rollouts, axis=0) for o in obs_starts_g
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, obs_g, key
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, metrics
+
+    return policy, init_fn, update_fn
+
+
+def make_policy_actor(
+    policy: PolicyMLP,
+    params,
+    env,
+    spec: AgentSpec,
+    plan_agents: Sequence[int],
+    greedy: bool = True,
+):
+    """Serve the trained imagination policy with the planners' actor
+    contract: ``act(stacked_obs, key) -> [A] joint actions`` (non-plan
+    agents get uniform draws; callers overwrite them with the opponents'
+    real policy) — drop-in for eval_joint_policy arms and ONE forward pass
+    per step where MPC pays n_candidates imagined rollouts."""
+    sample_actions, _ = make_action_sampler(env, spec)
+    P = _plan_prefix(spec, plan_agents)
+
+    def act(stacked_obs, key):
+        obs_g = stacked_to_grouped(spec, stacked_obs)
+        k_p, k_o = jax.random.split(key)
+        logits = policy.apply(params, obs_g[0][:P][None])[0]  # [P, K]
+        if greedy:
+            acts_p = jnp.argmax(logits, axis=-1)
+        else:
+            acts_p = jax.random.categorical(k_p, logits)
+        out = sample_actions(k_o)
+        return out.at[:P].set(acts_p)
+
+    return act

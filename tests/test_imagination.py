@@ -1,0 +1,125 @@
+"""Imagination-trained policies (mfvae_tpu/imagination.py).
+
+A stub world model with KNOWN controllable dynamics (reward 1 iff a plan
+agent plays action 3; state frozen) isolates the REINFORCE machinery: the
+policy must discover the rewarded action purely from imagined rollouts.
+The real-WM integration is exercised by scripts/imagination_policy_study.py
+on TPU and by the shape/serving tests here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfvae_tpu.imagination import (
+    PolicyMLP,
+    make_imagination_rollout,
+    make_imagination_trainer,
+    make_policy_actor,
+)
+from mfvae_tpu.models.mavae import AgentSpec, agent_order_concat, state_to_grouped
+
+
+class StubEnv:
+    discrete_actions = True
+
+
+def tag_like_spec():
+    agents = ("adversary_0", "adversary_1", "adversary_2", "agent_0")
+    return AgentSpec.from_dicts(
+        agents,
+        {a: 6 for a in agents[:3]} | {"agent_0": 4},
+        {a: 5 for a in agents},
+    )
+
+
+class StubWM:
+    """Frozen-state world model whose reward pays plan agents for action 3."""
+
+    def __init__(self, spec):
+        self.spec = spec
+
+        def _predict(batch):
+            acts0 = batch.actions[0]  # [B, 3]
+            rew_adv = jnp.where(acts0 == 3, 1.0, 0.0)
+            rew = jnp.concatenate(
+                [rew_adv, jnp.zeros((acts0.shape[0], 1))], axis=1
+            )
+            return agent_order_concat(spec, batch.obs), rew
+
+        self._predict = _predict
+        self._state_to_grouped = lambda s: state_to_grouped(spec, s)
+
+
+def starts(spec, S, key):
+    ks = jax.random.split(key, 2)
+    return (
+        jax.random.normal(ks[0], (S, 3, 6)),
+        jax.random.normal(ks[1], (S, 1, 4)),
+    )
+
+
+class TestRollout:
+    def test_shapes_and_gradient_path(self):
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        rollout = make_imagination_rollout(wm, StubEnv(), spec, (0, 1, 2), horizon=4)
+        policy = PolicyMLP(hidden=(16,), act_dim=5)
+        obs_g = starts(spec, 8, jax.random.PRNGKey(0))
+        params = policy.init(jax.random.PRNGKey(1), obs_g[0][:, :1])
+        states, rewards, logp, ent = rollout(
+            params, policy.apply, obs_g, jax.random.PRNGKey(2)
+        )
+        assert states.shape == (4, 8, 22)
+        assert rewards.shape == (4, 8, 4)
+        assert logp.shape == (4, 8, 3) and ent.shape == (4, 8, 3)
+
+        def loss(p):
+            _, _, lp, _ = rollout(p, policy.apply, obs_g, jax.random.PRNGKey(2))
+            return jnp.sum(lp)
+
+        g = jax.grad(loss)(params)
+        norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
+        assert sum(norms) > 0.0
+
+    def test_reinforce_learns_rewarded_action(self):
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, init_fn, update_fn = make_imagination_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, hidden=(32,),
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        first = None
+        for i in range(150):
+            params, opt, m = update_fn(params, opt, obs_g, jax.random.fold_in(key, i))
+            if first is None:
+                first = float(m["score_mean"])
+        # max imagined score = horizon (1/step); random ~ horizon/5
+        assert float(m["score_mean"]) > 0.9 * 4.0, (first, float(m["score_mean"]))
+        logits = policy.apply(params, obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+
+
+class TestActor:
+    def test_actor_contract(self):
+        spec = tag_like_spec()
+        policy = PolicyMLP(hidden=(16,), act_dim=5)
+        obs_row = jnp.ones((6,))
+        params = policy.init(jax.random.PRNGKey(0), obs_row[None, None])
+        actor = make_policy_actor(policy, params, StubEnv(), spec, (0, 1, 2))
+        # StackedObs: one tensor per agent class (adversaries, good)
+        stacked = (jnp.ones((3, 6)), jnp.ones((1, 4)))
+        from mfvae_tpu.training.trainer import stacked_to_grouped  # noqa
+
+        acts = actor(stacked, jax.random.PRNGKey(1))
+        assert acts.shape == (4,)
+        assert bool(jnp.all((acts >= 0) & (acts < 5)))
+        # greedy: plan-agent actions equal the argmax of the policy logits
+        obs_g = stacked_to_grouped(spec, stacked)
+        logits = policy.apply(params, obs_g[0][:3][None])[0]
+        np.testing.assert_array_equal(
+            np.asarray(acts[:3]), np.asarray(jnp.argmax(logits, axis=-1))
+        )
