@@ -94,6 +94,17 @@ class ModelConfig:
     # use_pallas=false (guarded at Experiment.setup).
     reward_head_mode: str = "linear"
     reward_bins: int = 65
+    # reward decoder input: 'latent' (reference structure: the same
+    # [z, action-emb, ...] concat the state decoder eats) | 'pred_state'
+    # (the PREDICTED next state — stop-gradient — plus the current state
+    # and action embeddings).  Measured motivation (PARITY.md round 4,
+    # reward-head study): contact events are a simple function of
+    # next-step geometry, which the state path predicts at 0.009 huber,
+    # yet BOTH reward head modes are near-chance at event detection
+    # through the latent input (AUC 0.51-0.60) — the signal exists in the
+    # model but not on the reward branch's input.  Requires
+    # fused_decoders=false (the fused trunk shares one input).
+    reward_head_input: str = "latent"
 
 
 @dataclass

@@ -270,6 +270,15 @@ class MAVAE(nn.Module):
     # PARITY.md round 4).
     reward_head_mode: str = "linear"
     reward_bins: int = 65
+    # 'latent' = reference structure (reward decoder eats the same
+    # [z, aemb, ...] concat as the state decoder); 'pred_state' = the
+    # reward decoder eats [stop_grad(predicted next state), current state,
+    # aemb] — contact geometry is a simple function of next-step positions
+    # the state path already predicts well, while through the latent input
+    # both reward head modes measure near-chance at event detection
+    # (PARITY.md round 4 reward-head study).  stop_gradient keeps the
+    # reward loss from distorting the state path.  Unfused decoders only.
+    reward_head_input: str = "latent"
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -295,6 +304,7 @@ class MAVAE(nn.Module):
             decoder_layernorm=cfg.decoder_layernorm,
             reward_head_mode=cfg.reward_head_mode,
             reward_bins=cfg.reward_bins,
+            reward_head_input=cfg.reward_head_input,
         )
 
     def setup(self):
@@ -349,6 +359,16 @@ class MAVAE(nn.Module):
 
         if self.reward_head_mode not in ("linear", "twohot"):
             raise ValueError(f"unknown reward_head_mode {self.reward_head_mode!r}")
+        if self.reward_head_input not in ("latent", "pred_state"):
+            raise ValueError(
+                f"unknown reward_head_input {self.reward_head_input!r}"
+            )
+        if self.reward_head_input == "pred_state" and self.fused_decoders:
+            raise ValueError(
+                "reward_head_input='pred_state' needs fused_decoders=false "
+                "(the fused trunk shares ONE input; the pred_state reward "
+                "branch runs sequentially after the state decode)"
+            )
         # two-hot mode widens the reward output to n_agents * n_bins logits
         # and skips the (PopArt-rescalable) reward_linear head, which only
         # makes sense for a scalar output.
@@ -537,7 +557,21 @@ class MAVAE(nn.Module):
                 recon_reward = self.reward_linear(recon_reward)
         else:
             recon_state = self.state_decoder(flat)
-            recon_reward = self.reward_decoder(flat)
+            if self.reward_head_input == "pred_state":
+                # reward from PREDICTED GEOMETRY: the finished next-state
+                # prediction (stop-grad: the reward loss must not distort
+                # the state path), the current state, and the action embs
+                ns = recon_state.astype(jnp.float32)
+                if self.residual_state:
+                    assert base_state is not None
+                    ns = ns + base_state.astype(jnp.float32)
+                parts_r = [jax.lax.stop_gradient(ns), aemb.reshape(b, -1)]
+                if base_state is not None:
+                    parts_r.append(base_state)
+                r_in = jnp.concatenate(parts_r, axis=-1).astype(self.dtype)
+            else:
+                r_in = flat
+            recon_reward = self.reward_decoder(r_in)
             if not twohot:
                 recon_reward = self.reward_linear(recon_reward)
         if twohot:

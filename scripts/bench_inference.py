@@ -90,6 +90,82 @@ def main():
             batch * n_roll * HORIZON / best, 1
         )
 
+    # ---- control-surface serving cost: planners vs amortized policy ----
+    # env-steps/s of each compiled actor driving REAL simple_tag episodes
+    # at canonical scale (planning-in-the-loop: each env step pays the
+    # actor's full imagination search).  Untrained params — throughput
+    # only.
+    from mfvae_tpu.envs.mpe import SimpleTagEnv
+    from mfvae_tpu.imagination import PolicyMLP, make_policy_actor
+    from mfvae_tpu.planning import (
+        eval_joint_policy,
+        make_cem_actor,
+        make_mpc_actor,
+    )
+    from mfvae_tpu.training.trainer import make_action_sampler
+
+    spec, model, inputs = _flagship(batch_size=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), inputs, None, jax.random.PRNGKey(1)
+    )
+    wm = WorldModel(model, variables)
+    env = SimpleTagEnv(num_good_agents=10, num_adversaries=30, num_obs=20)
+    sample_actions, _ = make_action_sampler(env, spec)
+    adv_idx = tuple(range(30))
+    is_adv = jnp.arange(spec.n_agents) < 30
+
+    def dist_fact(states, rewards):
+        adv_obs = states[:, :, : 30 * spec.obs_dims[0]].reshape(
+            states.shape[0], states.shape[1], 30, spec.obs_dims[0]
+        )
+        off = 4 + 2 * 20 + 2 * 29
+        rel = adv_obs[..., off : off + 20].reshape(
+            states.shape[0], states.shape[1], 30, 10, 2
+        )
+        d = jnp.min(jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12), axis=-1)
+        return -jnp.sum(d, axis=0)
+
+    policy = PolicyMLP()
+    pparams = policy.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 1, spec.obs_dims[0]))
+    )
+    actors = {
+        "mpc_shoot_n256_h8": make_mpc_actor(
+            wm, env, spec, horizon=8, n_candidates=256, plan_agents=adv_idx,
+            score_fn=dist_fact, factorized=True, candidate_mode="random",
+        ),
+        "cem_i3_n256_h8": make_cem_actor(
+            wm, env, spec, horizon=8, n_candidates=256, plan_agents=adv_idx,
+            score_fn=dist_fact, iters=3,
+        ),
+        "imagination_policy": make_policy_actor(
+            policy, pparams, env, spec, adv_idx
+        ),
+    }
+
+    def bench_actor(actor, n_episodes=4, ep_len=32):
+        def joint(obs, state, key):
+            k1, k2 = jax.random.split(key)
+            return jnp.where(is_adv, actor(obs, k1), sample_actions(k2))
+
+        def run(k):
+            return float(
+                jnp.sum(
+                    eval_joint_policy(
+                        env, spec, joint, n_episodes=n_episodes,
+                        ep_len=ep_len, key=k,
+                    )
+                )
+            )
+
+        run(jax.random.PRNGKey(0))  # compile + sync
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(1))
+        return n_episodes * ep_len / (time.perf_counter() - t0)
+
+    for name, actor in actors.items():
+        out[f"actor_{name}_env_steps_per_sec"] = round(bench_actor(actor), 1)
+
     print(json.dumps(out))
 
 

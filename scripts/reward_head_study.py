@@ -137,11 +137,22 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
     t0 = time.time()
     results = {"arms": {}, "detection": {}, "rollout": {}}
 
+    # (head_mode, head_input) arms; checkpoint tags make re-runs resume
+    ARMS = {
+        "linear": ("linear", "latent", "_sticky90_w8_clip10"),
+        "twohot": ("twohot", "latent", "_sticky90_w8_clip10_twohot"),
+        "linear+predstate": (
+            "linear", "pred_state", "_sticky90_w8_clip10_predstate"
+        ),
+        "twohot+predstate": (
+            "twohot", "pred_state", "_sticky90_w8_clip10_twohot_predstate"
+        ),
+    }
     wms = {}
-    for head in ("linear", "twohot"):
-        tag = f"_sticky90_w8_clip10" + ("" if head == "linear" else "_twohot")
+    for head, (mode, rinput, tag) in ARMS.items():
         exp = train_sticky(
-            8, epochs, hold=HOLD, grad_clip=10.0, tag=tag, reward_head=head
+            8, epochs, hold=HOLD, grad_clip=10.0, tag=tag, reward_head=mode,
+            reward_input=rinput,
         )
         wm = WorldModel(exp.model, exp.carry.train_state.params)
         wms[head] = (exp, wm)
@@ -192,6 +203,9 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
         "mpc:rew_twohot_rep": ("twohot", None, "repeat"),
         "mpc:rew_twohot_rand": ("twohot", None, "random"),
         "mpc:dist_twohot_rand": ("twohot", dist_fact, "random"),
+        "mpc:rew_linps_rand": ("linear+predstate", None, "random"),
+        "mpc:rew_2hps_rand": ("twohot+predstate", None, "random"),
+        "mpc:dist_2hps_rand": ("twohot+predstate", dist_fact, "random"),
     }.items():
         actor = make_mpc_actor(
             wms[head][1], env, spec, horizon=HORIZON,

@@ -47,7 +47,7 @@ HORIZONS = (1, 5, 25)
 
 def train_sticky(
     unroll: int, epochs: int, hold: float = 0.75, grad_clip: float = 0.0,
-    tag: str = "", reward_head: str = "linear",
+    tag: str = "", reward_head: str = "linear", reward_input: str = "latent",
 ) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
@@ -56,6 +56,7 @@ def train_sticky(
     cfg.model.decoder_layernorm = True
     cfg.model.fused_decoders = False
     cfg.model.reward_head_mode = reward_head
+    cfg.model.reward_head_input = reward_input
     cfg.loss.s_weight = 300.0
     cfg.buffer.max_size = 10240
     cfg.train.unroll_steps = unroll

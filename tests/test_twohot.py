@@ -195,6 +195,72 @@ class TestGuards:
             bad.init(jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1))
 
 
+class TestPredStateRewardInput:
+    def _tiny(self, **model_kw):
+        agents = ("adversary_0", "adversary_1", "agent_0")
+        spec = AgentSpec.from_dicts(
+            agents,
+            {"adversary_0": 6, "adversary_1": 6, "agent_0": 4},
+            {a: 5 for a in agents},
+        )
+        cfg = ModelConfig(
+            idx_features=8, obs_features=8, action_features=8,
+            encoder_hidden=(16,), decoder_hidden=(32,),
+            compute_dtype="float32", fused_decoders=False,
+            reward_head_input="pred_state", **model_kw,
+        )
+        model = MAVAE.from_config(cfg, spec)
+        B = 4
+        batch = GroupedBatch(
+            obs=(jnp.ones((B, 2, 6)), jnp.ones((B, 1, 4))),
+            actions=(jnp.zeros((B, 2), jnp.int32), jnp.zeros((B, 1), jnp.int32)),
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1)
+        )
+        return spec, model, variables, batch
+
+    def test_shapes_both_head_modes(self):
+        for mode, r_shape in (("linear", (4, 3)), ("twohot", (4, 3, 9))):
+            spec, model, variables, batch = self._tiny(
+                reward_head_mode=mode, reward_bins=9
+            )
+            rs, rr, mu, lv = model.apply(
+                variables, batch, None, jax.random.PRNGKey(2)
+            )
+            assert rr.shape == r_shape and rs.shape == (4, 16)
+            rs2, rr2 = model.apply(variables, batch, None, method="mean_call")
+            assert rr2.shape == (4, 3)
+
+    def test_fused_decoders_rejected(self):
+        spec, *_ , batch = self._tiny()
+        bad = MAVAE.from_config(
+            ModelConfig(reward_head_input="pred_state", fused_decoders=True),
+            spec,
+        )
+        with pytest.raises(ValueError, match="pred_state"):
+            bad.init(jax.random.PRNGKey(0), batch, None, jax.random.PRNGKey(1))
+
+    def test_reward_loss_does_not_backprop_into_state_path(self):
+        """stop_gradient contract: grads of the reward loss alone are zero
+        on the state decoder's params."""
+        spec, model, variables, batch = self._tiny()
+
+        def r_only(v):
+            _, rr, _, _ = model.apply(
+                v, batch, None, jax.random.PRNGKey(2)
+            )
+            return jnp.sum(rr * rr)
+
+        g = jax.grad(r_only)(variables)
+        sd = g["params"]["state_decoder"]
+        assert all(
+            float(jnp.abs(x).max()) == 0.0 for x in jax.tree.leaves(sd)
+        )
+        rd = g["params"]["reward_decoder"]
+        assert sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(rd)) > 0
+
+
 class TestUnrollTwohot:
     def test_unroll_loss_runs_with_logit_head(self):
         from mfvae_tpu.training.unroll import make_unroll_loss_fn
