@@ -128,6 +128,7 @@ def make_cem_actor(
     score_fn=None,
     iters: int = 3,
     elite_frac: float = 0.125,
+    proposal_fn=None,
 ):
     """Cross-entropy-method planner (discrete actions): iteratively refit
     per-(step, agent) categorical action distributions to the elite
@@ -137,7 +138,13 @@ def make_cem_actor(
     so ``score_fn(states, rewards)`` must return per-agent scores
     [N, len(plan_agents)] (default: per-agent predicted-reward sums).
     Everything — ``iters`` rollout rounds included — compiles into the
-    enclosing jit, so the actor drops into eval_joint_policy unchanged."""
+    enclosing jit, so the actor drops into eval_joint_policy unchanged.
+
+    ``proposal_fn(stacked_obs) -> [P, K] logits`` warm-starts the
+    categoricals (broadcast over the horizon) instead of the uniform
+    init — e.g. a distilled policy's logits (imagination.py), so the
+    planner starts its search where the amortized policy already is and
+    can spend fewer refit iterations per served step."""
     if not getattr(env, "discrete_actions", True):
         raise NotImplementedError(
             "make_cem_actor currently implements the discrete-action "
@@ -164,7 +171,11 @@ def make_cem_actor(
             jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
             for o in stacked_to_grouped(spec, stacked_obs)
         )
-        logits0 = jnp.where(valid[None], 0.0, neg_inf)  # [1, P, K]
+        if proposal_fn is None:
+            logits0 = jnp.where(valid[None], 0.0, neg_inf)  # [1, P, K]
+        else:
+            prop = jax.nn.log_softmax(proposal_fn(stacked_obs), axis=-1)
+            logits0 = jnp.where(valid[None], prop[None], neg_inf)
         logits0 = jnp.broadcast_to(logits0, (horizon, P, K))
 
         def one_iter(i, carry):

@@ -1,0 +1,140 @@
+"""Planner distillation (imagination.make_cem_teacher / make_distillation_trainer).
+
+Same isolation trick as test_imagination.py: a stub world model with KNOWN
+controllable dynamics (reward 1 iff a plan agent plays action 3; state
+frozen) lets the tests assert the teacher FINDS the rewarded action and
+the student LEARNS it, with no trained model in the loop.  The real-WM
+integration runs in scripts/distill_study.py on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfvae_tpu.imagination import (
+    PolicyMLP,
+    make_cem_teacher,
+    make_distillation_trainer,
+    make_policy_actor,
+)
+from mfvae_tpu.models.mavae import AgentSpec, agent_order_concat, state_to_grouped
+
+
+class StubEnv:
+    discrete_actions = True
+
+
+def tag_like_spec():
+    agents = ("adversary_0", "adversary_1", "adversary_2", "agent_0")
+    return AgentSpec.from_dicts(
+        agents,
+        {a: 6 for a in agents[:3]} | {"agent_0": 4},
+        {a: 5 for a in agents},
+    )
+
+
+class StubWM:
+    """Frozen-state world model whose reward pays plan agents for action 3."""
+
+    def __init__(self, spec):
+        self.spec = spec
+
+        def _predict(batch):
+            acts0 = batch.actions[0]  # [B, 3]
+            rew_adv = jnp.where(acts0 == 3, 1.0, 0.0)
+            rew = jnp.concatenate(
+                [rew_adv, jnp.zeros((acts0.shape[0], 1))], axis=1
+            )
+            return agent_order_concat(spec, batch.obs), rew
+
+        self._predict = _predict
+        self._state_to_grouped = lambda s: state_to_grouped(spec, s)
+
+
+def starts(spec, S, key):
+    ks = jax.random.split(key, 2)
+    return (
+        jax.random.normal(ks[0], (S, 3, 6)),
+        jax.random.normal(ks[1], (S, 1, 4)),
+    )
+
+
+class TestCEMTeacher:
+    def test_shapes_and_range(self):
+        spec = tag_like_spec()
+        teacher = make_cem_teacher(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            horizon=3, n_candidates=16, iters=2,
+        )
+        obs_g = starts(spec, 5, jax.random.PRNGKey(0))
+        acts = jax.jit(teacher)(obs_g, jax.random.PRNGKey(1))
+        assert acts.shape == (5, 3) and acts.dtype == jnp.int32
+        assert bool(jnp.all((acts >= 0) & (acts < 5)))
+
+    def test_finds_rewarded_action(self):
+        spec = tag_like_spec()
+        teacher = make_cem_teacher(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            horizon=4, n_candidates=64, iters=3,
+        )
+        obs_g = starts(spec, 8, jax.random.PRNGKey(0))
+        acts = jax.jit(teacher)(obs_g, jax.random.PRNGKey(1))
+        # by iter 2-3 the per-(state, agent) categoricals concentrate on 3
+        np.testing.assert_array_equal(np.asarray(acts), 3)
+
+    def test_first_step_score_fn(self):
+        # custom score over the imagined tensors: only step-0 reward counts
+        spec = tag_like_spec()
+
+        def first_step_score(states, rewards):
+            return rewards[0][..., :3]  # [B, P]
+
+        teacher = make_cem_teacher(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            score_fn=first_step_score, horizon=4, n_candidates=64, iters=1,
+        )
+        obs_g = starts(spec, 4, jax.random.PRNGKey(3))
+        acts = jax.jit(teacher)(obs_g, jax.random.PRNGKey(4))
+        np.testing.assert_array_equal(np.asarray(acts), 3)
+
+
+class TestDistillation:
+    def test_student_learns_teacher_action(self):
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, init_fn, update_fn = make_distillation_trainer(
+            wm, StubEnv(), spec, (0, 1, 2),
+            horizon=4, n_candidates=32, cem_iters=2, visit_steps=2,
+            learning_rate=3e-3, hidden=(32,),
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        first_agree = None
+        for i in range(120):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+            if first_agree is None:
+                first_agree = float(m["teacher_agree"])
+        assert float(m["teacher_agree"]) > 0.9, (
+            first_agree, float(m["teacher_agree"]),
+        )
+        logits = policy.apply(params, obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+
+    def test_serves_through_policy_actor(self):
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, init_fn, update_fn = make_distillation_trainer(
+            wm, StubEnv(), spec, (0, 1, 2),
+            horizon=2, n_candidates=8, cem_iters=1, visit_steps=1,
+            hidden=(16,),
+        )
+        obs_g = starts(spec, 4, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        params, opt, _ = update_fn(params, opt, obs_g, jax.random.PRNGKey(2))
+        actor = make_policy_actor(policy, params, StubEnv(), spec, (0, 1, 2))
+        acts = actor((jnp.ones((3, 6)), jnp.ones((1, 4))), jax.random.PRNGKey(3))
+        assert acts.shape == (4,)
+        assert bool(jnp.all((acts >= 0) & (acts < 5)))

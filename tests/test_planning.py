@@ -157,6 +157,26 @@ class TestMPC:
         assert (np.asarray(a1) >= 0).all()
         assert (np.asarray(a1) < np.asarray(spec.act_dims)).all()
 
+    def test_cem_proposal_warm_start(self):
+        """proposal_fn seeds the categoricals: an (effectively) one-hot
+        proposal on action 2 with iters=1 forces every candidate — hence
+        the executed first action — to 2 for the plan agents."""
+        from mfvae_tpu.planning import make_cem_actor
+
+        env, spec, wm = tiny_env_model()
+
+        def proposal_fn(stacked_obs):
+            return jnp.tile(
+                jnp.array([0.0, 0.0, 50.0, 0.0, 0.0]), (2, 1)
+            )  # [P, K]
+
+        act = make_cem_actor(wm, env, spec, horizon=3, n_candidates=8,
+                             plan_agents=(0, 1), iters=1,
+                             proposal_fn=proposal_fn)
+        obs, _ = env.reset_stacked(jax.random.PRNGKey(21))
+        a = jax.jit(act)(obs, jax.random.PRNGKey(22))
+        np.testing.assert_array_equal(np.asarray(a[:2]), 2)
+
     def test_cem_in_the_eval_loop(self):
         from mfvae_tpu.planning import make_cem_actor
 
