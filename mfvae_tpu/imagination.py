@@ -202,6 +202,7 @@ def make_cem_teacher(
     n_candidates: int = 64,
     iters: int = 2,
     elite_frac: float = 0.125,
+    soft_temperature: Optional[float] = None,
 ):
     """Batched CEM planning for distillation targets.
 
@@ -213,7 +214,20 @@ def make_cem_teacher(
     state gets its own ``n_candidates``-way tournament, all ``iters``
     refit rounds compile into the enclosing jit.  Built on ``wm._predict``
     (not ``wm._rollout``) so stub world models in tests plug in unchanged.
-    """
+
+    ``soft_temperature`` switches the teacher from argmax labels to SOFT
+    targets: one uniform-shooting round (``iters`` is ignored), candidate
+    scores standardized per (state, agent) and advantage-weighted
+    (softmax over candidates at this temperature), returned as first-action
+    distributions ``plan(obs_g, key) -> [S, P, K]``.  This is the right
+    teacher when the planner's argmax is key-inconsistent: measured on the
+    sticky(0.9) world model, CEM self-agrees only 0.21-0.32 vs 0.20 chance
+    (results/r4/teacher_consistency.json) because many first actions score
+    within rollout noise of each other — winner-take-all labels destroy
+    the per-step tilt that actually earns the planner's return, while the
+    population-weighted distribution preserves it (and its estimation
+    noise averages out ACROSS distillation updates, which an argmax's
+    cannot)."""
     sample_actions, group_actions = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
     n_elite = max(int(n_candidates * elite_frac), 1)
@@ -239,6 +253,25 @@ def make_cem_teacher(
 
         _, out = jax.lax.scan(step, obs_g, full_plan)
         return out
+
+    if soft_temperature is not None:
+        tau = float(soft_temperature)
+
+        def plan_soft(obs_g, key):
+            s = obs_g[0].shape[0]
+            obs_t = tuple(jnp.repeat(o, n_candidates, axis=0) for o in obs_g)
+            full = sample_actions(key, (horizon, s * n_candidates))
+            states, rewards = imagine(obs_t, full)
+            scores = score_fn(states, rewards).reshape(s, n_candidates, P)
+            z = (scores - jnp.mean(scores, axis=1, keepdims=True)) / (
+                jnp.std(scores, axis=1, keepdims=True) + 1e-6
+            )
+            w = jax.nn.softmax(z / tau, axis=1)  # [S, N, P]
+            first = full[0][:, :P].reshape(s, n_candidates, P)
+            onehot = jax.nn.one_hot(first, K)  # [S, N, P, K]
+            return jnp.einsum("snp,snpk->spk", w, onehot)
+
+        return plan_soft
 
     def plan(obs_g, key):
         s = obs_g[0].shape[0]
@@ -295,6 +328,101 @@ def make_cem_teacher(
     return plan
 
 
+def make_enumerated_teacher(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    plan_agents: Sequence[int],
+    score_fn: Optional[Callable] = None,
+    horizon: int = 8,
+    m_rollouts: int = 24,
+    temperature: float = 0.5,
+    continuation: str = "hold",
+    return_q: bool = False,
+):
+    """First-action Q evaluation by enumeration + common random numbers.
+
+    The shooting/CEM teachers label with the argmax (or weighted histogram)
+    of RANDOM candidate plans — and through this world model both are
+    measured near-uniform labelers (results/r4/teacher_consistency.json;
+    the stalled distillation curves): over an 8-step imagined future of
+    ~30 random-acting agents, the score variance is dominated by the
+    CONTINUATION, not the first action being scored.  This teacher
+    removes that variance instead of averaging over it:
+
+      for each action a in 0..K-1:             (enumerated, not sampled)
+        roll M futures where every plan agent's FIRST action is a and
+        steps 1..H-1 are ``continuation`` actions SHARED across the K
+        arms (common random numbers — per m, arm a and arm a' differ in
+        the first action ONLY);
+      Q[s, p, a] = mean_m score;  targets = softmax over a of
+      per-(state, agent) standardized Q / temperature.
+
+    ``continuation='hold'`` keeps each plan agent repeating its arm's
+    action for the whole horizon (scores direction COMMITMENT — the
+    signal the winning shooting arms used); ``'random'`` draws shared
+    uniform continuations (scores the first step alone).  Non-plan agents
+    are always uniform-random, shared across arms.
+
+    Correlation caveat, accepted and documented: all plan agents take
+    the SAME arm action a within one rollout, so agent p's Q[a] is
+    estimated under "teammates also play a".  With distance-potential
+    scores (each agent's own geometry) the cross-term is second order,
+    and the CRN variance reduction is what makes the labels consistent
+    at all.  Returns ``plan(obs_g, key) -> [S, P, K]`` soft targets
+    (or (targets, Q) when ``return_q``)."""
+    assert continuation in ("hold", "random"), continuation
+    sample_actions, group_actions = make_action_sampler(env, spec)
+    P = _plan_prefix(spec, plan_agents)
+    act_dims = set(int(d) for d in jnp.asarray(spec.act_dims)[:P].tolist())
+    assert len(act_dims) == 1, (
+        "enumerated teacher needs homogeneous plan-agent action spaces"
+    )
+    K = act_dims.pop()
+    if score_fn is None:
+        idx = jnp.arange(P)
+
+        def score_fn(states, rewards):
+            return jnp.sum(rewards[..., idx], axis=0)
+
+    def imagine(obs_g, full_plan):
+        def step(carry_obs, acts_t):
+            ns, rw = wm._predict(
+                GroupedBatch(obs=carry_obs, actions=group_actions(acts_t))
+            )
+            return wm._state_to_grouped(ns), (ns, rw)
+
+        _, out = jax.lax.scan(step, obs_g, full_plan)
+        return out
+
+    def plan(obs_g, key):
+        s = obs_g[0].shape[0]
+        m = m_rollouts
+        n = m * K  # candidate index = (mm * K + a), a fastest
+        obs_t = tuple(jnp.repeat(o, n, axis=0) for o in obs_g)
+        k_first, k_cont = jax.random.split(key)
+        # shared-across-arms randomness: drawn per (state, m), repeated K x
+        base_first = sample_actions(k_first, (s * m,))  # [S*M, A]
+        base_cont = sample_actions(k_cont, (horizon - 1, s * m))
+        first = jnp.repeat(base_first, K, axis=0)  # [S*M*K, A]
+        cont = jnp.repeat(base_cont, K, axis=1)  # [H-1, S*M*K, A]
+        arm = jnp.tile(jnp.arange(K, dtype=first.dtype), s * m)  # [S*M*K]
+        first = first.at[:, :P].set(arm[:, None])
+        if continuation == "hold":
+            cont = cont.at[:, :, :P].set(arm[None, :, None])
+        full = jnp.concatenate([first[None], cont], axis=0)  # [H, n, A]
+        states, rewards = imagine(obs_t, full)
+        scores = score_fn(states, rewards).reshape(s, m, K, P)
+        q = jnp.transpose(jnp.mean(scores, axis=1), (0, 2, 1))  # [S, P, K]
+        z = (q - jnp.mean(q, axis=-1, keepdims=True)) / (
+            jnp.std(q, axis=-1, keepdims=True) + 1e-6
+        )
+        targets = jax.nn.softmax(z / temperature, axis=-1)
+        return (targets, q) if return_q else targets
+
+    return plan
+
+
 def make_distillation_trainer(
     wm: WorldModel,
     env,
@@ -308,6 +436,11 @@ def make_distillation_trainer(
     visit_steps: int = 3,
     learning_rate: float = 3e-4,
     hidden: Tuple[int, ...] = (128, 128),
+    target_mode: str = "argmax",
+    temperature: float = 0.5,
+    teacher_mode: str = "cem",
+    m_rollouts: int = 24,
+    continuation: str = "hold",
 ) -> Tuple[PolicyMLP, Callable, Callable]:
     """DAgger-style planner distillation, entirely inside imagination.
 
@@ -328,15 +461,40 @@ def make_distillation_trainer(
     Serving stays one forward pass; the planner's search cost is paid at
     training time only.  Returns ``(policy, init_fn, update_fn)`` with the
     REINFORCE trainer's exact surface, so the study scripts swap trainers
-    without touching the eval harness."""
+    without touching the eval harness.
+
+    ``target_mode='soft'`` distills the teacher's advantage-weighted
+    first-action DISTRIBUTION (make_cem_teacher's soft_temperature path,
+    ``temperature`` here) instead of argmax labels — required when the
+    planner's per-key argmax is inconsistent (teacher_consistency.json):
+    cross-entropy to soft targets recovers the population tilt whose
+    estimation noise averages out across updates.
+
+    ``teacher_mode='enumerated'`` (implies soft targets) swaps in
+    make_enumerated_teacher — per-action Q by enumeration + common random
+    numbers (``m_rollouts``, ``continuation``) — the labeler that stays
+    consistent where both shooting histograms and CEM argmaxes are
+    measured near-uniform (teacher_consistency.json)."""
+    assert target_mode in ("argmax", "soft"), target_mode
+    assert teacher_mode in ("cem", "enumerated"), teacher_mode
+    if teacher_mode == "enumerated":
+        target_mode = "soft"
     P = _plan_prefix(spec, plan_agents)
     act_dim = int(spec.act_dims[0])
     policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
     rollout = make_imagination_rollout(wm, env, spec, plan_agents, visit_steps)
-    teacher = make_cem_teacher(
-        wm, env, spec, plan_agents, score_fn=score_fn, horizon=horizon,
-        n_candidates=n_candidates, iters=cem_iters, elite_frac=elite_frac,
-    )
+    if teacher_mode == "enumerated":
+        teacher = make_enumerated_teacher(
+            wm, env, spec, plan_agents, score_fn=score_fn, horizon=horizon,
+            m_rollouts=m_rollouts, temperature=temperature,
+            continuation=continuation,
+        )
+    else:
+        teacher = make_cem_teacher(
+            wm, env, spec, plan_agents, score_fn=score_fn, horizon=horizon,
+            n_candidates=n_candidates, iters=cem_iters, elite_frac=elite_frac,
+            soft_temperature=temperature if target_mode == "soft" else None,
+        )
     tx = optax.adam(learning_rate)
 
     def init_fn(key, example_obs_row):
@@ -354,16 +512,23 @@ def make_distillation_trainer(
             jax.lax.stop_gradient(jnp.concatenate([o0, ov], axis=0))
             for o0, ov in zip(obs_starts_g, visited_g)
         )
-        # 2. expert relabeling at every state
-        targets = teacher(all_obs_g, k_teach)  # [B, P]
+        # 2. expert relabeling at every state: [B, P] labels (argmax mode)
+        #    or [B, P, K] distributions (soft mode)
+        targets = teacher(all_obs_g, k_teach)
+        hard = targets if target_mode == "argmax" else jnp.argmax(targets, -1)
 
-        # 3. behavior cloning on (state, expert action)
+        # 3. behavior cloning on (state, expert action/distribution)
         def loss_fn(p):
             logits = policy.apply(p, all_obs_g[0][:, :P])  # [B, P, K]
             logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            if target_mode == "argmax":
+                nll = -jnp.take_along_axis(
+                    logp, targets[..., None], axis=-1
+                )[..., 0]
+            else:
+                nll = -jnp.sum(targets * logp, axis=-1)  # [B, P]
             agree = jnp.mean(
-                (jnp.argmax(logits, axis=-1) == targets).astype(jnp.float32)
+                (jnp.argmax(logits, axis=-1) == hard).astype(jnp.float32)
             )
             ent = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
             return jnp.mean(nll), {

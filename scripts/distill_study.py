@@ -9,9 +9,9 @@ W=8 recipe), same anchors, same eval keys:
 
 CEM pays 3x256 imagined rollouts per REAL env step; the REINFORCE policy
 serves at ONE forward pass but leaves ~26% of CEM's return on the table.
-This study trains a policy by DAgger-style distillation of the batched
-CEM teacher inside imagination (mfvae_tpu/imagination.py:
-make_distillation_trainer) and asks, on real simple_tag return:
+This study trains a policy by DAgger-style distillation of the planner
+inside imagination (mfvae_tpu/imagination.py: make_distillation_trainer)
+and asks, on real simple_tag return:
 
   1. does the distilled policy beat the REINFORCE policy at equal serving
      cost (one forward pass)?
@@ -19,6 +19,16 @@ make_distillation_trainer) and asks, on real simple_tag return:
   3. does warm-starting CEM's categoricals from the distilled policy
      (planning.make_cem_actor proposal_fn) buy back the planner's return
      at fewer refit iterations (256 vs 768 imagined rollouts/step)?
+
+The teacher is the ENUMERATED + common-random-numbers labeler
+(imagination.make_enumerated_teacher).  Two cheaper teachers measured
+dead on arrival through this world model (results/r4/
+teacher_consistency.json + the stalled bc curves): CEM argmax labels
+self-agree at chance (0.21-0.32 vs 0.20), and soft advantage-weighted
+histograms of random candidate plans converge the student to uniform
+(bc -> ln 5) — in both, 8 steps of 30 random-acting agents' continuation
+noise swamps the first action being scored.  Enumeration + CRN cancels
+the continuation across the K arms instead of averaging over it.
 
 Run on the TPU env: python scripts/distill_study.py
     [n_episodes] [ep_len] [chunks] [epochs] [updates]
@@ -54,10 +64,11 @@ from sticky_study import train_sticky  # noqa: E402
 
 HORIZON = 8
 HOLD = 0.9
-N_CANDIDATES = 64
-CEM_ITERS = 2
+M_ROLLOUTS = 24
+CONTINUATION = "hold"
+TEMPERATURE = 0.5
 VISIT_STEPS = 3
-S_STARTS = 32  # B = S*(1+VISIT_STEPS) = 128 states/update; x64 candidates
+S_STARTS = 32  # B = S*(1+VISIT_STEPS) = 128 states/update; x(5*M) rollouts
 
 
 def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
@@ -91,8 +102,9 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
     # ---- distill the CEM teacher into the policy, inside imagination
     policy, init_fn, update_fn = make_distillation_trainer(
         wm, env, spec, adv_idx, score_fn=dist_fact, horizon=HORIZON,
-        n_candidates=N_CANDIDATES, cem_iters=CEM_ITERS,
         visit_steps=VISIT_STEPS, learning_rate=3e-4,
+        teacher_mode="enumerated", m_rollouts=M_ROLLOUTS,
+        continuation=CONTINUATION, temperature=TEMPERATURE,
     )
     pool = collect_starts(exp, 4096)
     params, opt = init_fn(jax.random.PRNGKey(0), pool[0][0, 0])
@@ -171,10 +183,14 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
               flush=True)
 
     out = {
-        "study": "CEM-planner distillation vs REINFORCE at one-forward-pass serving",
-        "horizon": HORIZON, "n_candidates": N_CANDIDATES,
-        "cem_iters": CEM_ITERS, "visit_steps": VISIT_STEPS,
+        "study": "planner distillation (enumerated+CRN teacher) vs REINFORCE at one-forward-pass serving",
+        "teacher_mode": "enumerated", "m_rollouts": M_ROLLOUTS,
+        "continuation": CONTINUATION, "temperature": TEMPERATURE,
+        "horizon": HORIZON, "visit_steps": VISIT_STEPS,
         "updates": updates, "ep_len": ep_len, "hold": HOLD,
+        "dead_teachers_note": "CEM argmax labels: chance self-agreement; "
+        "soft candidate histograms: student converges to uniform "
+        "(teacher_consistency.json)",
         "comparison_anchors": {
             "policy:greedy (REINFORCE, imagination_policy.json)": 45555.5,
             "cem:sticky_w8_dist_i3 (mpc_sticky90.json)": 62088.3,

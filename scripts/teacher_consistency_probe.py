@@ -26,7 +26,10 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-from mfvae_tpu.imagination import make_cem_teacher  # noqa: E402
+from mfvae_tpu.imagination import (  # noqa: E402
+    make_cem_teacher,
+    make_enumerated_teacher,
+)
 from mfvae_tpu.inference import WorldModel  # noqa: E402
 
 from imagination_policy_study import collect_starts  # noqa: E402
@@ -86,6 +89,33 @@ def main(n_states: int = 64):
                         "marginal": p.round(3).tolist()}
             print(f"[{time.time()-t0:.0f}s] {key}: agree={agree:.3f} "
                   f"marg_ent={ent:.3f}", flush=True)
+
+    # ---- enumerated + CRN teacher: the variance-killed labeler
+    for cont in ("hold", "random"):
+        for M, H in ((24, 8), (8, 8), (24, 4)):
+            teacher = jax.jit(make_enumerated_teacher(
+                wm, env, spec, adv_idx, score_fn=dist_fact,
+                horizon=H, m_rollouts=M, continuation=cont, return_q=True,
+            ))
+            t1, q1 = teacher(obs_g, jax.random.PRNGKey(100))
+            t2, q2 = teacher(obs_g, jax.random.PRNGKey(200))
+            a1, a2 = jnp.argmax(t1, -1), jnp.argmax(t2, -1)
+            agree = float(jnp.mean((a1 == a2).astype(jnp.float32)))
+            counts = np.bincount(np.asarray(a1).ravel(), minlength=5)
+            p = counts / counts.sum()
+            ent = float(-(p[p > 0] * np.log(p[p > 0])).sum())
+            # target sharpness: mean per-(state,agent) entropy of the
+            # soft target distribution (ln5=1.609 means nothing to learn)
+            tent = float(jnp.mean(-jnp.sum(t1 * jnp.log(t1 + 1e-9), -1)))
+            # Q-gap: best-vs-mean advantage in raw score units
+            qgap = float(jnp.mean(jnp.max(q1, -1) - jnp.mean(q1, -1)))
+            key = f"enum_{cont}_M{M}_H{H}"
+            out[key] = {"self_agree": agree, "marginal_entropy": ent,
+                        "target_entropy": tent, "q_gap": qgap,
+                        "marginal": p.round(3).tolist()}
+            print(f"[{time.time()-t0:.0f}s] {key}: agree={agree:.3f} "
+                  f"marg_ent={ent:.3f} tgt_ent={tent:.3f} qgap={qgap:.4f}",
+                  flush=True)
 
     path = Path(__file__).resolve().parents[1] / "results/r4/teacher_consistency.json"
     path.write_text(json.dumps(out, indent=1))

@@ -98,6 +98,105 @@ class TestCEMTeacher:
         np.testing.assert_array_equal(np.asarray(acts), 3)
 
 
+class TestSoftTeacher:
+    def test_soft_targets_are_distributions_tilted_to_reward(self):
+        spec = tag_like_spec()
+        teacher = make_cem_teacher(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            horizon=4, n_candidates=128, soft_temperature=0.5,
+        )
+        obs_g = starts(spec, 6, jax.random.PRNGKey(0))
+        t = jax.jit(teacher)(obs_g, jax.random.PRNGKey(1))
+        assert t.shape == (6, 3, 5)
+        np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, rtol=1e-5)
+        # advantage weighting must TILT the mass to the rewarded action —
+        # the soft teacher is a noisy estimator per key by design (its
+        # noise averages out across distillation updates), so assert the
+        # population tilt, not a per-entry argmax
+        t = np.asarray(t)
+        assert (t.argmax(-1) == 3).mean() >= 0.85
+        assert t[..., 3].mean() > 2 * max(
+            t[..., k].mean() for k in (0, 1, 2, 4)
+        )
+
+    def test_soft_distillation_learns_the_tilt(self):
+        spec = tag_like_spec()
+        policy, init_fn, update_fn = make_distillation_trainer(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            horizon=4, n_candidates=64, visit_steps=2,
+            learning_rate=3e-3, hidden=(32,),
+            target_mode="soft", temperature=0.5,
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        for i in range(120):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+        # agree is vs the PER-KEY teacher argmax, itself noisy by design
+        assert float(m["teacher_agree"]) > 0.8
+        logits = policy.apply(params, obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+
+
+class TestEnumeratedTeacher:
+    def test_crn_isolates_the_first_action_exactly(self):
+        """StubWM is deterministic: with hold continuation Q[3]-Q[a!=3]
+        must be EXACTLY horizon (every held step rewarded); with random
+        shared continuation EXACTLY 1 (first step only — the common
+        random numbers cancel everything else)."""
+        from mfvae_tpu.imagination import make_enumerated_teacher
+
+        spec = tag_like_spec()
+        obs_g = starts(spec, 4, jax.random.PRNGKey(0))
+        for cont, gap in (("hold", 4.0), ("random", 1.0)):
+            teacher = make_enumerated_teacher(
+                StubWM(spec), StubEnv(), spec, (0, 1, 2),
+                horizon=4, m_rollouts=8, continuation=cont, return_q=True,
+            )
+            t, q = jax.jit(teacher)(obs_g, jax.random.PRNGKey(1))
+            assert t.shape == (4, 3, 5) and q.shape == (4, 3, 5)
+            np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, rtol=1e-5)
+            q = np.asarray(q)
+            for a in (0, 1, 2, 4):
+                np.testing.assert_allclose(q[..., 3] - q[..., a], gap,
+                                           rtol=1e-5, err_msg=cont)
+            np.testing.assert_array_equal(np.asarray(t.argmax(-1)), 3)
+
+    def test_self_consistent_across_keys(self):
+        from mfvae_tpu.imagination import make_enumerated_teacher
+
+        spec = tag_like_spec()
+        teacher = jax.jit(make_enumerated_teacher(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            horizon=3, m_rollouts=8,
+        ))
+        obs_g = starts(spec, 6, jax.random.PRNGKey(5))
+        t1 = teacher(obs_g, jax.random.PRNGKey(10))
+        t2 = teacher(obs_g, jax.random.PRNGKey(20))
+        np.testing.assert_array_equal(
+            np.asarray(t1.argmax(-1)), np.asarray(t2.argmax(-1))
+        )
+
+    def test_enumerated_distillation_learns(self):
+        spec = tag_like_spec()
+        policy, init_fn, update_fn = make_distillation_trainer(
+            StubWM(spec), StubEnv(), spec, (0, 1, 2),
+            horizon=4, visit_steps=2, learning_rate=3e-3, hidden=(32,),
+            teacher_mode="enumerated", m_rollouts=8, temperature=0.5,
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        for i in range(120):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+        logits = policy.apply(params, obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+
+
 class TestDistillation:
     def test_student_learns_teacher_action(self):
         spec = tag_like_spec()
