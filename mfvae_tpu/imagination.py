@@ -192,6 +192,150 @@ def make_imagination_trainer(
     return policy, init_fn, update_fn
 
 
+class ValueMLP(nn.Module):
+    """Per-agent value head: own observation row -> scalar V̂ (shared
+    params across the homogeneous plan agents, like PolicyMLP)."""
+
+    hidden: Tuple[int, ...] = (128, 128)
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs.astype(jnp.float32)
+        x = nn.LayerNorm()(x)
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return nn.Dense(1)(x)[..., 0]
+
+
+def lambda_returns(rewards, values_next, gamma: float, lam: float):
+    """TD(λ) targets over an imagined trajectory, scanned from the end.
+
+    ``rewards`` [H, ...] = r_t for transitions t = 0..H-1;
+    ``values_next`` [H, ...] = V̂(s_{t+1}) (the LAST entry bootstraps the
+    tail beyond the imagination horizon).  Returns G [H, ...] with
+    G_t = r_t + γ[(1-λ)·V̂(s_{t+1}) + λ·G_{t+1}], G_{H-1} = r_{H-1} +
+    γ·V̂(s_H) — the Dreamer behavior-learning target, which is what lets
+    an H-step imagination see past H steps."""
+
+    def step(g_next, rv):
+        r_t, v_t1 = rv
+        g_t = r_t + gamma * ((1.0 - lam) * v_t1 + lam * g_next)
+        return g_t, g_t
+
+    g_last = rewards[-1] + gamma * values_next[-1]
+    _, gs = jax.lax.scan(
+        step, g_last, (rewards[:-1], values_next[:-1]), reverse=True
+    )
+    return jnp.concatenate([gs, g_last[None]], axis=0)
+
+
+def make_actor_critic_trainer(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    plan_agents: Sequence[int],
+    step_score_fn: Optional[Callable] = None,
+    horizon: int = 8,
+    n_rollouts: int = 16,
+    learning_rate: float = 3e-4,
+    entropy_coef: float = 1e-2,
+    value_coef: float = 0.5,
+    gamma: float = 0.95,
+    lam: float = 0.95,
+    hidden: Tuple[int, ...] = (128, 128),
+) -> Tuple[PolicyMLP, ValueMLP, Callable, Callable]:
+    """Dreamer-style actor-critic entirely inside imagination.
+
+    The REINFORCE trainer's per-start Monte-Carlo baseline caps the
+    policy's sight at the rollout horizon (and the planners' search does
+    too); a learned critic bootstraps the value of the horizon's LAST
+    imagined state into every step's target, so H=8 imagination trains
+    against an effectively infinite discounted objective.  Per update
+    (one compiled program): policy-in-the-loop rollout from tiled real
+    start states → per-step per-agent rewards via ``step_score_fn(states
+    [H,B,Σobs], rewards [H,B,A]) -> [H,B,P]`` (default: the plan agents'
+    predicted-reward columns; use a dense distance potential where the
+    reward head is coarse) → TD(λ) targets (``lambda_returns``) →
+    REINFORCE on batch-normalized advantages + entropy bonus + critic
+    Huber regression, one Adam over both networks.
+
+    Returns ``(policy, value, init_fn, update_fn)``; ``init_fn(key,
+    example_obs_row) -> (params, opt_state)`` with params =
+    {'pi': ..., 'v': ...}; ``update_fn(params, opt_state, obs_starts_g,
+    key) -> (params, opt_state, metrics)`` — same surface as the other
+    imagination trainers, so make_policy_actor serves params['pi']
+    unchanged."""
+    P = _plan_prefix(spec, plan_agents)
+    act_dim = int(spec.act_dims[0])
+    policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
+    value = ValueMLP(hidden=tuple(hidden))
+    rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
+    if step_score_fn is None:
+        idx = jnp.arange(P)
+
+        def step_score_fn(states, rewards):
+            return rewards[..., idx]  # [H, B, P]
+
+    tx = optax.adam(learning_rate)
+
+    def init_fn(key, example_obs_row):
+        k_pi, k_v = jax.random.split(key)
+        row = example_obs_row[None, None, :]
+        params = {
+            "pi": policy.init(k_pi, row),
+            "v": value.init(k_v, row),
+        }
+        return params, tx.init(params)
+
+    def _plan_obs_rows(states_flat):
+        # [T*B, Σobs] -> plan agents' obs rows [T*B, P, od]
+        return wm._state_to_grouped(states_flat)[0][:, :P]
+
+    def loss_fn(params, obs_starts_g, key):
+        states, rewards, logp, ent = rollout(
+            params["pi"], policy.apply, obs_starts_g, key
+        )
+        h, b = states.shape[:2]
+        r = step_score_fn(states, rewards)  # [H, B, P]
+        obs0 = obs_starts_g[0][:, :P]  # [B, P, od]
+        obs_next = _plan_obs_rows(states.reshape(h * b, -1)).reshape(
+            h, b, P, -1
+        )
+        v_all = value.apply(
+            params["v"], jnp.concatenate([obs0[None], obs_next], axis=0)
+        )  # [H+1, B, P]
+        v_next = v_all[1:]
+        g = lambda_returns(r, jax.lax.stop_gradient(v_next), gamma, lam)
+        adv = jax.lax.stop_gradient(g - v_all[:-1])
+        adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
+        pg = -jnp.mean(adv * logp)
+        v_loss = jnp.mean(
+            optax.huber_loss(v_all[:-1], jax.lax.stop_gradient(g))
+        )
+        ent_mean = jnp.mean(ent)
+        loss = pg + value_coef * v_loss - entropy_coef * ent_mean
+        return loss, {
+            "score_mean": jnp.mean(r),
+            "return_mean": jnp.mean(g),
+            "value_loss": v_loss,
+            "pg_loss": pg,
+            "entropy": ent_mean,
+        }
+
+    @jax.jit
+    def update_fn(params, opt_state, obs_starts_g, key):
+        obs_g = tuple(
+            jnp.repeat(o, n_rollouts, axis=0) for o in obs_starts_g
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, obs_g, key
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, metrics
+
+    return policy, value, init_fn, update_fn
+
+
 def make_cem_teacher(
     wm: WorldModel,
     env,

@@ -103,6 +103,83 @@ class TestRollout:
         assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
 
 
+class TestLambdaReturns:
+    def test_lam1_is_monte_carlo_and_lam0_is_td(self):
+        from mfvae_tpu.imagination import lambda_returns
+
+        rng = np.random.default_rng(0)
+        H, B = 5, 3
+        r = jnp.asarray(rng.normal(size=(H, B)))
+        v = jnp.asarray(rng.normal(size=(H, B)))
+        gamma = 0.9
+        # lam=1: G_t = sum_k gamma^k r_{t+k} + gamma^{H-t} v_H
+        g1 = np.asarray(lambda_returns(r, v, gamma, 1.0))
+        want = np.zeros((H, B))
+        acc = np.asarray(v[-1])
+        for t in reversed(range(H)):
+            acc = np.asarray(r[t]) + gamma * acc
+            want[t] = acc
+        np.testing.assert_allclose(g1, want, rtol=1e-5)
+        # lam=0: G_t = r_t + gamma v_{t+1}
+        g0 = np.asarray(lambda_returns(r, v, gamma, 0.0))
+        np.testing.assert_allclose(g0, np.asarray(r) + gamma * np.asarray(v),
+                                   rtol=1e-5)
+
+    def test_horizon_one(self):
+        from mfvae_tpu.imagination import lambda_returns
+
+        r = jnp.ones((1, 2))
+        v = jnp.full((1, 2), 3.0)
+        g = np.asarray(lambda_returns(r, v, 0.5, 0.7))
+        np.testing.assert_allclose(g, 1.0 + 0.5 * 3.0)
+
+
+class TestActorCritic:
+    def test_learns_rewarded_action_and_value(self):
+        from mfvae_tpu.imagination import make_actor_critic_trainer
+
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, value, init_fn, update_fn = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, gamma=0.9, lam=0.95,
+            hidden=(32,),
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        for i in range(200):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+        # policy: rewarded action discovered (per-step reward -> 1)
+        assert float(m["score_mean"]) > 0.9, float(m["score_mean"])
+        logits = policy.apply(params["pi"], obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+        # critic: bootstrapped value exceeds the 4-step Monte-Carlo sum —
+        # the lambda-target sees past the horizon (sum_{k<4} 0.9^k = 3.44)
+        v = value.apply(params["v"], obs_g[0][:, :3])
+        assert float(jnp.mean(v)) > 3.44, float(jnp.mean(v))
+
+    def test_policy_params_serve_through_actor(self):
+        from mfvae_tpu.imagination import make_actor_critic_trainer
+
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, value, init_fn, update_fn = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=2, n_rollouts=4,
+            hidden=(16,),
+        )
+        obs_g = starts(spec, 4, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        params, opt, _ = update_fn(params, opt, obs_g, jax.random.PRNGKey(2))
+        actor = make_policy_actor(policy, params["pi"], StubEnv(), spec,
+                                  (0, 1, 2))
+        acts = actor((jnp.ones((3, 6)), jnp.ones((1, 4))), jax.random.PRNGKey(3))
+        assert acts.shape == (4,)
+        assert bool(jnp.all((acts >= 0) & (acts < 5)))
+
+
 class TestActor:
     def test_actor_contract(self):
         spec = tag_like_spec()
