@@ -143,6 +143,20 @@ def main():
         ),
     }
 
+    # policy-warm-started CEM (the measured best-return config,
+    # results/r4/distill_policy.json): proposal forward + 1 refit iter
+    from mfvae_tpu.training.trainer import stacked_to_grouped
+
+    def proposal_fn(stacked):
+        return policy.apply(
+            pparams, stacked_to_grouped(spec, stacked)[0][:30][None]
+        )[0]
+
+    actors["cem_warm_i1_n256_h8"] = make_cem_actor(
+        wm, env, spec, horizon=8, n_candidates=256, plan_agents=adv_idx,
+        score_fn=dist_fact, iters=1, proposal_fn=proposal_fn,
+    )
+
     def bench_actor(actor, n_episodes=4, ep_len=32):
         def joint(obs, state, key):
             k1, k2 = jax.random.split(key)

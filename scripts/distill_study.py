@@ -72,7 +72,7 @@ S_STARTS = 32  # B = S*(1+VISIT_STEPS) = 128 states/update; x(5*M) rollouts
 
 
 def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
-         epochs: int = 256, updates: int = 1000):
+         epochs: int = 256, updates: int = 1000, width: int = 128):
     t0 = time.time()
     exp = train_sticky(8, epochs, hold=HOLD, grad_clip=10.0,
                        tag="_sticky90_w8_clip10")
@@ -105,6 +105,7 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
         visit_steps=VISIT_STEPS, learning_rate=3e-4,
         teacher_mode="enumerated", m_rollouts=M_ROLLOUTS,
         continuation=CONTINUATION, temperature=TEMPERATURE,
+        hidden=(width, width),
     )
     pool = collect_starts(exp, 4096)
     params, opt = init_fn(jax.random.PRNGKey(0), pool[0][0, 0])
@@ -188,6 +189,7 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
         "continuation": CONTINUATION, "temperature": TEMPERATURE,
         "horizon": HORIZON, "visit_steps": VISIT_STEPS,
         "updates": updates, "ep_len": ep_len, "hold": HOLD,
+        "hidden": [width, width],
         "dead_teachers_note": "CEM argmax labels: chance self-agreement; "
         "soft candidate histograms: student converges to uniform "
         "(teacher_consistency.json)",
@@ -197,10 +199,11 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
         },
         "arms": results, "distill_curve": curve,
     }
-    path = Path(__file__).resolve().parents[1] / "results/r4/distill_policy.json"
+    name = "distill_policy.json" if width == 128 else f"distill_policy_w{width}.json"
+    path = Path(__file__).resolve().parents[1] / "results/r4" / name
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:6]])
+    main(*[int(a) for a in sys.argv[1:7]])
