@@ -277,6 +277,51 @@ class EnvConfig:
 
 
 @dataclass
+class BehaviorConfig:
+    """Behavior learned inside the trained world model (mfvae_tpu/
+    behavior.py): train a decentralized policy entirely in imagination —
+    REINFORCE, Dreamer-style actor-critic (TD(λ) bootstrapped), or
+    planner distillation from the enumerated+CRN teacher — then serve it
+    at one forward pass per env step.  The reference pickles its model
+    params and never loads them (jax_ver/main.py:239-240); this is the
+    surface that cashes the 'world model' name.  Shipped defaults are the
+    measured round-4 recipe (PARITY.md distillation chapter)."""
+
+    algo: str = "distill"  # 'reinforce' | 'actor_critic' | 'distill'
+    # which agents the policy controls: 'adversaries' (the env's
+    # adversary team prefix) or 'all'
+    plan_agents: str = "adversaries"
+    # imagined-future objective: 'prey_distance' (simple_tag distance
+    # potential, the measured planning signal) or 'reward' (the model's
+    # predicted-reward head — near-chance on sparse tag contacts,
+    # PARITY.md reward-head chapter, but env-agnostic)
+    score: str = "prey_distance"
+    horizon: int = 8
+    updates: int = 1500
+    learning_rate: float = 3e-4
+    hidden: tuple = (128, 128)
+    # start-state pool: real states from the WM's own collection process
+    start_pool: int = 4096
+    start_burn_in: int = 32
+    n_starts: int = 256  # starts per update (distill: 32 is the recipe)
+    # reinforce / actor_critic
+    n_rollouts: int = 16
+    entropy_coef: float = 1e-2
+    value_coef: float = 0.5
+    gamma: float = 0.95
+    lam: float = 0.95
+    # distill (enumerated+CRN teacher)
+    m_rollouts: int = 24
+    continuation: str = "hold"  # 'hold' | 'random'
+    temperature: float = 0.5
+    visit_steps: int = 3
+    # outputs
+    save_path: str = ""  # policy params (msgpack) + .json meta sidecar
+    eval_episodes: int = 0  # >0: real-env return vs the random anchor
+    eval_ep_len: int = 128
+
+
+@dataclass
 class MeshConfig:
     """Device mesh: ('data', 'model') axes. data -> DP via shard_map+psum
     over ICI; model -> TP for the joint decoders + stacked agent params."""
@@ -294,6 +339,7 @@ class ExperimentConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     env: EnvConfig = field(default_factory=EnvConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    behavior: BehaviorConfig = field(default_factory=BehaviorConfig)
 
     def validate(self) -> "ExperimentConfig":
         """Cross-field consistency, checked by the experiment drivers
@@ -322,6 +368,27 @@ class ExperimentConfig:
             raise ValueError(
                 f"collect_mix_frac must be in [0, 1]; got "
                 f"{self.train.collect_mix_frac}"
+            )
+        b = self.behavior
+        if b.algo not in ("reinforce", "actor_critic", "distill"):
+            raise ValueError(
+                f"unknown behavior.algo {b.algo!r} (expected 'reinforce', "
+                "'actor_critic', or 'distill')"
+            )
+        if b.plan_agents not in ("adversaries", "all"):
+            raise ValueError(
+                f"unknown behavior.plan_agents {b.plan_agents!r} "
+                "(expected 'adversaries' or 'all')"
+            )
+        if b.score not in ("prey_distance", "reward"):
+            raise ValueError(
+                f"unknown behavior.score {b.score!r} (expected "
+                "'prey_distance' or 'reward')"
+            )
+        if b.continuation not in ("hold", "random"):
+            raise ValueError(
+                f"unknown behavior.continuation {b.continuation!r} "
+                "(expected 'hold' or 'random')"
             )
         return self
 
@@ -361,6 +428,7 @@ _NESTED = {
         "train": TrainConfig,
         "env": EnvConfig,
         "mesh": MeshConfig,
+        "behavior": BehaviorConfig,
     }
 }
 
