@@ -190,6 +190,12 @@ def train_behavior(
     the world model is exp.carry.train_state.params.  Returns servable
     policy params + the metric curve."""
     bcfg: BehaviorConfig = exp.cfg.behavior
+    if bcfg.algo == "distill" and not exp.cfg.env.discrete_actions:
+        raise ValueError(
+            "behavior.algo='distill' needs discrete actions (the "
+            "enumerated teacher enumerates a finite action set); use "
+            "'reinforce' or 'actor_critic' for continuous envs"
+        )
     key = jax.random.PRNGKey(7) if key is None else key
     wm = WorldModel(exp.model, exp.carry.train_state.params)
     plan_idx = resolve_plan_agents(exp, bcfg)
@@ -253,23 +259,29 @@ def save_policy(path: str, result: BehaviorResult, bcfg: BehaviorConfig,
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_bytes(flax.serialization.to_bytes(result.params))
+    from mfvae_tpu.imagination import GaussianPolicyMLP
+
     meta = {
         "hidden": [int(h) for h in bcfg.hidden],
         "act_dim": int(act_dim),
         "obs_dim": int(obs_dim),
         "algo": bcfg.algo,
+        "continuous": isinstance(result.policy, GaussianPolicyMLP),
         "plan_agents": [int(i) for i in result.plan_agents],
     }
     p.with_suffix(p.suffix + ".json").write_text(json.dumps(meta))
 
 
-def load_policy(path: str) -> Tuple[PolicyMLP, Any, dict]:
+def load_policy(path: str) -> Tuple[Any, Any, dict]:
     """Rebuild (policy, params, meta) from save_policy's artifacts."""
     import flax.serialization
 
+    from mfvae_tpu.imagination import GaussianPolicyMLP
+
     p = Path(path)
     meta = json.loads(p.with_suffix(p.suffix + ".json").read_text())
-    policy = PolicyMLP(hidden=tuple(meta["hidden"]), act_dim=meta["act_dim"])
+    cls = GaussianPolicyMLP if meta.get("continuous") else PolicyMLP
+    policy = cls(hidden=tuple(meta["hidden"]), act_dim=meta["act_dim"])
     template = policy.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 1, meta["obs_dim"]))
     )

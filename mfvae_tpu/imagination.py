@@ -55,6 +55,61 @@ class PolicyMLP(nn.Module):
         return nn.Dense(self.act_dim)(x)
 
 
+class GaussianPolicyMLP(nn.Module):
+    """Continuous-action policy head: obs row -> (mu, log_std) of a
+    pre-squash Gaussian; actions are tanh-squashed and affinely mapped to
+    the env's Box bounds (the SAC/Dreamer continuous-control convention).
+    Shared across plan agents like PolicyMLP."""
+
+    hidden: Tuple[int, ...] = (128, 128)
+    act_dim: int = 5
+    log_std_min: float = -5.0
+    log_std_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs.astype(jnp.float32)
+        x = nn.LayerNorm()(x)
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        mu = nn.Dense(self.act_dim)(x)
+        log_std = jnp.clip(
+            nn.Dense(self.act_dim)(x), self.log_std_min, self.log_std_max
+        )
+        return mu, log_std
+
+
+def _tanh_affine(u, lo: float, hi: float):
+    return lo + (hi - lo) * 0.5 * (jnp.tanh(u) + 1.0)
+
+
+def tanh_gaussian_sample(mu, log_std, key, lo: float, hi: float):
+    """Sample a = affine(tanh(u)), u ~ N(mu, std); returns (a, logp) with
+    the change-of-variables correction summed over action dims."""
+    std = jnp.exp(log_std)
+    u = mu + std * jax.random.normal(key, mu.shape)
+    a = _tanh_affine(u, lo, hi)
+    base = -0.5 * (((u - mu) / std) ** 2 + 2.0 * log_std + jnp.log(2 * jnp.pi))
+    # d a / d u = (hi-lo)/2 * (1 - tanh(u)^2); numerically stable form
+    log_jac = (
+        jnp.log((hi - lo) * 0.5)
+        + 2.0 * (jnp.log(2.0) - u - jax.nn.softplus(-2.0 * u))
+    )
+    return a, jnp.sum(base - log_jac, axis=-1)
+
+
+def gaussian_entropy(log_std):
+    """Pre-squash Gaussian entropy summed over dims (the standard
+    continuous entropy bonus; the squash jacobian is omitted as a
+    state-independent-enough regularizer)."""
+    return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+
+
+def _box_bounds(env) -> Tuple[float, float]:
+    space = env.action_space(env.agents[0])
+    return float(space.low), float(space.high)
+
+
 def _plan_prefix(spec: AgentSpec, plan_agents: Sequence[int]) -> int:
     """The imagination trainer assumes the plan agents are the leading
     prefix of group 0 (true for every adversary team here: agents 0..P-1
@@ -84,24 +139,29 @@ def make_imagination_rollout(
     ``ent`` only (discrete actions)."""
     sample_actions, group_actions = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
-    assert getattr(env, "discrete_actions", True), (
-        "imagination policies are discrete-action (categorical REINFORCE); "
-        "extend with a tanh-Gaussian head for continuous envs"
-    )
+    discrete = getattr(env, "discrete_actions", True)
+    if not discrete:
+        lo, hi = _box_bounds(env)
 
     def rollout(params, policy_apply, obs_g, key):
         b = obs_g[0].shape[0]
 
         def step(carry_obs, k_t):
             k_plan, k_other = jax.random.split(k_t)
-            logits = policy_apply(params, carry_obs[0][:, :P])  # [B, P, K]
-            logits = jax.nn.log_softmax(logits, axis=-1)
-            acts_p = jax.random.categorical(k_plan, logits)  # [B, P]
-            logp = jnp.take_along_axis(
-                logits, acts_p[..., None], axis=-1
-            )[..., 0]  # [B, P]
-            ent = -jnp.sum(jnp.exp(logits) * logits, axis=-1)  # [B, P]
-            full = sample_actions(k_other, (b,))  # [B, A]
+            if discrete:
+                logits = policy_apply(params, carry_obs[0][:, :P])  # [B,P,K]
+                logits = jax.nn.log_softmax(logits, axis=-1)
+                acts_p = jax.random.categorical(k_plan, logits)  # [B, P]
+                logp = jnp.take_along_axis(
+                    logits, acts_p[..., None], axis=-1
+                )[..., 0]  # [B, P]
+                ent = -jnp.sum(jnp.exp(logits) * logits, axis=-1)  # [B, P]
+            else:
+                mu, log_std = policy_apply(params, carry_obs[0][:, :P])
+                acts_p, logp = tanh_gaussian_sample(mu, log_std, k_plan,
+                                                    lo, hi)
+                ent = gaussian_entropy(log_std)
+            full = sample_actions(k_other, (b,))  # [B, A(, d)]
             full = full.at[:, :P].set(acts_p)
             ns, rw = wm._predict(
                 GroupedBatch(obs=carry_obs, actions=group_actions(full))
@@ -148,7 +208,10 @@ def make_imagination_trainer(
         collection the world model trained on)."""
     P = _plan_prefix(spec, plan_agents)
     act_dim = int(spec.act_dims[0])
-    policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
+    if getattr(env, "discrete_actions", True):
+        policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
+    else:
+        policy = GaussianPolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
     rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
     idx = jnp.arange(P)
     if score_fn is None:
@@ -267,7 +330,10 @@ def make_actor_critic_trainer(
     unchanged."""
     P = _plan_prefix(spec, plan_agents)
     act_dim = int(spec.act_dims[0])
-    policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
+    if getattr(env, "discrete_actions", True):
+        policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
+    else:
+        policy = GaussianPolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
     value = ValueMLP(hidden=tuple(hidden))
     rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
     if step_score_fn is None:
@@ -372,6 +438,10 @@ def make_cem_teacher(
     population-weighted distribution preserves it (and its estimation
     noise averages out ACROSS distillation updates, which an argmax's
     cannot)."""
+    assert getattr(env, "discrete_actions", True), (
+        "the CEM teacher refits per-action categoricals (discrete only); "
+        "use the REINFORCE/actor-critic trainers for continuous envs"
+    )
     sample_actions, group_actions = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
     n_elite = max(int(n_candidates * elite_frac), 1)
@@ -516,6 +586,10 @@ def make_enumerated_teacher(
     at all.  Returns ``plan(obs_g, key) -> [S, P, K]`` soft targets
     (or (targets, Q) when ``return_q``)."""
     assert continuation in ("hold", "random"), continuation
+    assert getattr(env, "discrete_actions", True), (
+        "the enumerated teacher enumerates a finite action set (discrete "
+        "only); use the REINFORCE/actor-critic trainers for continuous envs"
+    )
     sample_actions, group_actions = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
     act_dims = set(int(d) for d in jnp.asarray(spec.act_dims)[:P].tolist())
@@ -703,15 +777,26 @@ def make_policy_actor(
     per step where MPC pays n_candidates imagined rollouts."""
     sample_actions, _ = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
+    discrete = getattr(env, "discrete_actions", True)
+    if not discrete:
+        lo, hi = _box_bounds(env)
 
     def act(stacked_obs, key):
         obs_g = stacked_to_grouped(spec, stacked_obs)
         k_p, k_o = jax.random.split(key)
-        logits = policy.apply(params, obs_g[0][:P][None])[0]  # [P, K]
-        if greedy:
-            acts_p = jnp.argmax(logits, axis=-1)
+        if discrete:
+            logits = policy.apply(params, obs_g[0][:P][None])[0]  # [P, K]
+            if greedy:
+                acts_p = jnp.argmax(logits, axis=-1)
+            else:
+                acts_p = jax.random.categorical(k_p, logits)
         else:
-            acts_p = jax.random.categorical(k_p, logits)
+            mu, log_std = policy.apply(params, obs_g[0][:P][None])
+            if greedy:
+                acts_p = _tanh_affine(mu[0], lo, hi)
+            else:
+                acts_p, _ = tanh_gaussian_sample(mu[0], log_std[0], k_p,
+                                                 lo, hi)
         out = sample_actions(k_o)
         return out.at[:P].set(acts_p)
 

@@ -180,6 +180,112 @@ class TestActorCritic:
         assert bool(jnp.all((acts >= 0) & (acts < 5)))
 
 
+class _Box:
+    low = 0.0
+    high = 1.0
+
+
+class ContStubEnv:
+    discrete_actions = False
+    agents = ("adversary_0", "adversary_1", "adversary_2", "agent_0")
+
+    def action_space(self, agent):
+        return _Box()
+
+
+def cont_spec():
+    agents = ContStubEnv.agents
+    return AgentSpec.from_dicts(
+        agents,
+        {a: 6 for a in agents[:3]} | {"agent_0": 4},
+        {a: 2 for a in agents},
+    )
+
+
+class ContStubWM:
+    """Frozen-state continuous world model: reward pays each plan agent
+    for putting action dim 0 near 0.7 (quadratic)."""
+
+    def __init__(self, spec):
+        self.spec = spec
+
+        def _predict(batch):
+            acts0 = batch.actions[0]  # [B, 3, 2]
+            rew_adv = 1.0 - (acts0[..., 0] - 0.7) ** 2
+            rew = jnp.concatenate(
+                [rew_adv, jnp.zeros((acts0.shape[0], 1))], axis=1
+            )
+            return agent_order_concat(spec, batch.obs), rew
+
+        self._predict = _predict
+        self._state_to_grouped = lambda s: state_to_grouped(spec, s)
+
+
+class TestContinuousImagination:
+    def test_tanh_gaussian_sample_bounds_and_logp(self):
+        from mfvae_tpu.imagination import tanh_gaussian_sample
+
+        mu = jnp.zeros((100, 3, 2))
+        log_std = jnp.zeros((100, 3, 2))
+        a, logp = tanh_gaussian_sample(mu, log_std, jax.random.PRNGKey(0),
+                                       0.0, 1.0)
+        assert a.shape == (100, 3, 2) and logp.shape == (100, 3)
+        assert bool(jnp.all((a >= 0.0) & (a <= 1.0)))
+        assert np.isfinite(np.asarray(logp)).all()
+
+    def test_reinforce_learns_continuous_target(self):
+        spec = cont_spec()
+        wm = ContStubWM(spec)
+        policy, init_fn, update_fn = make_imagination_trainer(
+            wm, ContStubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, hidden=(32,),
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        for i in range(300):
+            params, opt, m = update_fn(params, opt, obs_g,
+                                       jax.random.fold_in(key, i))
+        # max per-step reward 1.0 at a0=0.7; random uniform averages ~0.87
+        assert float(m["score_mean"]) > 4 * 0.96, float(m["score_mean"])
+        from mfvae_tpu.imagination import _tanh_affine
+
+        mu, _ = policy.apply(params, obs_g[0][:, :3])
+        a_greedy = np.asarray(_tanh_affine(mu[..., 0], 0.0, 1.0))
+        # converged means cluster at the rewarded 0.7 (random init sits at
+        # ~0.5); per-entry spread varies with XLA recompilation noise
+        # amplified over 300 updates, so assert the population
+        assert abs(a_greedy.mean() - 0.7) < 0.06, a_greedy
+        assert np.abs(a_greedy - 0.7).mean() < 0.1, a_greedy
+
+    def test_actor_serves_continuous(self):
+        from mfvae_tpu.imagination import GaussianPolicyMLP
+
+        spec = cont_spec()
+        policy = GaussianPolicyMLP(hidden=(16,), act_dim=2)
+        params = policy.init(jax.random.PRNGKey(0), jnp.ones((1, 1, 6)))
+        env = ContStubEnv()
+        actor = make_policy_actor(policy, params, env, spec, (0, 1, 2),
+                                  greedy=False)
+        acts = actor((jnp.ones((3, 6)), jnp.ones((1, 4))),
+                     jax.random.PRNGKey(1))
+        assert acts.shape == (4, 2)
+        assert bool(jnp.all((acts >= 0.0) & (acts <= 1.0)))
+
+    def test_teachers_reject_continuous(self):
+        from mfvae_tpu.imagination import (
+            make_cem_teacher,
+            make_enumerated_teacher,
+        )
+
+        spec = cont_spec()
+        wm = ContStubWM(spec)
+        with np.testing.assert_raises(AssertionError):
+            make_cem_teacher(wm, ContStubEnv(), spec, (0, 1, 2))
+        with np.testing.assert_raises(AssertionError):
+            make_enumerated_teacher(wm, ContStubEnv(), spec, (0, 1, 2))
+
+
 class TestActor:
     def test_actor_contract(self):
         spec = tag_like_spec()
