@@ -353,11 +353,12 @@ class ExperimentConfig:
             )
         cp = self.train.collect_policy
         if cp not in ("random", "pursuit", "episode_mix", "sticky") and not (
-            cp.startswith("vdn:")
+            cp.startswith("vdn:") or cp.startswith("imagination:")
         ):
             raise ValueError(
                 f"unknown collect_policy {cp!r} (expected 'random', "
-                "'pursuit', 'episode_mix', 'sticky', or 'vdn:<policy.npz>')"
+                "'pursuit', 'episode_mix', 'sticky', 'vdn:<policy.npz>', "
+                "or 'imagination:<policy.msgpack>')"
             )
         if not 0.0 <= self.train.collect_epsilon <= 1.0:
             raise ValueError(

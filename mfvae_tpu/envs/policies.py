@@ -239,6 +239,72 @@ class StickyRandomPolicy:
         return (act, jnp.zeros_like(fresh)), act
 
 
+class ImaginationCollectPolicy:
+    """Collection with a saved imagination policy (behavior.save_policy
+    artifact): the policy's plan agents act from its SAMPLED distribution
+    (the measured serving mode — PARITY.md distillation chapter) with an
+    epsilon-uniform per-agent mixture; all other agents act uniformly.
+
+    This closes the Dreamer iteration: train WM -> learn behavior in
+    imagination -> collect WITH that behavior -> retrain the WM on its own
+    policy's state distribution (scripts/dreamer_iteration_study.py).
+
+    ``hold`` (reusing the collect_mix_frac knob, like sticky) keeps each
+    agent's previous action with that probability — temporal persistence
+    is what keeps the retrained model action-CONDITIONED (the sticky
+    lesson, PARITY.md action-blindness chapter: per-step-resampled actions
+    barely move the state, so a model trained on them goes action-blind;
+    held actions accumulate displacement the unroll objective can see).
+    Stateful collect-policy protocol (carry = previous actions + fresh
+    flag, reset at episode end); the protocol gives it the stacked OBS,
+    which scripted env-state policies don't need but this one does."""
+
+    def __init__(self, env, spec, path: str, epsilon: float, sample_fn,
+                 hold: float = 0.0):
+        from mfvae_tpu.behavior import load_policy
+        from mfvae_tpu.imagination import make_policy_actor
+
+        policy, params, meta = load_policy(path)
+        self._actor = make_policy_actor(
+            policy, params, env, spec, tuple(meta["plan_agents"]),
+            greedy=False,
+        )
+        self.epsilon = float(epsilon)
+        self.hold = float(hold)
+        self.n_agents = spec.n_agents
+        self.discrete = getattr(env, "discrete_actions", True)
+        self.sample_fn = sample_fn
+        if self.discrete:
+            self._zero = jnp.zeros((spec.n_agents,), jnp.int32)
+        else:
+            self._zero = jnp.zeros(
+                (spec.n_agents, spec.act_dims[0]), jnp.float32
+            )
+
+    def init_carry(self):
+        return (self._zero, jnp.bool_(True))
+
+    def step(self, carry, stacked_obs, env_state, key):
+        prev, fresh = carry
+        k_pol, k_hold, k_eps, k_rand = jax.random.split(key, 4)
+        act = self._actor(stacked_obs, k_pol)
+        if self.epsilon > 0.0:
+            override = (
+                jax.random.uniform(k_eps, (self.n_agents,)) < self.epsilon
+            )
+            if not self.discrete:
+                override = override[:, None]
+            act = jnp.where(override, self.sample_fn(k_rand), act)
+        if self.hold > 0.0:
+            keep = (
+                jax.random.uniform(k_hold, (self.n_agents,)) < self.hold
+            ) & ~fresh
+            if not self.discrete:
+                keep = keep[:, None]
+            act = jnp.where(keep, prev, act)
+        return (act, jnp.zeros_like(fresh)), act
+
+
 def make_collect_policy(
     env, spec, name: str, epsilon: float, sample_fn, mix_frac: float = 0.5
 ):
@@ -259,9 +325,19 @@ def make_collect_policy(
 
     ``'sticky'``: StickyRandomPolicy — per-agent sticky random actions
     (repeat probability ``mix_frac``; reuses the mix_frac knob as the hold
+    probability).
+
+    ``'imagination:<policy.msgpack>'``: ImaginationCollectPolicy — a saved
+    behavior-module policy drives its plan agents (epsilon-uniform
+    mixture; ``mix_frac`` again reused as the per-agent action-hold
     probability)."""
     if name == "random":
         return None
+    if name.startswith("imagination:"):
+        return ImaginationCollectPolicy(
+            env, spec, name[len("imagination:"):], epsilon, sample_fn,
+            hold=mix_frac,
+        )
     if name == "episode_mix":
         scripted = make_collect_policy(env, spec, "pursuit", epsilon, sample_fn)
         return EpisodeMixPolicy(scripted, sample_fn, mix_frac)

@@ -159,6 +159,42 @@ class TestTrainAndServe:
         assert bool(jnp.all(acts >= 0))
 
 
+class TestImaginationCollection:
+    def test_collect_policy_closes_the_dreamer_loop(self, tiny_exp, tmp_path):
+        """Save a behavior policy, then run a FRESH experiment collecting
+        with collect_policy='imagination:<path>' — the Dreamer iteration's
+        data-collection leg."""
+        tiny_exp.cfg.behavior.algo = "reinforce"
+        result = train_behavior(tiny_exp, key=jax.random.PRNGKey(5))
+        path = str(tmp_path / "iter_pol.msgpack")
+        save_policy(path, result, tiny_exp.cfg.behavior,
+                    obs_dim=int(tiny_exp.spec.obs_dims[0]),
+                    act_dim=int(tiny_exp.spec.act_dims[0]))
+
+        import copy
+
+        cfg = copy.deepcopy(tiny_exp.cfg)
+        cfg.train.collect_policy = f"imagination:{path}"
+        cfg.train.collect_epsilon = 0.1
+        cfg.train.log_dir = str(tmp_path / "logs")
+        cfg.train.run_name = "imag_collect"
+        cfg.validate()
+        exp2 = Experiment(cfg).setup()
+        exp2.run()
+        # losses finite and buffer actually filled under the policy
+        assert exp2.carry is not None
+        size = int(exp2.carry.buffer_state.size)
+        assert size >= cfg.train.sample_num * cfg.train.epoch_num
+
+    def test_validate_accepts_and_rejects(self):
+        cfg = ExperimentConfig()
+        cfg.train.collect_policy = "imagination:/tmp/x.msgpack"
+        cfg.validate()
+        cfg.train.collect_policy = "dreamer:/tmp/x"
+        with pytest.raises(ValueError):
+            cfg.validate()
+
+
 class TestMeta:
     def test_meta_sidecar_contents(self, tiny_exp, tmp_path):
         tiny_exp.cfg.behavior.algo = "reinforce"
