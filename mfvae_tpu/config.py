@@ -191,11 +191,14 @@ class TrainConfig:
     grad_clip: float = 0.0  # 0 disables (vdn.py uses 10.0)
     seed: int = 0
     # Collection policy: 'random' (the reference's uniform rollouts,
-    # torch_ver/main.py:69) or 'pursuit' (scripted chase/evade,
+    # torch_ver/main.py:69), 'pursuit' (scripted chase/evade,
     # envs/policies.py — contact-rich data the random walk rarely
-    # produces).  Device path runs it inside the compiled collect scan;
-    # host collectors run the numpy mirror off the env's state accessors
-    # (tag + adversary scenarios).
+    # produces), 'sticky' / 'episode_mix' (temporal / trajectory-level
+    # mixing), 'vdn:<policy.npz>' (a trained Q-policy), or
+    # 'imagination:<policy.msgpack>' (a behavior-module policy — the
+    # Dreamer iteration's collection leg).  Device path runs it inside
+    # the compiled collect scan; host collectors run the numpy mirror off
+    # the env's state accessors (tag + adversary scenarios; vdn only).
     collect_policy: str = "random"
     collect_epsilon: float = 0.1  # uniform-random mixture for coverage
     # collect_policy='episode_mix': probability an EPISODE is collected

@@ -58,6 +58,17 @@ HOLD = 0.9
 EPSILON = 0.05
 
 
+def _retry(fn, tries=3, label=""):
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # transient remote-compile tunnel flakes
+            if i == tries - 1:
+                raise
+            print(f"retry {label} after: {e}", flush=True)
+            time.sleep(20)
+
+
 def behavior_cfg(cfg, updates):
     cfg.behavior.algo = "distill"
     cfg.behavior.score = "prey_distance"
@@ -116,12 +127,17 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
                         tag="_sticky90_w8_clip10")
     behavior_cfg(exp0.cfg, updates)
     print(f"[{time.time()-t0:.0f}s] WM0 ready", flush=True)
-    res0 = train_behavior(exp0, key=jax.random.PRNGKey(7))
+    def prog(i, m):
+        print(f"[{time.time()-t0:.0f}s] distill update {i}: {m}", flush=True)
+
+    res0 = _retry(lambda: train_behavior(exp0, key=jax.random.PRNGKey(7),
+                                         progress=prog), label="policy0")
     pol0_path = "/tmp/dreamer_iter/policy0.msgpack"
     save_policy(pol0_path, res0, exp0.cfg.behavior,
                 obs_dim=int(exp0.spec.obs_dims[0]),
                 act_dim=int(exp0.spec.act_dims[0]))
-    out["teacher_agree_wm0"] = teacher_consistency(exp0)
+    out["teacher_agree_wm0"] = _retry(
+        lambda: teacher_consistency(exp0), label="teacher_wm0")
     print(f"[{time.time()-t0:.0f}s] policy0 distilled; "
           f"teacher_agree(WM0)={out['teacher_agree_wm0']:.3f}", flush=True)
 
@@ -149,8 +165,10 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
     exp1 = Experiment(cfg1).setup()
     exp1.run()
     print(f"[{time.time()-t0:.0f}s] WM1 trained on policy0 data", flush=True)
-    out["teacher_agree_wm1"] = teacher_consistency(exp1)
-    res1 = train_behavior(exp1, key=jax.random.PRNGKey(7))
+    out["teacher_agree_wm1"] = _retry(
+        lambda: teacher_consistency(exp1), label="teacher_wm1")
+    res1 = _retry(lambda: train_behavior(exp1, key=jax.random.PRNGKey(7),
+                                         progress=prog), label="policy1")
     print(f"[{time.time()-t0:.0f}s] policy1 distilled; "
           f"teacher_agree(WM1)={out['teacher_agree_wm1']:.3f}", flush=True)
 
