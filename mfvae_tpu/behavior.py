@@ -51,15 +51,22 @@ class BehaviorResult:
 
 def resolve_plan_agents(exp, bcfg: BehaviorConfig) -> Tuple[int, ...]:
     """'adversaries' -> the env's adversary-team prefix (agents 0..n_adv-1
-    in every scenario family here); 'all' -> every agent."""
+    in every scenario family here); 'all' -> every agent.  Counted from
+    the env's OWN agent names, not cfg.env.num_adversaries — scenarios
+    like simple_adversary fix their adversary count and ignore the config
+    knob (envs/mpe.py make() drops non-field kwargs)."""
     if bcfg.plan_agents == "all":
         return tuple(range(exp.spec.n_agents))
-    n_adv = int(getattr(exp.cfg.env, "num_adversaries", 0))
+    n_adv = sum(1 for a in exp.env.agents if a.startswith("adversary"))
     if n_adv <= 0:
         raise ValueError(
-            "behavior.plan_agents='adversaries' needs env.num_adversaries>0 "
-            f"(env {exp.cfg.env.name!r} has none); use plan_agents='all'"
+            "behavior.plan_agents='adversaries' but env "
+            f"{exp.cfg.env.name!r} has no adversary_* agents; use "
+            "plan_agents='all'"
         )
+    assert all(
+        exp.env.agents[i].startswith("adversary") for i in range(n_adv)
+    ), "adversaries must be the leading agent prefix"
     return tuple(range(n_adv))
 
 
