@@ -313,6 +313,10 @@ class BehaviorConfig:
     value_coef: float = 0.5
     gamma: float = 0.95
     lam: float = 0.95
+    # >0: EMA target critic for the TD(λ) bootstrap + baseline (the
+    # Dreamer stabilizer for the measured critic-bias collapse on
+    # spread, PARITY.md); 0 = online critic only
+    target_ema: float = 0.0
     # distill (enumerated+CRN teacher)
     m_rollouts: int = 24
     continuation: str = "hold"  # 'hold' | 'random'

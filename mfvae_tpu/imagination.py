@@ -306,6 +306,7 @@ def make_actor_critic_trainer(
     gamma: float = 0.95,
     lam: float = 0.95,
     hidden: Tuple[int, ...] = (128, 128),
+    target_ema: float = 0.0,
 ) -> Tuple[PolicyMLP, ValueMLP, Callable, Callable]:
     """Dreamer-style actor-critic entirely inside imagination.
 
@@ -322,12 +323,19 @@ def make_actor_critic_trainer(
     REINFORCE on batch-normalized advantages + entropy bonus + critic
     Huber regression, one Adam over both networks.
 
+    ``target_ema > 0`` adds a TARGET critic (EMA of the online critic at
+    that rate) used for the λ-return bootstrap and the advantage
+    baseline — the Dreamer stabilizer for the measured failure mode where
+    the online critic's bias feeds back through its own bootstrap and
+    the policy collapses onto over-valued states (simple_spread honest
+    negative, PARITY.md breadth section).
+
     Returns ``(policy, value, init_fn, update_fn)``; ``init_fn(key,
     example_obs_row) -> (params, opt_state)`` with params =
-    {'pi': ..., 'v': ...}; ``update_fn(params, opt_state, obs_starts_g,
-    key) -> (params, opt_state, metrics)`` — same surface as the other
-    imagination trainers, so make_policy_actor serves params['pi']
-    unchanged."""
+    {'pi': ..., 'v': ...} (+ 'v_target' when target_ema > 0);
+    ``update_fn(params, opt_state, obs_starts_g, key) -> (params,
+    opt_state, metrics)`` — same surface as the other imagination
+    trainers, so make_policy_actor serves params['pi'] unchanged."""
     P = _plan_prefix(spec, plan_agents)
     act_dim = int(spec.act_dims[0])
     if getattr(env, "discrete_actions", True):
@@ -351,6 +359,8 @@ def make_actor_critic_trainer(
             "pi": policy.init(k_pi, row),
             "v": value.init(k_v, row),
         }
+        if target_ema > 0.0:
+            params["v_target"] = jax.tree.map(jnp.copy, params["v"])
         return params, tx.init(params)
 
     def _plan_obs_rows(states_flat):
@@ -367,12 +377,16 @@ def make_actor_critic_trainer(
         obs_next = _plan_obs_rows(states.reshape(h * b, -1)).reshape(
             h, b, P, -1
         )
-        v_all = value.apply(
-            params["v"], jnp.concatenate([obs0[None], obs_next], axis=0)
-        )  # [H+1, B, P]
-        v_next = v_all[1:]
-        g = lambda_returns(r, jax.lax.stop_gradient(v_next), gamma, lam)
-        adv = jax.lax.stop_gradient(g - v_all[:-1])
+        obs_seq = jnp.concatenate([obs0[None], obs_next], axis=0)
+        v_all = value.apply(params["v"], obs_seq)  # [H+1, B, P]
+        if target_ema > 0.0:
+            # bootstrap + baseline from the slow critic: the online
+            # critic's bias cannot feed back through its own targets
+            v_boot = value.apply(params["v_target"], obs_seq)
+        else:
+            v_boot = v_all
+        g = lambda_returns(r, jax.lax.stop_gradient(v_boot[1:]), gamma, lam)
+        adv = jax.lax.stop_gradient(g - v_boot[:-1])
         adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
         pg = -jnp.mean(adv * logp)
         v_loss = jnp.mean(
@@ -397,7 +411,13 @@ def make_actor_critic_trainer(
             params, obs_g, key
         )
         updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_opt, metrics
+        new_params = optax.apply_updates(params, updates)
+        if target_ema > 0.0:
+            new_params["v_target"] = jax.tree.map(
+                lambda t, o: (1.0 - target_ema) * t + target_ema * o,
+                new_params["v_target"], new_params["v"],
+            )
+        return new_params, new_opt, metrics
 
     return policy, value, init_fn, update_fn
 

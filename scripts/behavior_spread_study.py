@@ -83,21 +83,29 @@ def main(n_episodes: int = 64, chunks: int = 2, epochs: int = 256,
 
     arms = {"random": arm_random}
     curves = {}
-    for algo in ("reinforce", "actor_critic", "distill"):
+    # (name, algo, target_ema): the target-critic arm measures whether
+    # the Dreamer stabilizer fixes the online-critic collapse
+    for name, algo, ema in (
+        ("reinforce", "reinforce", 0.0),
+        ("actor_critic", "actor_critic", 0.0),
+        ("actor_critic_target", "actor_critic", 0.05),
+        ("distill", "distill", 0.0),
+    ):
         cfg.behavior.algo = algo
+        cfg.behavior.target_ema = ema
         res = _retry(
             lambda: train_behavior(exp, key=jax.random.PRNGKey(7)),
-            label=algo,
+            label=name,
         )
-        curves[algo] = res.curve[-1]
+        curves[name] = res.curve[-1]
         actor = make_policy_actor(res.policy, res.params, env, spec,
                                   res.plan_agents, greedy=False)
 
         def arm_pol(obs, state, k, actor=actor):
             return actor(obs, k)  # ALL agents from the policy
 
-        arms[f"{algo}:sample"] = arm_pol
-        print(f"[{time.time()-t0:.0f}s] {algo} trained: {res.curve[-1]}",
+        arms[f"{name}:sample"] = arm_pol
+        print(f"[{time.time()-t0:.0f}s] {name} trained: {res.curve[-1]}",
               flush=True)
 
     results = {}

@@ -161,6 +161,53 @@ class TestActorCritic:
         v = value.apply(params["v"], obs_g[0][:, :3])
         assert float(jnp.mean(v)) > 3.44, float(jnp.mean(v))
 
+    def test_target_critic_ema(self):
+        from mfvae_tpu.imagination import make_actor_critic_trainer
+
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, value, init_fn, update_fn = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=3, n_rollouts=4,
+            learning_rate=3e-3, hidden=(16,), target_ema=0.05,
+        )
+        obs_g = starts(spec, 8, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        assert "v_target" in params
+        # at init the target equals the online critic
+        for a, b in zip(jax.tree.leaves(params["v"]),
+                        jax.tree.leaves(params["v_target"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        v0 = jax.tree.leaves(params["v_target"])
+        for i in range(20):
+            params, opt, m = update_fn(params, opt, obs_g,
+                                       jax.random.fold_in(jax.random.PRNGKey(2), i))
+        # the target moved, but lags the online critic (EMA)
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(v0, jax.tree.leaves(params["v_target"]))
+        )
+        lag = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(params["v"]),
+                            jax.tree.leaves(params["v_target"]))
+        )
+        assert moved > 0.0 and lag > 0.0
+        assert np.isfinite(list(
+            {k: float(v) for k, v in m.items()}.values()
+        )).all()
+        # still learns the rewarded action with the slow bootstrap
+        policy2, _, init2, update2 = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, gamma=0.9,
+            hidden=(32,), target_ema=0.05,
+        )
+        p2, o2 = init2(jax.random.PRNGKey(3), obs_g[0][0, 0])
+        for i in range(200):
+            p2, o2, m2 = update2(p2, o2, obs_g,
+                                 jax.random.fold_in(jax.random.PRNGKey(4), i))
+        logits = policy2.apply(p2["pi"], obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+
     def test_policy_params_serve_through_actor(self):
         from mfvae_tpu.imagination import make_actor_critic_trainer
 
