@@ -317,6 +317,10 @@ class BehaviorConfig:
     # Dreamer stabilizer for the measured critic-bias collapse on
     # spread, PARITY.md); 0 = online critic only
     target_ema: float = 0.0
+    # regress the critic in symlog space (DreamerV3) — required when
+    # imagined returns are dense and large-magnitude (spread |G|~100),
+    # where raw delta-1 huber saturates and the critic can't order states
+    critic_symlog: bool = False
     # distill (enumerated+CRN teacher)
     m_rollouts: int = 24
     continuation: str = "hold"  # 'hold' | 'random'

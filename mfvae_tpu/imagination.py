@@ -270,6 +270,14 @@ class ValueMLP(nn.Module):
         return nn.Dense(1)(x)[..., 0]
 
 
+def symlog(x):
+    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+
+
+def symexp(x):
+    return jnp.sign(x) * jnp.expm1(jnp.abs(x))
+
+
 def lambda_returns(rewards, values_next, gamma: float, lam: float):
     """TD(λ) targets over an imagined trajectory, scanned from the end.
 
@@ -307,6 +315,7 @@ def make_actor_critic_trainer(
     lam: float = 0.95,
     hidden: Tuple[int, ...] = (128, 128),
     target_ema: float = 0.0,
+    critic_symlog: bool = False,
 ) -> Tuple[PolicyMLP, ValueMLP, Callable, Callable]:
     """Dreamer-style actor-critic entirely inside imagination.
 
@@ -329,6 +338,12 @@ def make_actor_critic_trainer(
     the online critic's bias feeds back through its own bootstrap and
     the policy collapses onto over-valued states (simple_spread honest
     negative, PARITY.md breadth section).
+
+    ``critic_symlog`` regresses the critic in symlog space
+    (v̂ predicts symlog(G), decoded by symexp for bootstrapping) — the
+    DreamerV3 remedy for dense large-magnitude returns, where a δ=1
+    Huber on raw returns (|G| ~ 100 on spread) saturates to a constant
+    gradient and the critic never learns to ORDER states.
 
     Returns ``(policy, value, init_fn, update_fn)``; ``init_fn(key,
     example_obs_row) -> (params, opt_state)`` with params =
@@ -378,20 +393,29 @@ def make_actor_critic_trainer(
             h, b, P, -1
         )
         obs_seq = jnp.concatenate([obs0[None], obs_next], axis=0)
-        v_all = value.apply(params["v"], obs_seq)  # [H+1, B, P]
+        decode = symexp if critic_symlog else (lambda x: x)
+        v_all = decode(value.apply(params["v"], obs_seq))  # [H+1, B, P]
         if target_ema > 0.0:
             # bootstrap + baseline from the slow critic: the online
             # critic's bias cannot feed back through its own targets
-            v_boot = value.apply(params["v_target"], obs_seq)
+            v_boot = decode(value.apply(params["v_target"], obs_seq))
         else:
             v_boot = v_all
         g = lambda_returns(r, jax.lax.stop_gradient(v_boot[1:]), gamma, lam)
         adv = jax.lax.stop_gradient(g - v_boot[:-1])
         adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
         pg = -jnp.mean(adv * logp)
-        v_loss = jnp.mean(
-            optax.huber_loss(v_all[:-1], jax.lax.stop_gradient(g))
-        )
+        if critic_symlog:
+            v_loss = jnp.mean(
+                optax.huber_loss(
+                    value.apply(params["v"], obs_seq)[:-1],
+                    jax.lax.stop_gradient(symlog(g)),
+                )
+            )
+        else:
+            v_loss = jnp.mean(
+                optax.huber_loss(v_all[:-1], jax.lax.stop_gradient(g))
+            )
         ent_mean = jnp.mean(ent)
         loss = pg + value_coef * v_loss - entropy_coef * ent_mean
         return loss, {

@@ -85,14 +85,17 @@ def main(n_episodes: int = 64, chunks: int = 2, epochs: int = 256,
     curves = {}
     # (name, algo, target_ema): the target-critic arm measures whether
     # the Dreamer stabilizer fixes the online-critic collapse
-    for name, algo, ema in (
-        ("reinforce", "reinforce", 0.0),
-        ("actor_critic", "actor_critic", 0.0),
-        ("actor_critic_target", "actor_critic", 0.05),
-        ("distill", "distill", 0.0),
+    for name, algo, ema, sym in (
+        ("reinforce", "reinforce", 0.0, False),
+        ("actor_critic", "actor_critic", 0.0, False),
+        ("actor_critic_target", "actor_critic", 0.05, False),
+        ("actor_critic_symlog", "actor_critic", 0.0, True),
+        ("actor_critic_symlog_target", "actor_critic", 0.05, True),
+        ("distill", "distill", 0.0, False),
     ):
         cfg.behavior.algo = algo
         cfg.behavior.target_ema = ema
+        cfg.behavior.critic_symlog = sym
         res = _retry(
             lambda: train_behavior(exp, key=jax.random.PRNGKey(7)),
             label=name,

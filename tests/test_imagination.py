@@ -161,6 +161,38 @@ class TestActorCritic:
         v = value.apply(params["v"], obs_g[0][:, :3])
         assert float(jnp.mean(v)) > 3.44, float(jnp.mean(v))
 
+    def test_symlog_roundtrip_and_learning(self):
+        from mfvae_tpu.imagination import (
+            make_actor_critic_trainer,
+            symexp,
+            symlog,
+        )
+
+        x = jnp.array([-250.0, -1.5, 0.0, 3.0, 1e4])
+        np.testing.assert_allclose(np.asarray(symexp(symlog(x))),
+                                   np.asarray(x), rtol=1e-5)
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, value, init_fn, update_fn = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, gamma=0.9,
+            hidden=(32,), critic_symlog=True,
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        for i in range(200):
+            params, opt, m = update_fn(
+                params, opt, obs_g,
+                jax.random.fold_in(jax.random.PRNGKey(2), i),
+            )
+        logits = policy.apply(params["pi"], obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+        # decoded value (symexp of the net output) still sees past horizon
+        from mfvae_tpu.imagination import symexp as se
+
+        v = se(value.apply(params["v"], obs_g[0][:, :3]))
+        assert float(jnp.mean(v)) > 3.0, float(jnp.mean(v))
+
     def test_target_critic_ema(self):
         from mfvae_tpu.imagination import make_actor_critic_trainer
 
