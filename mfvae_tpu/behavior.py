@@ -224,6 +224,7 @@ def train_behavior(
             entropy_coef=bcfg.entropy_coef, value_coef=bcfg.value_coef,
             gamma=bcfg.gamma, lam=bcfg.lam, hidden=hidden,
             target_ema=bcfg.target_ema, critic_symlog=bcfg.critic_symlog,
+            bootstrap_tail=bcfg.bootstrap_tail,
         )
     else:  # distill
         policy, init_fn, update_fn = make_distillation_trainer(

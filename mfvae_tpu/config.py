@@ -321,6 +321,13 @@ class BehaviorConfig:
     # imagined returns are dense and large-magnitude (spread |G|~100),
     # where raw delta-1 huber saturates and the critic can't order states
     critic_symlog: bool = False
+    # False: drop the gamma*V(s_H) tail past the imagination horizon —
+    # the objective becomes the FINITE H-step return with the critic as
+    # a baseline only (with gamma=lam=1: REINFORCE's MC objective +
+    # learned state-value baseline).  The lever that separates
+    # objective-mismatch failures from critic failures (PARITY.md
+    # spread dose-response)
+    bootstrap_tail: bool = True
     # distill (enumerated+CRN teacher)
     m_rollouts: int = 24
     continuation: str = "hold"  # 'hold' | 'random'

@@ -316,6 +316,7 @@ def make_actor_critic_trainer(
     hidden: Tuple[int, ...] = (128, 128),
     target_ema: float = 0.0,
     critic_symlog: bool = False,
+    bootstrap_tail: bool = True,
 ) -> Tuple[PolicyMLP, ValueMLP, Callable, Callable]:
     """Dreamer-style actor-critic entirely inside imagination.
 
@@ -344,6 +345,15 @@ def make_actor_critic_trainer(
     DreamerV3 remedy for dense large-magnitude returns, where a δ=1
     Huber on raw returns (|G| ~ 100 on spread) saturates to a constant
     gradient and the critic never learns to ORDER states.
+
+    ``bootstrap_tail=False`` zeroes the γ·V̂(s_H) tail beyond the
+    imagination horizon, making the objective the FINITE H-step
+    (discounted) return while keeping the learned critic as a
+    variance-reduction baseline.  With ``gamma=1, lam=1`` this is
+    exactly REINFORCE's Monte-Carlo objective with a state-value
+    baseline — the arm that isolates whether an actor-critic failure is
+    the infinite-horizon OBJECTIVE (the spread hypothesis, PARITY.md
+    breadth section) or the critic machinery itself.
 
     Returns ``(policy, value, init_fn, update_fn)``; ``init_fn(key,
     example_obs_row) -> (params, opt_state)`` with params =
@@ -401,7 +411,13 @@ def make_actor_critic_trainer(
             v_boot = decode(value.apply(params["v_target"], obs_seq))
         else:
             v_boot = v_all
-        g = lambda_returns(r, jax.lax.stop_gradient(v_boot[1:]), gamma, lam)
+        v_next = v_boot[1:]
+        if not bootstrap_tail:
+            # finite-horizon objective: no value estimate past s_H (the
+            # intermediate (1-λ)·V̂ mixing still applies; set lam=1 for
+            # a pure Monte-Carlo target)
+            v_next = v_next.at[-1].set(0.0)
+        g = lambda_returns(r, jax.lax.stop_gradient(v_next), gamma, lam)
         adv = jax.lax.stop_gradient(g - v_boot[:-1])
         adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
         pg = -jnp.mean(adv * logp)

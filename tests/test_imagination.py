@@ -161,6 +161,36 @@ class TestActorCritic:
         v = value.apply(params["v"], obs_g[0][:, :3])
         assert float(jnp.mean(v)) > 3.44, float(jnp.mean(v))
 
+    def test_finite_horizon_objective_no_tail_bootstrap(self):
+        # bootstrap_tail=False + lam=1: targets are pure H-step
+        # Monte-Carlo sums.  The stub freezes state, so the critic sees
+        # the SAME state with the per-timestep finite targets
+        # {3.44, 2.71, 1.9, 1.0} and converges to their mean ~2.26 —
+        # strictly BELOW the bootstrapped fixed point (> 3.44 in
+        # test_learns_rewarded_action_and_value): the value no longer
+        # sees past the horizon
+        from mfvae_tpu.imagination import make_actor_critic_trainer
+
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, value, init_fn, update_fn = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, gamma=0.9, lam=1.0,
+            hidden=(32,), bootstrap_tail=False,
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        for i in range(200):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+        assert float(m["score_mean"]) > 0.9, float(m["score_mean"])
+        logits = policy.apply(params["pi"], obs_g[0][:, :3])
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+        v = value.apply(params["v"], obs_g[0][:, :3])
+        assert 1.8 < float(jnp.mean(v)) < 2.8, float(jnp.mean(v))
+
     def test_symlog_roundtrip_and_learning(self):
         from mfvae_tpu.imagination import (
             make_actor_critic_trainer,
