@@ -225,6 +225,7 @@ def train_behavior(
             gamma=bcfg.gamma, lam=bcfg.lam, hidden=hidden,
             target_ema=bcfg.target_ema, critic_symlog=bcfg.critic_symlog,
             bootstrap_tail=bcfg.bootstrap_tail,
+            critic_time_feature=bcfg.critic_time_feature,
         )
     else:  # distill
         policy, init_fn, update_fn = make_distillation_trainer(

@@ -323,11 +323,19 @@ class BehaviorConfig:
     critic_symlog: bool = False
     # False: drop the gamma*V(s_H) tail past the imagination horizon —
     # the objective becomes the FINITE H-step return with the critic as
-    # a baseline only (with gamma=lam=1: REINFORCE's MC objective +
-    # learned state-value baseline).  The lever that separates
-    # objective-mismatch failures from critic failures (PARITY.md
-    # spread dose-response)
+    # a baseline only.  NOTE: pure finite-horizon needs lam=1 too (with
+    # lam<1 the intermediate (1-lam)*V terms still bootstrap from the
+    # critic; construction warns); gamma=lam=1 is REINFORCE's MC
+    # objective + learned state-value baseline.  The lever that
+    # separates objective-mismatch failures from critic failures
+    # (PARITY.md spread dose-response)
     bootstrap_tail: bool = True
+    # append normalized time-remaining ((H-t)/H) to the critic input so
+    # a finite-horizon (bootstrap_tail=false) critic can represent the
+    # horizon-position-dependent value exactly instead of a per-state
+    # mean over horizons.  Changes the critic input width (saved 'v'
+    # params are not interchangeable across this flag)
+    critic_time_feature: bool = False
     # distill (enumerated+CRN teacher)
     m_rollouts: int = 24
     continuation: str = "hold"  # 'hold' | 'random'

@@ -26,6 +26,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -317,6 +318,7 @@ def make_actor_critic_trainer(
     target_ema: float = 0.0,
     critic_symlog: bool = False,
     bootstrap_tail: bool = True,
+    critic_time_feature: bool = False,
 ) -> Tuple[PolicyMLP, ValueMLP, Callable, Callable]:
     """Dreamer-style actor-critic entirely inside imagination.
 
@@ -353,7 +355,19 @@ def make_actor_critic_trainer(
     exactly REINFORCE's Monte-Carlo objective with a state-value
     baseline — the arm that isolates whether an actor-critic failure is
     the infinite-horizon OBJECTIVE (the spread hypothesis, PARITY.md
-    breadth section) or the critic machinery itself.
+    breadth section) or the critic machinery itself.  NOTE: with
+    ``lam < 1`` the intermediate (1−λ)·V̂ terms still bootstrap from the
+    critic, so the objective is NOT the pure finite-horizon return —
+    set ``lam=1`` for that (warned at construction).
+
+    ``critic_time_feature`` appends normalized time-remaining
+    ((H−t)/H) to the critic's input.  Under ``bootstrap_tail=False``
+    the regression target for the same state differs by its position in
+    the horizon (the remaining H−t step return), which a
+    time-independent critic can only fit as a per-state mean over
+    horizons; the extra feature lets it represent the finite-horizon
+    value exactly.  Default off: it changes the critic's input width
+    (saved 'v' params are not interchangeable across the flag).
 
     Returns ``(policy, value, init_fn, update_fn)``; ``init_fn(key,
     example_obs_row) -> (params, opt_state)`` with params =
@@ -361,6 +375,13 @@ def make_actor_critic_trainer(
     ``update_fn(params, opt_state, obs_starts_g, key) -> (params,
     opt_state, metrics)`` — same surface as the other imagination
     trainers, so make_policy_actor serves params['pi'] unchanged."""
+    if not bootstrap_tail and lam < 1.0:
+        warnings.warn(
+            "bootstrap_tail=False with lam<1 is NOT the pure finite-"
+            "horizon objective: intermediate (1-lam)*V terms still "
+            "bootstrap from the critic. Set lam=1 for the Monte-Carlo "
+            "finite-H return (the spread-study MC arm does)."
+        )
     P = _plan_prefix(spec, plan_agents)
     act_dim = int(spec.act_dims[0])
     if getattr(env, "discrete_actions", True):
@@ -368,6 +389,18 @@ def make_actor_critic_trainer(
     else:
         policy = GaussianPolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
     value = ValueMLP(hidden=tuple(hidden))
+
+    def _critic_obs(obs_seq):
+        # [H+1, B, P, od] -> optionally append normalized time remaining
+        # ((H-t)/H: 1 at the start state, 0 at the horizon's last state)
+        if not critic_time_feature:
+            return obs_seq
+        hp1 = obs_seq.shape[0]
+        tr = jnp.arange(hp1 - 1, -1, -1, dtype=obs_seq.dtype) / max(hp1 - 1, 1)
+        tr = jnp.broadcast_to(
+            tr[:, None, None, None], obs_seq.shape[:-1] + (1,)
+        )
+        return jnp.concatenate([obs_seq, tr], axis=-1)
     rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
     if step_score_fn is None:
         idx = jnp.arange(P)
@@ -380,9 +413,14 @@ def make_actor_critic_trainer(
     def init_fn(key, example_obs_row):
         k_pi, k_v = jax.random.split(key)
         row = example_obs_row[None, None, :]
+        v_row = row
+        if critic_time_feature:
+            v_row = jnp.concatenate(
+                [row, jnp.ones(row.shape[:-1] + (1,), row.dtype)], axis=-1
+            )
         params = {
             "pi": policy.init(k_pi, row),
-            "v": value.init(k_v, row),
+            "v": value.init(k_v, v_row),
         }
         if target_ema > 0.0:
             params["v_target"] = jax.tree.map(jnp.copy, params["v"])
@@ -402,7 +440,7 @@ def make_actor_critic_trainer(
         obs_next = _plan_obs_rows(states.reshape(h * b, -1)).reshape(
             h, b, P, -1
         )
-        obs_seq = jnp.concatenate([obs0[None], obs_next], axis=0)
+        obs_seq = _critic_obs(jnp.concatenate([obs0[None], obs_next], axis=0))
         decode = symexp if critic_symlog else (lambda x: x)
         v_all = decode(value.apply(params["v"], obs_seq))  # [H+1, B, P]
         if target_ema > 0.0:

@@ -32,8 +32,58 @@ import jax
 import jax.numpy as jnp
 
 from mfvae_tpu.inference import WorldModel
-from mfvae_tpu.models.mavae import AgentSpec
+from mfvae_tpu.models.mavae import AgentSpec, agent_order_concat
 from mfvae_tpu.training.trainer import make_action_sampler, stacked_to_grouped
+
+
+class EnvDynamicsModel:
+    """The REAL env wrapped in the planner's imagination contract — the
+    true-dynamics control arm that decomposes the planning gap to the
+    scripted oracle into model error vs planner limitation (the question
+    the learned-model results alone cannot answer: if the same planner
+    through TRUE dynamics reaches the oracle, the learned model binds; if
+    it doesn't, the planner's horizon/budget/score does).
+
+    ``needs_state = True``: planners built on this plan from the live env
+    state (a diagnostic upper bound, not a servable actor — real agents
+    only have observations) and pass STACKED action plans [H, N, A(, d)]
+    straight through, no grouping.  ``_rollout(state, plans)`` returns
+    ``(states [H, N, Σobs], rewards [H, N, A])`` in exactly
+    ``WorldModel._rollout``'s output layout (flat next-obs in grouped
+    agent order via agent_order_concat, models/mavae.py), so every
+    score_fn written for the learned model scores the true futures
+    unchanged.  The env step key is fixed — MPE dynamics are
+    deterministic (envs/mpe.py), so all candidates share common random
+    numbers by construction."""
+
+    needs_state = True
+
+    def __init__(self, env, spec: AgentSpec):
+        self.env = env
+        self.spec = spec
+
+        def _flat_obs(stacked_obs):
+            grouped = tuple(
+                g[None] for g in stacked_to_grouped(spec, stacked_obs)
+            )
+            return agent_order_concat(spec, grouped)[0]  # [Σobs]
+
+        @jax.jit
+        def _rollout(state0, plans):
+            # plans: stacked [H, N, A(, d)] — one candidate per column
+            def one(plan):  # [H, A(, d)]
+                def step(s, a_t):
+                    nobs, ns, rew, _, _ = env.step_stacked(
+                        jax.random.PRNGKey(0), s, a_t
+                    )
+                    return ns, (_flat_obs(nobs), rew)
+
+                _, (states, rewards) = jax.lax.scan(step, state0, plan)
+                return states, rewards  # [H, Σobs], [H, A]
+
+            return jax.vmap(one, in_axes=1, out_axes=1)(plans)
+
+        self._rollout = _rollout
 
 
 def make_mpc_actor(
@@ -76,8 +126,13 @@ def make_mpc_actor(
     and holds it for the whole horizon (constant-action plans) — the
     candidate set becomes "which direction should I commit to for H
     steps", concentrating selection pressure on direction instead of
-    averaging over random walks."""
+    averaging over random walks.
+
+    A ``wm`` with ``needs_state=True`` (EnvDynamicsModel) imagines from
+    the live env state instead of the observation: call the actor as
+    ``act(stacked_obs, key, state)``."""
     assert candidate_mode in ("random", "repeat"), candidate_mode
+    needs_state = getattr(wm, "needs_state", False)
     sample_actions, group_actions = make_action_sampler(env, spec)
     idx = jnp.asarray(
         tuple(plan_agents) if plan_agents is not None else tuple(range(spec.n_agents))
@@ -90,7 +145,7 @@ def make_mpc_actor(
             def score_fn(states, rewards):
                 return jnp.sum(rewards[..., idx], axis=(0, 2))  # [N]
 
-    def act(stacked_obs, key):
+    def act(stacked_obs, key, state=None):
         if candidate_mode == "repeat":
             first = sample_actions(key, (n_candidates,))  # [N, A(, d)]
             plans = jnp.broadcast_to(
@@ -98,11 +153,18 @@ def make_mpc_actor(
             )  # [H, N, A(, d)]
         else:
             plans = sample_actions(key, (horizon, n_candidates))
-        obs_g = tuple(
-            jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
-            for o in stacked_to_grouped(spec, stacked_obs)
-        )
-        states, rewards = wm._rollout(obs_g, group_actions(plans))
+        if needs_state:
+            assert state is not None, (
+                "this planner imagines through the true dynamics "
+                "(EnvDynamicsModel): call act(stacked_obs, key, state)"
+            )
+            states, rewards = wm._rollout(state, plans)
+        else:
+            obs_g = tuple(
+                jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
+                for o in stacked_to_grouped(spec, stacked_obs)
+            )
+            states, rewards = wm._rollout(obs_g, group_actions(plans))
         score = score_fn(states, rewards)
         first_acts = plans[0]  # [N, A(, d)]
         if not factorized:
@@ -150,6 +212,7 @@ def make_cem_actor(
             "make_cem_actor currently implements the discrete-action "
             "categorical CEM; use make_mpc_actor for continuous envs"
         )
+    needs_state = getattr(wm, "needs_state", False)
     sample_actions, group_actions = make_action_sampler(env, spec)
     idx = jnp.asarray(
         tuple(plan_agents) if plan_agents is not None else tuple(range(spec.n_agents))
@@ -166,11 +229,18 @@ def make_cem_actor(
     valid = jnp.arange(K)[None, :] < act_dims[:, None]  # [P, K]
     neg_inf = jnp.finfo(jnp.float32).min
 
-    def act(stacked_obs, key):
-        obs_g = tuple(
-            jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
-            for o in stacked_to_grouped(spec, stacked_obs)
-        )
+    def act(stacked_obs, key, state=None):
+        if needs_state:
+            assert state is not None, (
+                "this planner imagines through the true dynamics "
+                "(EnvDynamicsModel): call act(stacked_obs, key, state)"
+            )
+            obs_g = None
+        else:
+            obs_g = tuple(
+                jnp.broadcast_to(o[None], (n_candidates,) + o.shape)
+                for o in stacked_to_grouped(spec, stacked_obs)
+            )
         if proposal_fn is None:
             logits0 = jnp.where(valid[None], 0.0, neg_inf)  # [1, P, K]
         else:
@@ -191,7 +261,10 @@ def make_cem_actor(
             # opponent process)
             full = sample_actions(k_other, (horizon, n_candidates))
             full = full.at[:, :, idx].set(plan_acts)
-            states, rewards = wm._rollout(obs_g, group_actions(full))
+            if needs_state:
+                states, rewards = wm._rollout(state, full)
+            else:
+                states, rewards = wm._rollout(obs_g, group_actions(full))
             scores = score_fn(states, rewards)  # [N, P]
             # per-agent elites -> refit that agent's [H, K] categoricals
             _, elite_n = jax.lax.top_k(scores.T, n_elite)  # [P, E]

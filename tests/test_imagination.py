@@ -191,6 +191,59 @@ class TestActorCritic:
         v = value.apply(params["v"], obs_g[0][:, :3])
         assert 1.8 < float(jnp.mean(v)) < 2.8, float(jnp.mean(v))
 
+    def test_critic_time_feature_fits_finite_horizon_exactly(self):
+        # ADVICE r4: under bootstrap_tail=False a time-independent critic
+        # can only fit the per-state MEAN over horizon positions (~2.26
+        # in the test above).  critic_time_feature appends (H-t)/H to its
+        # input, so the same frozen-state stub now admits the exact
+        # finite-horizon values {3.44, 2.71, 1.90, 1.00} at time-remaining
+        # {1, .75, .5, .25}
+        from mfvae_tpu.imagination import make_actor_critic_trainer
+
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, value, init_fn, update_fn = make_actor_critic_trainer(
+            wm, StubEnv(), spec, (0, 1, 2), horizon=4, n_rollouts=8,
+            learning_rate=3e-3, entropy_coef=1e-3, value_coef=2.0,
+            gamma=0.9, lam=1.0,
+            hidden=(32,), bootstrap_tail=False, critic_time_feature=True,
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        key = jax.random.PRNGKey(2)
+        for i in range(500):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+        assert float(m["score_mean"]) > 0.9, float(m["score_mean"])
+        obs = obs_g[0][:, :3]
+        want = {1.0: 3.439, 0.75: 2.71, 0.5: 1.9, 0.25: 1.0}
+        got = {}
+        for tr, target in want.items():
+            x = jnp.concatenate(
+                [obs, jnp.full(obs.shape[:-1] + (1,), tr)], axis=-1
+            )
+            got[tr] = float(jnp.mean(value.apply(params["v"], x)))
+            assert abs(got[tr] - target) < 0.35, (tr, got[tr], target)
+        # and the fit is genuinely time-dependent (monotone in remaining)
+        assert got[1.0] > got[0.75] > got[0.5] > got[0.25], got
+
+    def test_finite_horizon_lam_warning(self):
+        # ADVICE r4: bootstrap_tail=False with lam<1 still bootstraps the
+        # intermediate (1-lam)*V terms — warn so callers don't mistake the
+        # flag alone for the pure finite-horizon objective
+        import pytest
+
+        from mfvae_tpu.imagination import make_actor_critic_trainer
+
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        with pytest.warns(UserWarning, match="finite"):
+            make_actor_critic_trainer(
+                wm, StubEnv(), spec, (0, 1, 2), horizon=4,
+                bootstrap_tail=False, lam=0.95,
+            )
+
     def test_symlog_roundtrip_and_learning(self):
         from mfvae_tpu.imagination import (
             make_actor_critic_trainer,

@@ -194,6 +194,100 @@ class TestMPC:
                                     key=jax.random.PRNGKey(15))
         assert np.isfinite(np.asarray(rewards)).all()
 
+    def test_true_dynamics_rollout_matches_manual_env_stepping(self):
+        """EnvDynamicsModel._rollout must reproduce stepping the real env
+        by hand, candidate by candidate, in WorldModel._rollout's output
+        layout (flat obs in grouped agent order)."""
+        from mfvae_tpu.models.mavae import agent_order_concat
+        from mfvae_tpu.planning import EnvDynamicsModel
+        from mfvae_tpu.training.trainer import stacked_to_grouped
+
+        env, spec, _ = tiny_env_model()
+        tdm = EnvDynamicsModel(env, spec)
+        _, state0 = env.reset_stacked(jax.random.PRNGKey(30))
+        sample_actions, _ = make_action_sampler(env, spec)
+        H, N = 3, 4
+        plans = sample_actions(jax.random.PRNGKey(31), (H, N))
+        states, rewards = tdm._rollout(state0, plans)
+        assert states.shape[:2] == (H, N) and rewards.shape == (H, N, spec.n_agents)
+        for n in range(N):
+            s = state0
+            for t in range(H):
+                nobs, s, rew, _, _ = env.step_stacked(
+                    jax.random.PRNGKey(0), s, plans[t, n]
+                )
+                flat = agent_order_concat(
+                    spec, tuple(g[None] for g in stacked_to_grouped(spec, nobs))
+                )[0]
+                np.testing.assert_allclose(
+                    np.asarray(states[t, n]), np.asarray(flat),
+                    rtol=1e-5, atol=1e-6,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(rewards[t, n]), np.asarray(rew),
+                    rtol=1e-5, atol=1e-6,
+                )
+
+    def test_true_dynamics_planner_beats_random(self):
+        """The planning smoke regression (VERDICT r4 #6b): distance-scored
+        factorized MPC through a PERFECTLY conditioned model (the true
+        dynamics) must beat random actions on real return — if planner
+        selection silently breaks, this fails no matter how good the
+        model is."""
+        from mfvae_tpu.planning import EnvDynamicsModel
+
+        env, spec, _ = tiny_env_model()
+        tdm = EnvDynamicsModel(env, spec)
+        n_adv = 2
+        od_adv = spec.obs_dims[0]
+        # tiny tag obs layout: [vel(2), pos(2), obs rel(2), other adv rel(2),
+        # prey rel(2), prey vel(2)] — prey offset 4 + 2*1 + 2*(n_adv-1)
+        prey_off = 4 + 2 * 1 + 2 * (n_adv - 1)
+
+        def dist_fact(states, rewards):
+            h, n = states.shape[:2]
+            adv = states[:, :, : n_adv * od_adv].reshape(h, n, n_adv, od_adv)
+            rel = adv[..., prey_off : prey_off + 2]
+            d = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12)
+            return -jnp.sum(d, axis=0)  # [N, n_adv]
+
+        mpc = make_mpc_actor(
+            tdm, env, spec, horizon=4, n_candidates=16, plan_agents=(0, 1),
+            score_fn=dist_fact, factorized=True, candidate_mode="repeat",
+        )
+        sample_actions, _ = make_action_sampler(env, spec)
+        is_adv = jnp.arange(spec.n_agents) < n_adv
+
+        def joint_mpc(obs, state, key):
+            k1, k2 = jax.random.split(key)
+            return jnp.where(is_adv, mpc(obs, k1, state), sample_actions(k2))
+
+        def joint_rand(obs, state, key):
+            return sample_actions(key)
+
+        key = jax.random.PRNGKey(42)
+        r_mpc = eval_joint_policy(env, spec, joint_mpc, n_episodes=8,
+                                  ep_len=16, key=key)
+        r_rand = eval_joint_policy(env, spec, joint_rand, n_episodes=8,
+                                   ep_len=16, key=key)
+        adv_mpc = float(jnp.mean(jnp.sum(r_mpc[:, :, :n_adv], axis=(1, 2))))
+        adv_rand = float(jnp.mean(jnp.sum(r_rand[:, :, :n_adv], axis=(1, 2))))
+        assert adv_mpc > adv_rand, (adv_mpc, adv_rand)
+
+    def test_true_dynamics_cem_valid(self):
+        from mfvae_tpu.planning import EnvDynamicsModel, make_cem_actor
+
+        env, spec, _ = tiny_env_model()
+        tdm = EnvDynamicsModel(env, spec)
+        act = make_cem_actor(tdm, env, spec, horizon=3, n_candidates=8,
+                             plan_agents=(0, 1), iters=2)
+        obs, state = env.reset_stacked(jax.random.PRNGKey(33))
+        a1 = jax.jit(act)(obs, jax.random.PRNGKey(34), state)
+        a2 = jax.jit(act)(obs, jax.random.PRNGKey(34), state)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert (np.asarray(a1) >= 0).all()
+        assert (np.asarray(a1) < np.asarray(spec.act_dims)).all()
+
     def test_eval_harness_runs_mpc_in_the_loop(self):
         env, spec, wm = tiny_env_model()
         mpc = make_mpc_actor(wm, env, spec, horizon=2, n_candidates=4,
