@@ -231,7 +231,7 @@ class TrainConfig:
     bug_compat_rng: bool = False
     log_dir: str = "results"
     run_name: str = ""
-    checkpoint_dir: str = "model_save"
+    checkpoint_dir: str = "model_save"  # '' disables checkpointing
     checkpoint_every: int = 0  # epochs; 0 = only at end
     resume: bool = False
     # dev-mode numerical guard (SURVEY §5.2: the TPU-native stand-in for

@@ -19,8 +19,36 @@ import jax
 import orbax.checkpoint as ocp
 
 
+class NullCheckpointManager:
+    """Checkpointing disabled (train.checkpoint_dir='').  Same surface as
+    CheckpointManager; save/wait/close are no-ops, restore finds nothing.
+    Without this, an empty directory resolved to the CWD and step dirs
+    like ./1 appeared wherever the process ran."""
+
+    directory = None
+
+    def save(self, step, payload) -> None:
+        pass
+
+    def restore(self, step=None, like=None):
+        return None
+
+    def latest_step(self):
+        return None
+
+    def wait(self):
+        pass
+
+    def close(self):
+        pass
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3, async_save: bool = True):
+        assert directory, (
+            "CheckpointManager needs a directory; use NullCheckpointManager "
+            "(train.checkpoint_dir='') to disable checkpointing"
+        )
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         opts = ocp.CheckpointManagerOptions(

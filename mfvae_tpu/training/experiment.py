@@ -26,7 +26,7 @@ from mfvae_tpu.data.transitions import GroupedTransition
 from mfvae_tpu.envs.mpe import make
 from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
 from mfvae_tpu.rng import make_streams
-from mfvae_tpu.training.checkpoint import CheckpointManager
+from mfvae_tpu.training.checkpoint import CheckpointManager, NullCheckpointManager
 from mfvae_tpu.training.metrics import MetricsLogger
 from mfvae_tpu.training.trainer import (
     EnvCarry,
@@ -227,7 +227,11 @@ class Experiment:
         # overrides) next to the run's metrics; reloading it reproduces the
         # run exactly (python main.py <run_dir>/config.yaml)
         save_config(cfg, str(self.logger.run_dir / "config.yaml"))
-        self.ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+        self.ckpt = (
+            CheckpointManager(cfg.train.checkpoint_dir)
+            if cfg.train.checkpoint_dir
+            else NullCheckpointManager()
+        )
         if cfg.train.resume:
             self._try_resume()
         return self

@@ -215,6 +215,25 @@ class TestEndToEnd:
         result = exp.run()
         assert np.isfinite(result["loss_train"])
 
+    def test_disabled_checkpointing_writes_nothing(self, tmp_path, monkeypatch):
+        """train.checkpoint_dir='' disables checkpointing entirely — no
+        step directories may appear in the CWD (the stray `./1` orbax dirs
+        this guards against) or anywhere else."""
+        from mfvae_tpu.training.checkpoint import NullCheckpointManager
+        from mfvae_tpu.training.experiment import Experiment
+
+        monkeypatch.chdir(tmp_path)
+        cfg = tiny_cfg(tmp_path, epoch_num=2)
+        cfg.train.checkpoint_dir = ""
+        cfg.train.checkpoint_every = 1  # would save every epoch if enabled
+        exp = Experiment(cfg).setup()
+        assert isinstance(exp.ckpt, NullCheckpointManager)
+        result = exp.run()
+        assert np.isfinite(result["loss_train"])
+        # only the metrics dir exists; no orbax step dirs like ./1
+        stray = [p for p in tmp_path.iterdir() if p.name.isdigit()]
+        assert stray == []
+
     def test_split_epoch_mode_matches_shapes(self, tmp_path):
         from mfvae_tpu.training.experiment import Experiment
 
