@@ -303,6 +303,121 @@ def main():
         best_det = min(best_det, time.perf_counter() - t0)
     det_sps = BATCH * N_SCAN / best_det
 
+    # Recipe rows (VERDICT r4 item 7): the shipped dynamics-recipe configs
+    # — examples/world_model.yaml (unfused decoders + LayerNorm + residual
+    # + state_skip, a different perf profile from the fused parity trunk)
+    # and examples/world_model_unroll.yaml (the W=8 open-loop objective,
+    # training/unroll.py) — graded under the same scan discipline so the
+    # scorecard shows what the dynamics quality costs next to det128.
+    _mark("recipe row (world_model.yaml)")
+    from mfvae_tpu.data.transitions import GroupedTransition
+
+    recipe_loss = LossConfig(s_weight=300.0)
+    recipe_model = MAVAE.from_config(
+        ModelConfig(
+            det_features=128,
+            residual_state=True,
+            state_skip=True,
+            decoder_layernorm=True,
+            fused_decoders=False,
+        ),
+        spec,
+    )
+    recipe_vars = recipe_model.init(
+        jax.random.PRNGKey(0), inputs, None, jax.random.PRNGKey(1)
+    )
+    recipe_host_vars = jax.tree.map(np.asarray, recipe_vars)
+    fresh_recipe_state = lambda: create_train_state(
+        recipe_model, jax.tree.map(jnp.asarray, recipe_host_vars), TrainConfig()
+    )
+    recipe_step_raw = make_train_step(recipe_loss)
+    recipe_flops = _flops_per_step(
+        jax.jit(recipe_step_raw, donate_argnums=0),
+        fresh_recipe_state(),
+        batch,
+        jax.random.PRNGKey(2),
+    )
+
+    def scan_recipe(state, keys):
+        def body(s, k):
+            s, outs = recipe_step_raw(s, batch, k)
+            return s, outs.loss
+        return jax.lax.scan(body, state, keys)
+
+    scan_recipe_jit = jax.jit(scan_recipe, donate_argnums=0)
+    recipe_state = fresh_recipe_state()
+    recipe_state, r_losses = scan_recipe_jit(recipe_state, keys)
+    float(r_losses[-1])  # compile + sync
+    best_recipe = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        recipe_state, r_losses = scan_recipe_jit(recipe_state, keys)
+        float(r_losses[-1])
+        best_recipe = min(best_recipe, time.perf_counter() - t0)
+    recipe_sps = BATCH * N_SCAN / best_recipe
+
+    # unroll W=8 variant: one step consumes a [B, W] window batch and
+    # supervises B*W predictions (BPTT through the feedback), so the
+    # like-for-like throughput unit is TRAINED TRANSITIONS per second
+    # (B*W per step), reported alongside windows/s to avoid ambiguity.
+    _mark("recipe unroll-W8 row (world_model_unroll.yaml)")
+    from mfvae_tpu.training.unroll import make_unroll_train_step
+
+    W_UNROLL = 8
+    unroll_step_raw = make_unroll_train_step(spec, recipe_loss, W_UNROLL)
+    wbatch = GroupedTransition(
+        obs=tuple(
+            jnp.asarray(
+                rng.normal(size=(BATCH, W_UNROLL, len(idxs), od)), jnp.float32
+            )
+            for (od, _), idxs in spec.groups
+        ),
+        actions=tuple(
+            jnp.asarray(
+                rng.integers(0, ad, size=(BATCH, W_UNROLL, len(idxs))),
+                jnp.int32,
+            )
+            for (_, ad), idxs in spec.groups
+        ),
+        next_obs=tuple(
+            jnp.asarray(
+                rng.normal(size=(BATCH, W_UNROLL, len(idxs), od)), jnp.float32
+            )
+            for (od, _), idxs in spec.groups
+        ),
+        rewards=jnp.asarray(
+            rng.normal(size=(BATCH, W_UNROLL, spec.n_agents)), jnp.float32
+        ),
+        done=jnp.zeros((BATCH, W_UNROLL), jnp.float32),
+    )
+    unroll_flops = _flops_per_step(
+        jax.jit(unroll_step_raw, donate_argnums=0),
+        fresh_recipe_state(),
+        wbatch,
+        jax.random.PRNGKey(2),
+    )
+    N_SCAN_U = 100
+
+    def scan_unroll(state, keys):
+        def body(s, k):
+            s, outs = unroll_step_raw(s, wbatch, k)
+            return s, outs.loss
+        return jax.lax.scan(body, state, keys)
+
+    scan_unroll_jit = jax.jit(scan_unroll, donate_argnums=0)
+    keys_u = jax.random.split(jax.random.PRNGKey(11), N_SCAN_U)
+    unroll_state = fresh_recipe_state()
+    unroll_state, u_losses = scan_unroll_jit(unroll_state, keys_u)
+    float(u_losses[-1])  # compile + sync
+    best_unroll = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        unroll_state, u_losses = scan_unroll_jit(unroll_state, keys_u)
+        float(u_losses[-1])
+        best_unroll = min(best_unroll, time.perf_counter() - t0)
+    unroll_windows_ps = BATCH * N_SCAN_U / best_unroll
+    unroll_transitions_ps = unroll_windows_ps * W_UNROLL
+
     # Full epoch pipeline (collect + train + test-collect + eval) at the
     # canonical reference scale, comparable to the reference's 67.8 s/epoch
     # / ~19 trained samples/s end-to-end (BASELINE.md).  Both disciplines:
@@ -395,6 +510,31 @@ def main():
         "det128_b256_mfu_pct": (
             round(100 * det_flops * (det_sps / BATCH) / V5E_PEAK_FLOPS, 2)
             if det_flops
+            else None
+        ),
+        # dynamics-recipe config (examples/world_model.yaml): the planning/
+        # Dyna/imagination story's world model, one-step objective
+        "recipe_b256_samples_per_sec": round(recipe_sps, 2),
+        "recipe_b256_mfu_pct": (
+            round(100 * recipe_flops * (recipe_sps / BATCH) / V5E_PEAK_FLOPS, 2)
+            if recipe_flops
+            else None
+        ),
+        # recipe + open-loop unroll (examples/world_model_unroll.yaml):
+        # one step = B windows x W=8 trained transitions (BPTT)
+        "recipe_unroll8_b256w8_transitions_per_sec": round(
+            unroll_transitions_ps, 2
+        ),
+        "recipe_unroll8_b256w8_windows_per_sec": round(unroll_windows_ps, 2),
+        "recipe_unroll8_b256w8_mfu_pct": (
+            round(
+                100
+                * unroll_flops
+                * (unroll_windows_ps / BATCH)
+                / V5E_PEAK_FLOPS,
+                2,
+            )
+            if unroll_flops
             else None
         ),
     }
