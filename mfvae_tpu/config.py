@@ -137,6 +137,24 @@ class LossConfig:
     # zero (measured, PARITY.md round 4) — s_weight~300 equalizes the
     # branch magnitudes without touching the reward scale.
     s_weight: float = 1.0
+    # Contact-sharpness levers (round 5, PARITY.md): the reward-oracle
+    # probe bounds ANY reward head at the sharpness of the predicted
+    # geometry at the contact radius (0.125), so these aim the state loss
+    # at exactly that subspace.  Both default off (= reference objective).
+    #
+    # >0: per-SAMPLE weight on the state branch — transitions where any
+    # agent's reward exceeds contact_threshold (tag contacts pay +/-10)
+    # count (1 + contact_weight)x in the state loss (weighted mean, so
+    # the branch scale is unchanged; the gradient shifts toward contact
+    # geometry).  Works in both the one-step and unroll objectives.
+    contact_weight: float = 0.0
+    contact_threshold: float = 0.5
+    # >0: per-COLUMN weight on the state branch — each adversary's
+    # relative-prey observation dims (the exact columns the true reward
+    # function reads) count (1 + prey_dist_weight)x in the per-sample
+    # state loss (weighted column mean).  simple_tag layout only; the
+    # trainer derives the column vector from the env config.
+    prey_dist_weight: float = 0.0
 
     def resolved_weights(self) -> Tuple[float, float]:
         if self.family == "jax":
@@ -327,8 +345,12 @@ class BehaviorConfig:
     # lam<1 the intermediate (1-lam)*V terms still bootstrap from the
     # critic; construction warns); gamma=lam=1 is REINFORCE's MC
     # objective + learned state-value baseline.  The lever that
-    # separates objective-mismatch failures from critic failures
-    # (PARITY.md spread dose-response)
+    # separates objective-mismatch failures from critic failures.
+    # Guidance (measured, PARITY.md spread dose-response): on short
+    # finite-horizon dense-reward tasks set bootstrap_tail=false + lam=1
+    # (or drop gamma to ~0.5) — the gamma=0.95 bootstrapped objective
+    # cost 15 return points on spread; keep the default on long-horizon
+    # sparse tasks (tag: AC beats REINFORCE)
     bootstrap_tail: bool = True
     # append normalized time-remaining ((H-t)/H) to the critic input so
     # a finite-horizon (bootstrap_tail=false) critic can represent the

@@ -97,6 +97,50 @@ def huber(x: jnp.ndarray, y: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
     return jnp.mean(0.5 * quadratic * quadratic + delta * linear)
 
 
+def _elem_loss(
+    x: jnp.ndarray, y: jnp.ndarray, cfg: "LossConfig"
+) -> jnp.ndarray:
+    """Per-element huber/mse (no reduction) — the building block for the
+    weighted state-branch variants (contact_weight / prey_dist_weight)."""
+    d = (x - y).astype(jnp.float32)
+    if not cfg.use_huber:
+        return d * d
+    abs_err = jnp.abs(d)
+    quadratic = jnp.minimum(abs_err, cfg.huber_delta)
+    linear = abs_err - quadratic
+    return 0.5 * quadratic * quadratic + cfg.huber_delta * linear
+
+
+def weighted_state_loss(
+    recon_state: jnp.ndarray,
+    next_state: jnp.ndarray,
+    rewards: jnp.ndarray,
+    cfg: "LossConfig",
+    s_col_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """State-branch loss with the contact-sharpness levers.
+
+    Column weighting (``s_col_weight`` [D], built by the trainer from the
+    env layout when cfg.prey_dist_weight > 0): weighted mean over columns
+    per sample.  Sample weighting (cfg.contact_weight > 0): transitions
+    whose max agent reward exceeds cfg.contact_threshold count
+    (1 + contact_weight)x, normalized by the total weight so the branch
+    scale is unchanged.  With both levers off this reduces exactly to
+    mean(elem) = huber/mse, the reference objective."""
+    elem = _elem_loss(next_state, recon_state, cfg)  # [B, D] (or [B*, D])
+    if s_col_weight is not None:
+        rows = jnp.sum(elem * s_col_weight, axis=-1) / jnp.sum(s_col_weight)
+    else:
+        rows = jnp.mean(elem, axis=-1)  # [B]
+    if cfg.contact_weight > 0.0:
+        contact = (
+            jnp.max(rewards, axis=-1) > cfg.contact_threshold
+        ).astype(jnp.float32)
+        w = 1.0 + cfg.contact_weight * contact
+        return jnp.sum(rows * w) / jnp.maximum(jnp.sum(w), 1e-9)
+    return jnp.mean(rows)
+
+
 def kl_gaussian(
     mu: jnp.ndarray,
     logvar: jnp.ndarray,
@@ -168,6 +212,7 @@ def elbo_losses(
     logvar: jnp.ndarray,
     cfg: LossConfig,
     kl_scale: Optional[jnp.ndarray] = None,
+    s_col_weight: Optional[jnp.ndarray] = None,
 ) -> LossOutputs:
     """Total training loss.  ``kl_scale`` (in [0,1]) is the annealing factor
     supplied by the trainer when ``cfg.kl_anneal_steps > 0``.
@@ -178,17 +223,28 @@ def elbo_losses(
     When the model runs the two-hot reward head (``recon_reward`` arrives as
     logits [B, A, K] instead of scalars [B, A]), the reward term is the
     two-hot cross-entropy instead of huber/mse — detected by rank, so every
-    train/test step works for both head modes unchanged."""
+    train/test step works for both head modes unchanged.
+
+    ``s_col_weight`` / cfg.contact_weight route the state branch through
+    weighted_state_loss (the contact-sharpness levers); both off =
+    reference objective, bit-identical."""
     twohot = recon_reward.ndim == rewards.ndim + 1
-    if cfg.use_huber:
+    weighted = s_col_weight is not None or cfg.contact_weight > 0.0
+    if weighted:
+        s_loss = weighted_state_loss(
+            recon_state, next_state, rewards, cfg, s_col_weight
+        )
+    elif cfg.use_huber:
         s_loss = huber(next_state, recon_state, cfg.huber_delta)
+    else:
+        s_loss = mse(next_state, recon_state)
+    if cfg.use_huber:
         r_loss = (
             jnp.mean(twohot_ce_rows(recon_reward, rewards))
             if twohot
             else huber(rewards, recon_reward, cfg.huber_delta)
         )
     else:
-        s_loss = mse(next_state, recon_state)
         r_loss = (
             jnp.mean(twohot_ce_rows(recon_reward, rewards))
             if twohot

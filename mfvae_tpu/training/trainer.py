@@ -24,6 +24,7 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.training import train_state as flax_train_state
@@ -119,19 +120,31 @@ def make_train_step(
     mode: str = "Adam",
     popart_beta: float = 3e-4,
     use_pallas: bool = False,
+    s_col_weight=None,
 ) -> Callable:
     """Build the fused train step.  Signature:
     (state, batch: VaeBatch, rng_key) -> (state, LossOutputs).
 
     use_pallas routes the forward through MAVAE.fused_call (Pallas
     reparam+KL kernel) and the recon losses through the Pallas huber
-    reduction."""
+    reduction.  ``s_col_weight`` ([Σobs], from build_s_col_weight) routes
+    the state branch through the weighted column mean — the
+    contact-sharpness lever."""
     assert mode in ("Adam", "ART", "POPART"), mode
     use_art = mode in ("ART", "POPART")
     use_pop = mode == "POPART"
     if use_pallas:
         assert loss_cfg.free_bits == 0.0, "pallas path has no free-bits support"
         assert loss_cfg.use_huber, "pallas path implements the huber family"
+        assert s_col_weight is None and loss_cfg.contact_weight == 0.0, (
+            "the pallas fused path has no weighted-state-branch support "
+            "(loss.contact_weight / loss.prey_dist_weight)"
+        )
+    if use_art:
+        assert loss_cfg.contact_weight == 0.0, (
+            "loss.contact_weight reads raw reward targets; ART/POPART "
+            "normalization is unsupported — use train.mode='Adam'"
+        )
 
     def train_step(
         state: VaeTrainState, batch: VaeBatch, rng_key
@@ -171,6 +184,7 @@ def make_train_step(
                 out = elbo_losses(
                     recon_s, recon_r, batch.next_state, reward_targets,
                     mu, logvar, loss_cfg, kl_scale=kl_scale,
+                    s_col_weight=s_col_weight,
                 )
                 return out.loss, out
 
@@ -188,7 +202,9 @@ def make_train_step(
     return train_step
 
 
-def make_test_step(loss_cfg: LossConfig, mode: str = "Adam") -> Callable:
+def make_test_step(
+    loss_cfg: LossConfig, mode: str = "Adam", s_col_weight=None
+) -> Callable:
     """Eval step: forward + losses, no gradient (jax_ver/trainer.py:86-90).
     Under ART/POPART the reward loss is computed against normalized targets,
     consistent with training."""
@@ -202,10 +218,35 @@ def make_test_step(loss_cfg: LossConfig, mode: str = "Adam") -> Callable:
             state.params, batch.inputs, None, rng_key
         )
         return elbo_losses(
-            recon_s, recon_r, batch.next_state, reward_targets, mu, logvar, loss_cfg
+            recon_s, recon_r, batch.next_state, reward_targets, mu, logvar,
+            loss_cfg, s_col_weight=s_col_weight,
         )
 
     return test_step
+
+
+def build_s_col_weight(spec, cfg) -> Optional["jnp.ndarray"]:
+    """Column-weight vector [Σobs] for loss.prey_dist_weight: each
+    adversary's relative-prey observation dims — the exact columns the
+    true tag reward reads (envs/mpe.py SimpleTagEnv._observe layout:
+    self_vel(2), self_pos(2), landmark_rel(2L), other_adv_rel(2(n_adv-1)),
+    prey_rel(2·n_good)) — count (1 + prey_dist_weight)x in the state
+    branch.  None when the lever is off."""
+    if cfg.loss.prey_dist_weight <= 0.0:
+        return None
+    assert "simple_tag" in cfg.env.name, (
+        f"loss.prey_dist_weight knows the simple_tag obs layout only, "
+        f"got env {cfg.env.name!r}"
+    )
+    n_adv = cfg.env.num_adversaries
+    n_good = cfg.env.num_good_agents
+    od_adv = spec.obs_dims[0]
+    prey_off = 4 + 2 * cfg.env.num_obs + 2 * (n_adv - 1)
+    w = np.ones(sum(spec.obs_dims), np.float32)
+    for a in range(n_adv):
+        base = a * od_adv + prey_off
+        w[base : base + 2 * n_good] += cfg.loss.prey_dist_weight
+    return jnp.asarray(w)
 
 
 # ---------------------------------------------------------------------------
@@ -377,13 +418,17 @@ def make_phase_fns(
             use_pallas=cfg.model.use_pallas,
             stop_gradient=cfg.train.unroll_stop_gradient,
             mean_feedback=cfg.train.unroll_mean_feedback,
+            s_col_weight=build_s_col_weight(spec, cfg),
         )
     else:
         train_step = make_train_step(
             cfg.loss, cfg.train.mode, cfg.train.popart_beta,
             use_pallas=cfg.model.use_pallas,
+            s_col_weight=build_s_col_weight(spec, cfg),
         )
-    test_step = make_test_step(cfg.loss, cfg.train.mode)
+    test_step = make_test_step(
+        cfg.loss, cfg.train.mode, s_col_weight=build_s_col_weight(spec, cfg)
+    )
     sample_actions, group_actions = make_action_sampler(env, spec)
     collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
 
@@ -529,13 +574,17 @@ def make_batched_epoch_fn(
             use_pallas=cfg.model.use_pallas,
             stop_gradient=cfg.train.unroll_stop_gradient,
             mean_feedback=cfg.train.unroll_mean_feedback,
+            s_col_weight=build_s_col_weight(spec, cfg),
         )
     else:
         train_step = make_train_step(
             cfg.loss, cfg.train.mode, cfg.train.popart_beta,
             use_pallas=cfg.model.use_pallas,
+            s_col_weight=build_s_col_weight(spec, cfg),
         )
-    test_step = make_test_step(cfg.loss, cfg.train.mode)
+    test_step = make_test_step(
+        cfg.loss, cfg.train.mode, s_col_weight=build_s_col_weight(spec, cfg)
+    )
     sample_actions, group_actions = make_action_sampler(env, spec)
     collect_policy = _resolve_collect_policy(env, spec, cfg, sample_actions)
     E = cfg.train.n_envs

@@ -42,7 +42,12 @@ import optax
 
 from mfvae_tpu.config import LossConfig
 from mfvae_tpu.data.transitions import GroupedTransition
-from mfvae_tpu.models.losses import LossOutputs, combine_losses, twohot_ce_rows
+from mfvae_tpu.models.losses import (
+    LossOutputs,
+    _elem_loss,
+    combine_losses,
+    twohot_ce_rows,
+)
 from mfvae_tpu.models.mavae import (
     AgentSpec,
     GroupedBatch,
@@ -84,6 +89,7 @@ def make_unroll_loss_fn(
     unroll_steps: int,
     stop_gradient: bool = False,
     mean_feedback: bool = False,
+    s_col_weight=None,
 ) -> Callable:
     """Build ``loss_fn(apply_fn, params, wbatch, rng_key, kl_scale) ->
     (loss, LossOutputs)`` over a window batch (GroupedTransition leaves
@@ -118,7 +124,14 @@ def make_unroll_loss_fn(
             recon_s, recon_r, mu, logvar = apply_fn(
                 params, GroupedBatch(obs=carry_obs, actions=act_t), None, k_t
             )
-            if loss_cfg.use_huber:
+            if s_col_weight is not None:
+                # contact-sharpness column lever: weighted column mean
+                # (same semantics as losses.weighted_state_loss)
+                elem = _elem_loss(recon_s, tgt_s, loss_cfg)
+                s_rows = jnp.sum(elem * s_col_weight, axis=-1) / jnp.sum(
+                    s_col_weight
+                )
+            elif loss_cfg.use_huber:
                 s_rows = _huber_rows(recon_s, tgt_s, loss_cfg.huber_delta)
             else:
                 s_rows = _mse_rows(recon_s, tgt_s)
@@ -130,11 +143,21 @@ def make_unroll_loss_fn(
             else:
                 r_rows = _mse_rows(recon_r, tgt_r)
             kl_rows = _kl_rows(mu, logvar, loss_cfg.free_bits)
+            if loss_cfg.contact_weight > 0.0:
+                # contact-sharpness sample lever: contact transitions count
+                # (1 + contact_weight)x in the STATE branch only
+                contact = (
+                    jnp.max(tgt_r, axis=-1) > loss_cfg.contact_threshold
+                ).astype(jnp.float32)
+                s_w = mask * (1.0 + loss_cfg.contact_weight * contact)
+            else:
+                s_w = mask
             sums = (
-                jnp.sum(s_rows * mask),
+                jnp.sum(s_rows * s_w),
                 jnp.sum(r_rows * mask),
                 jnp.sum(kl_rows * mask),
                 jnp.sum(mask),
+                jnp.sum(s_w),
             )
             # feed the prediction back (gradients flow through the scan
             # carry unless stop_gradient); windows die at episode boundaries
@@ -152,13 +175,13 @@ def make_unroll_loss_fn(
                 fb = jax.lax.stop_gradient(fb)
             return (state_to_grouped(spec, fb), new_mask), sums
 
-        _, (s_sum, r_sum, kl_sum, w_sum) = jax.lax.scan(
+        _, (s_sum, r_sum, kl_sum, w_sum, sw_sum) = jax.lax.scan(
             step,
             (obs0, jnp.ones((b,), jnp.float32)),
             (acts, next_obs, rewards, done, keys),
         )
         total_w = jnp.maximum(jnp.sum(w_sum), 1.0)
-        s_loss = jnp.sum(s_sum) / total_w
+        s_loss = jnp.sum(s_sum) / jnp.maximum(jnp.sum(sw_sum), 1.0)
         r_loss = jnp.sum(r_sum) / total_w
         kl_loss = jnp.sum(kl_sum) / total_w
         out = combine_losses(s_loss, r_loss, kl_loss, loss_cfg, kl_scale)
@@ -175,6 +198,7 @@ def make_unroll_train_step(
     use_pallas: bool = False,
     stop_gradient: bool = False,
     mean_feedback: bool = False,
+    s_col_weight=None,
 ) -> Callable:
     """Fused multi-step train step: (state, wbatch, rng_key) ->
     (state, LossOutputs).  ``wbatch`` is a GroupedTransition window batch
@@ -190,7 +214,8 @@ def make_unroll_train_step(
             "fused kernel is a one-step program)"
         )
     loss_fn = make_unroll_loss_fn(
-        spec, loss_cfg, unroll_steps, stop_gradient, mean_feedback
+        spec, loss_cfg, unroll_steps, stop_gradient, mean_feedback,
+        s_col_weight=s_col_weight,
     )
 
     from mfvae_tpu.training.trainer import _kl_scale  # avoid cycle at import

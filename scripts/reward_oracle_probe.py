@@ -56,11 +56,11 @@ def auc(pred: np.ndarray, event: np.ndarray) -> float:
     )
 
 
-def main(epochs: int = 256, n_starts: int = 256, T: int = 64):
+def oracle_auc_cells(exp, wm, n_starts: int = 256, T: int = 64) -> dict:
+    """The probe as a reusable measurement (also used by
+    contact_sharpness_study.py): per collection policy, the true-reward
+    oracle's contact AUC on predicted vs current vs true-next geometry."""
     t0 = time.time()
-    exp = train_sticky(8, epochs, hold=HOLD, grad_clip=10.0,
-                       tag="_sticky90_w8_clip10")
-    wm = WorldModel(exp.model, exp.carry.train_state.params)
     env, spec = exp.env, exp.spec
     n_adv = exp.cfg.env.num_adversaries
     n_good = exp.cfg.env.num_good_agents
@@ -149,6 +149,14 @@ def main(epochs: int = 256, n_starts: int = 256, T: int = 64):
         results[policy] = row
         print(f"[{time.time()-t0:.0f}s] {policy}: {json.dumps(row)}",
               flush=True)
+    return results
+
+
+def main(epochs: int = 256, n_starts: int = 256, T: int = 64):
+    exp = train_sticky(8, epochs, hold=HOLD, grad_clip=10.0,
+                       tag="_sticky90_w8_clip10")
+    wm = WorldModel(exp.model, exp.carry.train_state.params)
+    results = oracle_auc_cells(exp, wm, n_starts, T)
 
     out = {"study": "reward oracle on predicted geometry", "contact": CONTACT,
            "cells": results}

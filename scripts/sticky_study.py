@@ -48,6 +48,7 @@ HORIZONS = (1, 5, 25)
 def train_sticky(
     unroll: int, epochs: int, hold: float = 0.75, grad_clip: float = 0.0,
     tag: str = "", reward_head: str = "linear", reward_input: str = "latent",
+    contact_weight: float = 0.0, prey_dist_weight: float = 0.0,
 ) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
@@ -58,6 +59,8 @@ def train_sticky(
     cfg.model.reward_head_mode = reward_head
     cfg.model.reward_head_input = reward_input
     cfg.loss.s_weight = 300.0
+    cfg.loss.contact_weight = contact_weight
+    cfg.loss.prey_dist_weight = prey_dist_weight
     cfg.buffer.max_size = 10240
     cfg.train.unroll_steps = unroll
     cfg.train.grad_clip = grad_clip
