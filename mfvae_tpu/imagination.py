@@ -256,6 +256,166 @@ def make_imagination_trainer(
     return policy, init_fn, update_fn
 
 
+def make_selfplay_rollout(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    horizon: int = 8,
+):
+    """Two-TEAM policy-in-the-loop imagination (round 5): every agent acts
+    from its own team's policy — no random placeholders — so adversarial
+    behavior can be learned inside the same world model from both sides.
+    Teams are the spec's two agent groups (simple_tag: group 0 =
+    adversaries, group 1 = good agents); each policy reads its own group's
+    observations.  Discrete actions only.
+
+    Returns ``rollout(params_a, apply_a, params_b, apply_b, obs_g, key) ->
+    (states [H, B, Σobs], rewards [H, B, A],
+     (logp_a [H, B, Ga], ent_a), (logp_b [H, B, Gb], ent_b))`` —
+    fully scan-compiled; each team's gradients reach its params through
+    its own logp/ent only."""
+    assert len(spec.groups) == 2, (
+        f"self-play imagination needs exactly two agent groups (teams), "
+        f"spec has {len(spec.groups)}"
+    )
+    assert getattr(env, "discrete_actions", True), (
+        "self-play imagination is discrete-actions only"
+    )
+    _, group_actions = make_action_sampler(env, spec)
+    idx_a = jnp.asarray(spec.groups[0][1])
+    idx_b = jnp.asarray(spec.groups[1][1])
+    n_agents = spec.n_agents
+
+    def _team_step(apply_fn, params, obs_team, k):
+        logits = jax.nn.log_softmax(apply_fn(params, obs_team), axis=-1)
+        acts = jax.random.categorical(k, logits)  # [B, G]
+        logp = jnp.take_along_axis(logits, acts[..., None], axis=-1)[..., 0]
+        ent = -jnp.sum(jnp.exp(logits) * logits, axis=-1)
+        return acts, logp, ent
+
+    def rollout(params_a, apply_a, params_b, apply_b, obs_g, key):
+        b = obs_g[0].shape[0]
+
+        def step(carry_obs, k_t):
+            k_a, k_b = jax.random.split(k_t)
+            acts_a, logp_a, ent_a = _team_step(
+                apply_a, params_a, carry_obs[0], k_a
+            )
+            acts_b, logp_b, ent_b = _team_step(
+                apply_b, params_b, carry_obs[1], k_b
+            )
+            stacked = (
+                jnp.zeros((b, n_agents), jnp.int32)
+                .at[:, idx_a].set(acts_a)
+                .at[:, idx_b].set(acts_b)
+            )
+            ns, rw = wm._predict(
+                GroupedBatch(obs=carry_obs, actions=group_actions(stacked))
+            )
+            return wm._state_to_grouped(ns), (
+                ns, rw, logp_a, ent_a, logp_b, ent_b
+            )
+
+        _, (states, rewards, logp_a, ent_a, logp_b, ent_b) = jax.lax.scan(
+            step, obs_g, jax.random.split(key, horizon)
+        )
+        return states, rewards, (logp_a, ent_a), (logp_b, ent_b)
+
+    return rollout
+
+
+def make_selfplay_trainer(
+    wm: WorldModel,
+    env,
+    spec: AgentSpec,
+    score_a_fn: Callable,
+    score_b_fn: Callable,
+    horizon: int = 8,
+    n_rollouts: int = 16,
+    learning_rate: float = 3e-4,
+    entropy_coef: float = 1e-2,
+    hidden: Tuple[int, ...] = (128, 128),
+):
+    """Alternating best-response REINFORCE for BOTH teams inside the same
+    imagination (round 5 stretch: the capability no reference leg hints
+    at).  Each update trains ONE team's policy while the other is frozen
+    (the frozen side still acts — only the training side's log-probs carry
+    gradient).  Same leave-one-mean baseline + per-start normalization as
+    make_imagination_trainer.
+
+    ``score_X_fn(states [H, B, Σobs], rewards [H, B, A]) -> [B, G_X]``
+    per-agent scores for team X (A-team = group 0, B-team = group 1; on
+    tag: adversaries minimize prey distance, prey maximize it).
+
+    Returns ``(policy_a, policy_b, init_fn, update_a_fn, update_b_fn)``:
+      init_fn(key, obs_row_a [od_a], obs_row_b [od_b])
+        -> ((params_a, opt_a), (params_b, opt_b))
+      update_X_fn(params_X, opt_X, params_other, obs_starts_g, key)
+        -> (params_X, opt_X, metrics)"""
+    act_a = int(spec.act_dims[spec.groups[0][1][0]])
+    act_b = int(spec.act_dims[spec.groups[1][1][0]])
+    policy_a = PolicyMLP(hidden=tuple(hidden), act_dim=act_a)
+    policy_b = PolicyMLP(hidden=tuple(hidden), act_dim=act_b)
+    rollout = make_selfplay_rollout(wm, env, spec, horizon)
+    tx = optax.adam(learning_rate)
+
+    def init_fn(key, obs_row_a, obs_row_b):
+        k1, k2 = jax.random.split(key)
+        pa = policy_a.init(k1, obs_row_a[None, None, :])
+        pb = policy_b.init(k2, obs_row_b[None, None, :])
+        return (pa, tx.init(pa)), (pb, tx.init(pb))
+
+    def _pg_loss(score, logp, ent):
+        # score [B, G], logp [H, B, G] -> leave-one-mean REINFORCE
+        s = score.shape[0] // n_rollouts
+        g = score.shape[-1]
+        score = score.reshape(s, n_rollouts, g)
+        adv = score - jnp.mean(score, axis=1, keepdims=True)
+        adv = adv / (jnp.std(score, axis=1, keepdims=True) + 1e-6)
+        logp_sum = jnp.sum(logp, axis=0).reshape(s, n_rollouts, g)
+        pg = -jnp.mean(jax.lax.stop_gradient(adv) * logp_sum)
+        ent_mean = jnp.mean(ent)
+        return pg - entropy_coef * ent_mean, {
+            "score_mean": jnp.mean(score),
+            "entropy": ent_mean,
+            "pg_loss": pg,
+        }
+
+    def _make_update(train_a: bool):
+        def loss_fn(params_train, params_frozen, obs_g, key):
+            if train_a:
+                states, rewards, (logp, ent), _ = rollout(
+                    params_train, policy_a.apply,
+                    jax.lax.stop_gradient(params_frozen), policy_b.apply,
+                    obs_g, key,
+                )
+                score = score_a_fn(states, rewards)
+            else:
+                states, rewards, _, (logp, ent) = rollout(
+                    jax.lax.stop_gradient(params_frozen), policy_a.apply,
+                    params_train, policy_b.apply,
+                    obs_g, key,
+                )
+                score = score_b_fn(states, rewards)
+            return _pg_loss(score, logp, ent)
+
+        @jax.jit
+        def update_fn(params_train, opt_state, params_frozen, obs_starts_g,
+                      key):
+            obs_g = tuple(
+                jnp.repeat(o, n_rollouts, axis=0) for o in obs_starts_g
+            )
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params_train, params_frozen, obs_g, key)
+            updates, new_opt = tx.update(grads, opt_state, params_train)
+            return optax.apply_updates(params_train, updates), new_opt, metrics
+
+        return update_fn
+
+    return policy_a, policy_b, init_fn, _make_update(True), _make_update(False)
+
+
 class ValueMLP(nn.Module):
     """Per-agent value head: own observation row -> scalar V̂ (shared
     params across the homogeneous plan agents, like PolicyMLP)."""
