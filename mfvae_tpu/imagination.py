@@ -416,6 +416,28 @@ def make_selfplay_trainer(
     return policy_a, policy_b, init_fn, _make_update(True), _make_update(False)
 
 
+def make_team_actor(
+    policy: PolicyMLP,
+    params,
+    spec: AgentSpec,
+    group: int,
+    greedy: bool = False,
+):
+    """Serve ONE team's self-play policy: ``act(stacked_obs, key) ->
+    [G_group]`` actions for that group's agents from its own observations
+    (discrete).  Compose per team inside an eval_joint_policy arm — e.g.
+    adversaries from the self-play A policy, prey from B or scripted."""
+
+    def act(stacked_obs, key):
+        obs_g = stacked_to_grouped(spec, stacked_obs)
+        logits = policy.apply(params, obs_g[group][None])[0]  # [G, K]
+        if greedy:
+            return jnp.argmax(logits, axis=-1)
+        return jax.random.categorical(key, logits)
+
+    return act
+
+
 class ValueMLP(nn.Module):
     """Per-agent value head: own observation row -> scalar V̂ (shared
     params across the homogeneous plan agents, like PolicyMLP)."""
