@@ -105,6 +105,16 @@ class ModelConfig:
     # model but not on the reward branch's input.  Requires
     # fused_decoders=false (the fused trunk shares one input).
     reward_head_input: str = "latent"
+    # Direct action->own-obs-delta pathway (round 5): zero-initialized
+    # per-group linear from each agent's action embedding to its OWN
+    # observation slice, added to the decoded state.  Motivation: the
+    # oracle-decomposition control arm (results/r5/oracle_decomposition
+    # .json) proved the learned model is the ENTIRE planning gap
+    # (true-dynamics CEM = the scripted oracle), and the action signal
+    # otherwise reaches the state only through the shared trunk where the
+    # passive dynamics dominate the gradient.  Composes with
+    # residual_state; default off (reference structure).
+    action_delta_head: bool = False
 
 
 @dataclass

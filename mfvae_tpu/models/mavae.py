@@ -279,6 +279,18 @@ class MAVAE(nn.Module):
     # (PARITY.md round 4 reward-head study).  stop_gradient keeps the
     # reward loss from distorting the state path.  Unfused decoders only.
     reward_head_input: str = "latent"
+    # Direct action->own-obs-delta pathway (round 5): a zero-initialized
+    # per-group linear from each agent's action embedding to its OWN
+    # observation slice, ADDED to the decoded state.  Motivation: the
+    # oracle-decomposition study proved the learned model is the entire
+    # planning gap (true-dynamics CEM = the scripted oracle), and the
+    # action signal otherwise reaches the state only through the shared
+    # decoder trunk where the passive dynamics dominate the gradient.
+    # This gives the optimizer a one-hop route from "agent a held LEFT"
+    # to "agent a's position moved left".  Composes with residual_state
+    # (the delta head then shapes the predicted delta directly); default
+    # off (reference structure), zero-init so 'on' starts bit-identical.
+    action_delta_head: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, spec: AgentSpec) -> "MAVAE":
@@ -305,6 +317,7 @@ class MAVAE(nn.Module):
             reward_head_mode=cfg.reward_head_mode,
             reward_bins=cfg.reward_bins,
             reward_head_input=cfg.reward_head_input,
+            action_delta_head=cfg.action_delta_head,
         )
 
     def setup(self):
@@ -355,6 +368,19 @@ class MAVAE(nn.Module):
                 )
         self.encoders = encoders
         self.action_encoders = action_encoders
+
+        if self.action_delta_head:
+            # zero-init: the pathway starts as an exact no-op and only
+            # grows where the state loss pulls it
+            self.action_delta_heads = [
+                nn.Dense(
+                    obs_dim,
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros,
+                    name=f"action_delta_head_{g}",
+                )
+                for g, ((obs_dim, _), _) in enumerate(spec.groups)
+            ]
 
 
         if self.reward_head_mode not in ("linear", "twohot"):
@@ -548,15 +574,30 @@ class MAVAE(nn.Module):
             parts.append(base_state)
         flat = jnp.concatenate(parts, axis=-1).astype(self.dtype)
         twohot = self.reward_head_mode == "twohot"
+
+        def _add_action_delta(recon):
+            # direct action->own-obs-delta pathway (see action_delta_head)
+            deltas = tuple(
+                self.action_delta_heads[g](aemb[:, jnp.asarray(idxs), :])
+                for g, ((_, _), idxs) in enumerate(self.spec.groups)
+            )
+            return recon + agent_order_concat(self.spec, deltas).astype(
+                recon.dtype
+            )
+
         if self.fused_decoders:
             both = jnp.broadcast_to(flat[:, None, :], (b, 2) + flat.shape[-1:])
             h = nn.relu(self.decoder_trunk(both))  # [B, 2, last_hidden]
             recon_state = self.state_head(h[:, 0])
+            if self.action_delta_head:
+                recon_state = _add_action_delta(recon_state)
             recon_reward = self.reward_head(h[:, 1])
             if not twohot:
                 recon_reward = self.reward_linear(recon_reward)
         else:
             recon_state = self.state_decoder(flat)
+            if self.action_delta_head:
+                recon_state = _add_action_delta(recon_state)
             if self.reward_head_input == "pred_state":
                 # reward from PREDICTED GEOMETRY: the finished next-state
                 # prediction (stop-grad: the reward loss must not distort

@@ -48,6 +48,9 @@ ARMS = (
     {"name": "contact10", "contact_weight": 10.0, "prey_dist_weight": 0.0},
     {"name": "preyw9", "contact_weight": 0.0, "prey_dist_weight": 9.0},
     {"name": "both", "contact_weight": 10.0, "prey_dist_weight": 9.0},
+    # the other model-side lever VERDICT names: hold past 0.9
+    {"name": "hold95", "contact_weight": 0.0, "prey_dist_weight": 0.0,
+     "hold": 0.95},
 )
 
 
@@ -59,7 +62,7 @@ def main(epochs: int = 256):
         tag = ("_sticky90_w8_clip10" if name == "baseline"
                else f"_sharp_{name}")
         exp = train_sticky(
-            8, epochs, hold=0.9, grad_clip=10.0, tag=tag,
+            8, epochs, hold=arm.get("hold", 0.9), grad_clip=10.0, tag=tag,
             contact_weight=arm["contact_weight"],
             prey_dist_weight=arm["prey_dist_weight"],
         )

@@ -52,7 +52,7 @@ N_CANDIDATES = 256
 
 
 def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
-         epochs: int = 256):
+         epochs: int = 256, levers: int = 0):
     t0 = time.time()
     exp = train_sticky(8, epochs, hold=0.9, grad_clip=10.0,
                        tag="_sticky90_w8_clip10")
@@ -115,20 +115,25 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
         tdm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
         plan_agents=adv_idx, score_fn=dist_fact, iters=3,
     ))
-    # planner levers through TRUE dynamics: score (exact rewards), horizon,
-    # candidate budget
+    # planner SCORE lever through TRUE dynamics: the exact reward signal
     add_actor("true:cem_rew_i3", make_cem_actor(
         tdm, env, spec, horizon=HORIZON, n_candidates=N_CANDIDATES,
         plan_agents=adv_idx, score_fn=None, iters=3,
     ))
-    add_actor("true:cem_dist_i3_H16", make_cem_actor(
-        tdm, env, spec, horizon=16, n_candidates=N_CANDIDATES,
-        plan_agents=adv_idx, score_fn=dist_fact, iters=3,
-    ))
-    add_actor("true:cem_dist_i3_N1024", make_cem_actor(
-        tdm, env, spec, horizon=HORIZON, n_candidates=1024,
-        plan_agents=adv_idx, score_fn=dist_fact, iters=3,
-    ))
+    # horizon/budget levers (H16, N1024): the first run measured
+    # true:cem_dist_i3 = 208,748 = the scripted oracle (209,133), so the
+    # planner has NO remaining headroom and these arms are moot; they also
+    # crashed the axon TPU worker (1024 candidates x 41-agent env state
+    # through a 128-step planning-in-the-loop scan).  Gated off.
+    if levers:
+        add_actor("true:cem_dist_i3_H16", make_cem_actor(
+            tdm, env, spec, horizon=16, n_candidates=N_CANDIDATES,
+            plan_agents=adv_idx, score_fn=dist_fact, iters=3,
+        ))
+        add_actor("true:cem_dist_i3_N1024", make_cem_actor(
+            tdm, env, spec, horizon=HORIZON, n_candidates=1024,
+            plan_agents=adv_idx, score_fn=dist_fact, iters=3,
+        ))
 
     results = {}
     for name, pol in arms.items():
@@ -156,4 +161,4 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:5]])
+    main(*[int(a) for a in sys.argv[1:6]])

@@ -49,6 +49,7 @@ def train_sticky(
     unroll: int, epochs: int, hold: float = 0.75, grad_clip: float = 0.0,
     tag: str = "", reward_head: str = "linear", reward_input: str = "latent",
     contact_weight: float = 0.0, prey_dist_weight: float = 0.0,
+    action_delta_head: bool = False,
 ) -> Experiment:
     cfg = ExperimentConfig()
     cfg.model.det_features = 128
@@ -58,6 +59,7 @@ def train_sticky(
     cfg.model.fused_decoders = False
     cfg.model.reward_head_mode = reward_head
     cfg.model.reward_head_input = reward_input
+    cfg.model.action_delta_head = action_delta_head
     cfg.loss.s_weight = 300.0
     cfg.loss.contact_weight = contact_weight
     cfg.loss.prey_dist_weight = prey_dist_weight
