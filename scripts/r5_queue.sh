@@ -26,6 +26,7 @@ declare -a JOBS=(
   "results/r4/dreamer_iteration.json -- python scripts/dreamer_iteration_study.py 32 128 4 256 1500"
   "results/r5/dreamer_loop.json -- python scripts/dreamer_loop_study.py 3 32 128 4 256 1500"
   "results/r5/selfplay.json -- python scripts/selfplay_study.py 32 128 4 256 4 400"
+  "results/r5/generalist.json -- python scripts/generalist_study.py 256"
   "results/r4/mpc_sticky.json -- python scripts/mpc_sticky_study.py 32 128 4 75"
   "results/r4/teacher_consistency.json -- python scripts/teacher_consistency_probe.py 64"
   "results/r4/actor_critic.json -- python scripts/actor_critic_study.py 32 128 4 256 1500"
