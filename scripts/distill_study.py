@@ -72,10 +72,19 @@ S_STARTS = 32  # B = S*(1+VISIT_STEPS) = 128 states/update; x(5*M) rollouts
 
 
 def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
-         epochs: int = 256, updates: int = 1000, width: int = 128):
+         epochs: int = 256, updates: int = 1000, width: int = 128,
+         control_wm: int = 0):
     t0 = time.time()
-    exp = train_sticky(8, epochs, hold=HOLD, grad_clip=10.0,
-                       tag="_sticky90_w8_clip10")
+    # control_wm=1 (round 5): distill through the CONTROL-grade world
+    # model (action_delta_head + hold 0.95, examples/world_model_control
+    # .yaml) — the teacher then ranks actions through a model whose CEM
+    # reaches 92% of the scripted oracle (results/r5/action_delta.json)
+    if control_wm:
+        exp = train_sticky(8, epochs, hold=0.95, grad_clip=10.0,
+                           tag="_adh95_w8_clip10", action_delta_head=True)
+    else:
+        exp = train_sticky(8, epochs, hold=HOLD, grad_clip=10.0,
+                           tag="_sticky90_w8_clip10")
     wm = WorldModel(exp.model, exp.carry.train_state.params)
     env, spec = exp.env, exp.spec
     n_adv = exp.cfg.env.num_adversaries
@@ -206,4 +215,4 @@ def main(n_episodes: int = 32, ep_len: int = 128, chunks: int = 4,
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:7]])
+    main(*[int(a) for a in sys.argv[1:8]])
