@@ -376,35 +376,25 @@ def main():
         jax.random.PRNGKey(0), inputs, None, jax.random.PRNGKey(1)
     )
     control_host_vars = jax.tree.map(np.asarray, control_vars)
-    control_state = create_train_state(
-        control_model,
-        jax.tree.map(jnp.asarray, control_host_vars),
-        TrainConfig(),
+    fresh_control_state = lambda: create_train_state(
+        control_model, jax.tree.map(jnp.asarray, control_host_vars), TrainConfig()
     )
     control_flops = _flops_per_step(
         jax.jit(recipe_step_raw, donate_argnums=0),
-        create_train_state(
-            control_model,
-            jax.tree.map(jnp.asarray, control_host_vars),
-            TrainConfig(),
-        ),
+        fresh_control_state(),
         batch,
         jax.random.PRNGKey(2),
     )
 
-    def scan_control(state, keys):
-        def body(s, k):
-            s, outs = recipe_step_raw(s, batch, k)
-            return s, outs.loss
-        return jax.lax.scan(body, state, keys)
-
-    scan_control_jit = jax.jit(scan_control, donate_argnums=0)
-    control_state, c_losses = scan_control_jit(control_state, keys)
+    # scan_recipe_jit retraces for the control state's param structure
+    # (extra delta-head params) — same step fn, no duplicate scan helper
+    control_state = fresh_control_state()
+    control_state, c_losses = scan_recipe_jit(control_state, keys)
     float(c_losses[-1])  # compile + sync
     best_control = float("inf")
     for r in range(2):
         t0 = time.perf_counter()
-        control_state, c_losses = scan_control_jit(control_state, keys)
+        control_state, c_losses = scan_recipe_jit(control_state, keys)
         float(c_losses[-1])
         best_control = min(best_control, time.perf_counter() - t0)
     control_sps = BATCH * N_SCAN / best_control

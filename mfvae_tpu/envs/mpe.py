@@ -134,6 +134,13 @@ class SimpleTagEnv:
             self.num_good_agents if adversary else self.num_good_agents - 1
         )
 
+    def prey_rel_slice(self) -> slice:
+        """Columns of an ADVERSARY observation holding the relative-prey
+        positions — see tag_prey_rel_slice."""
+        return tag_prey_rel_slice(
+            self.num_obs, self.num_adversaries, self.num_good_agents
+        )
+
     def action_space(self, agent: str):
         if self.discrete_actions:
             return Discrete(5)
@@ -953,6 +960,19 @@ _REGISTRY = {
 _KWARG_MAP = {
     "MPE_simple_spread_v3": {"num_good_agents": "num_agents"},
 }
+
+
+def tag_prey_rel_slice(num_obs: int, n_adv: int, n_good: int) -> slice:
+    """Columns of an ADVERSARY's simple_tag observation holding the
+    relative-prey positions — the exact subspace the true tag reward
+    reads.  Single source of truth for the offset into
+    SimpleTagEnv._observe's layout [self_vel(2), self_pos(2),
+    landmark_rel(2L), other_adv_rel(2(n_adv-1)), prey_rel(2*n_good),
+    good_vel...]; the loss-side prey_dist_weight lever
+    (trainer.build_s_col_weight) derives from this instead of re-deriving
+    the formula."""
+    off = 4 + 2 * num_obs + 2 * (n_adv - 1)
+    return slice(off, off + 2 * n_good)
 
 
 def make(name: str, **kwargs):

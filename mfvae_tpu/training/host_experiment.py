@@ -34,7 +34,12 @@ from mfvae_tpu.envs.host_adapter import (
 from mfvae_tpu.models.mavae import AgentSpec, GroupedBatch, MAVAE
 from mfvae_tpu.rng import make_streams
 from mfvae_tpu.training.metrics import MetricsLogger
-from mfvae_tpu.training.trainer import create_train_state, make_test_step, make_train_step
+from mfvae_tpu.training.trainer import (
+    build_s_col_weight,
+    create_train_state,
+    make_test_step,
+    make_train_step,
+)
 
 
 class HostExperiment:
@@ -146,11 +151,19 @@ class HostExperiment:
             return create_train_state(self.model, variables, cfg.train)
 
         self.train_state = jax.jit(build)(k_model, fake.inputs)
+        s_col_w = build_s_col_weight(self.spec, cfg)
         self._train_jit = jax.jit(
-            make_train_step(cfg.loss, cfg.train.mode, cfg.train.popart_beta),
+            make_train_step(
+                cfg.loss,
+                cfg.train.mode,
+                cfg.train.popart_beta,
+                s_col_weight=s_col_w,
+            ),
             donate_argnums=0,
         )
-        self._test_jit = jax.jit(make_test_step(cfg.loss, cfg.train.mode))
+        self._test_jit = jax.jit(
+            make_test_step(cfg.loss, cfg.train.mode, s_col_weight=s_col_w)
+        )
         self.logger = MetricsLogger(cfg.train.log_dir, cfg.train.run_name or "host_run")
         save_config(cfg, str(self.logger.run_dir / "config.yaml"))
         return self

@@ -238,14 +238,17 @@ def build_s_col_weight(spec, cfg) -> Optional["jnp.ndarray"]:
         f"loss.prey_dist_weight knows the simple_tag obs layout only, "
         f"got env {cfg.env.name!r}"
     )
+    from mfvae_tpu.envs.mpe import tag_prey_rel_slice
+
     n_adv = cfg.env.num_adversaries
-    n_good = cfg.env.num_good_agents
     od_adv = spec.obs_dims[0]
-    prey_off = 4 + 2 * cfg.env.num_obs + 2 * (n_adv - 1)
+    sl = tag_prey_rel_slice(
+        cfg.env.num_obs, n_adv, cfg.env.num_good_agents
+    )
     w = np.ones(sum(spec.obs_dims), np.float32)
     for a in range(n_adv):
-        base = a * od_adv + prey_off
-        w[base : base + 2 * n_good] += cfg.loss.prey_dist_weight
+        base = a * od_adv
+        w[base + sl.start : base + sl.stop] += cfg.loss.prey_dist_weight
     return jnp.asarray(w)
 
 

@@ -67,8 +67,13 @@ from dreamer_iteration_study import (  # noqa: E402
 )
 from sticky_study import train_sticky  # noqa: E402
 
-# collection epsilon per iteration (iteration 0 is sticky-random, no eps)
+# collection epsilon per iteration (iteration 0 is sticky-random, no eps);
+# iterations past the scheduled ones hold the final value
 EPS_SCHEDULE = {1: 0.05, 2: 0.03, 3: 0.02}
+
+
+def eps_for(i: int) -> float:
+    return EPS_SCHEDULE.get(i, EPS_SCHEDULE[max(EPS_SCHEDULE)])
 
 
 def train_wm_on_policy(i: int, policy_path: str, epochs: int,
@@ -88,7 +93,7 @@ def train_wm_on_policy(i: int, policy_path: str, epochs: int,
     cfg.train.grad_clip = 10.0
     cfg.train.epoch_num = epochs
     cfg.train.collect_policy = f"imagination:{policy_path}"
-    cfg.train.collect_epsilon = EPS_SCHEDULE[i]
+    cfg.train.collect_epsilon = eps_for(i)
     cfg.train.collect_mix_frac = HOLD
     cfg.train.epochs_per_dispatch = 32
     cfg.train.run_name = f"dreamer_loop_wm{i}"
@@ -124,7 +129,7 @@ def main(n_iters: int = 3, n_episodes: int = 32, ep_len: int = 128,
     for i in range(0, n_iters + 1):
         rec = {"iter": i,
                "collect": "sticky_random" if i == 0
-               else f"imagination:policy{i-1} eps={EPS_SCHEDULE[i]}"}
+               else f"imagination:policy{i-1} eps={eps_for(i)}"}
         rec["teacher_agree"] = _retry(
             lambda: teacher_consistency(exp_i), label=f"teacher_wm{i}")
         wm_i = WorldModel(exp_i.model, exp_i.carry.train_state.params)
@@ -146,7 +151,7 @@ def main(n_iters: int = 3, n_episodes: int = 32, ep_len: int = 128,
             exp_i = train_wm_on_policy(i + 1, pol_path, epochs, updates)
             exps.append(exp_i)
             log(f"WM{i+1} trained on policy{i} data "
-                f"(eps={EPS_SCHEDULE[i+1]})")
+                f"(eps={eps_for(i + 1)})")
 
     # ---------------- eval every iteration's policy + warm CEM on the
     # common anchors/keys (one pass so all arms share the eval distribution)

@@ -17,6 +17,7 @@ Usage:
 import json
 import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -30,9 +31,21 @@ def main() -> int:
     artifact = Path(sys.argv[1])
     cmd = sys.argv[sep + 1 :]
     t0 = time.time()
+    # stderr gets its OWN pipe: merging it into stdout (STDOUT) would let
+    # unbuffered runtime warnings tear the study's final JSON line, which
+    # is exactly the artifact-loss failure this wrapper exists to prevent
     proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
     )
+    assert proc.stderr is not None
+
+    def _drain():
+        for line in proc.stderr:
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    drain = threading.Thread(target=_drain, daemon=True)
+    drain.start()
     last_json = None
     assert proc.stdout is not None
     for line in proc.stdout:
@@ -47,6 +60,7 @@ def main() -> int:
             if isinstance(obj, dict):
                 last_json = obj
     rc = proc.wait()
+    drain.join(timeout=10)
     if rc != 0:
         print(f"[run_study] {cmd} exited {rc}; artifact NOT written",
               file=sys.stderr)

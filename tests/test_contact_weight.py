@@ -138,6 +138,90 @@ class TestBuildSColWeight:
             build_s_col_weight(object(), cfg)
 
 
+class TestPreyRelSlice:
+    """tag_prey_rel_slice is the single source of truth for the obs-layout
+    offset that build_s_col_weight (and the studies' score functions)
+    depend on — pin it against the env's ACTUAL observations."""
+
+    def test_slice_selects_prey_relative_positions(self):
+        from mfvae_tpu.envs.mpe import SimpleTagEnv, tag_prey_rel_slice
+
+        env = SimpleTagEnv(num_good_agents=2, num_adversaries=3, num_obs=2)
+        sl = env.prey_rel_slice()
+        assert sl == tag_prey_rel_slice(2, 3, 2)
+        obs, state = env.reset_stacked(jax.random.PRNGKey(0))
+        pos = np.asarray(state.agent_pos)  # adversaries first, then good
+        adv = np.asarray(obs.adversary)
+        for a in range(3):
+            rel = (pos[3:] - pos[a]).reshape(-1)
+            np.testing.assert_allclose(adv[a, sl], rel, rtol=1e-5, atol=1e-6)
+
+    def test_build_s_col_weight_uses_the_slice(self):
+        from mfvae_tpu.envs.mpe import tag_prey_rel_slice
+
+        cfg = ExperimentConfig()
+        cfg.env.num_adversaries = 2
+        cfg.env.num_good_agents = 1
+        cfg.env.num_obs = 1
+        cfg.loss.prey_dist_weight = 9.0
+        from mfvae_tpu.envs import make
+        from mfvae_tpu.training.experiment import build_spec
+
+        env = make(
+            cfg.env.name,
+            num_good_agents=1, num_adversaries=2, num_obs=1,
+        )
+        spec = build_spec(env)
+        w = np.asarray(build_s_col_weight(spec, cfg))
+        sl = tag_prey_rel_slice(1, 2, 1)
+        od_adv = spec.obs_dims[0]
+        hot = set(np.where(w > 1.0)[0].tolist())
+        expected = {
+            a * od_adv + j for a in range(2) for j in range(sl.start, sl.stop)
+        }
+        assert hot == expected
+
+
+class TestHostPathLevers:
+    def test_prey_dist_weight_applies_on_host_driver(self, tmp_path):
+        """Review-caught gap: HostExperiment built its train/test steps
+        without s_col_weight, silently ignoring loss.prey_dist_weight.
+        Pin: the host driver's jitted test step must produce a different
+        state loss with the lever on vs off for the same batch."""
+        import jax as _jax
+
+        from mfvae_tpu.training.host_experiment import HostExperiment
+        from tests.test_training import tiny_cfg
+
+        def build(weight):
+            cfg = tiny_cfg(tmp_path, epoch_num=1, sample_num=4, train_num=1)
+            cfg.buffer.min_size = 4
+            cfg.buffer.batch_size = 4
+            cfg.loss.prey_dist_weight = weight
+            return HostExperiment(cfg).setup()
+
+        exp_on = build(9.0)
+        exp_off = build(0.0)
+        batch = exp_on._fake_batch(4)
+        rng = np.random.default_rng(0)
+        batch = batch._replace(
+            inputs=batch.inputs._replace(
+                obs=tuple(
+                    jnp.asarray(rng.normal(size=o.shape), jnp.float32)
+                    for o in batch.inputs.obs
+                )
+            ),
+            next_state=jnp.asarray(
+                rng.normal(size=batch.next_state.shape), jnp.float32
+            ),
+        )
+        # same cfg.train.seed -> identical init params in both drivers
+        k = _jax.random.PRNGKey(0)
+        out_on = exp_on._test_jit(exp_on.train_state, batch, k)
+        out_off = exp_off._test_jit(exp_off.train_state, batch, k)
+        assert float(out_on.s_loss) != float(out_off.s_loss)
+
+
 class TestEndToEndLevers:
     def test_training_runs_with_both_levers(self, tmp_path):
         from mfvae_tpu.training.experiment import Experiment
