@@ -409,6 +409,7 @@ class ExperimentConfig:
                 f"(got env={self.env.discrete_actions}, "
                 f"model={self.model.discrete_act})"
             )
+        self.loss.resolved_weights()  # raises on unknown loss.family
         cp = self.train.collect_policy
         if cp not in ("random", "pursuit", "episode_mix", "sticky") and not (
             cp.startswith("vdn:") or cp.startswith("imagination:")
