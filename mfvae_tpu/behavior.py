@@ -215,6 +215,7 @@ def train_behavior(
             horizon=bcfg.horizon, n_rollouts=bcfg.n_rollouts,
             learning_rate=bcfg.learning_rate,
             entropy_coef=bcfg.entropy_coef, hidden=hidden,
+            centralized=bcfg.centralized,
         )
     elif bcfg.algo == "actor_critic":
         policy, _value, init_fn, update_fn = make_actor_critic_trainer(
@@ -226,6 +227,7 @@ def train_behavior(
             target_ema=bcfg.target_ema, critic_symlog=bcfg.critic_symlog,
             bootstrap_tail=bcfg.bootstrap_tail,
             critic_time_feature=bcfg.critic_time_feature,
+            centralized=bcfg.centralized,
         )
     else:  # distill
         policy, init_fn, update_fn = make_distillation_trainer(
@@ -234,6 +236,7 @@ def train_behavior(
             learning_rate=bcfg.learning_rate, hidden=hidden,
             teacher_mode="enumerated", m_rollouts=bcfg.m_rollouts,
             continuation=bcfg.continuation, temperature=bcfg.temperature,
+            centralized=bcfg.centralized,
         )
 
     pool = collect_start_states(exp, bcfg, jax.random.fold_in(key, 0))
@@ -278,6 +281,10 @@ def save_policy(path: str, result: BehaviorResult, bcfg: BehaviorConfig,
         "algo": bcfg.algo,
         "continuous": isinstance(result.policy, GaussianPolicyMLP),
         "plan_agents": [int(i) for i in result.plan_agents],
+        # centralized policies need the joint obs built at serving time
+        # (make_policy_actor centralized=True); obs_dim above is already
+        # the centralized input width when set
+        "centralized": bool(bcfg.centralized),
     }
     p.with_suffix(p.suffix + ".json").write_text(json.dumps(meta))
 
@@ -326,9 +333,14 @@ def run(cfg_path: Optional[str], overrides) -> dict:
         "final": result.curve[-1] if result.curve else {},
     }
     if bcfg.save_path:
+        from mfvae_tpu.imagination import make_obs_builder
+
+        _, policy_obs_dim = make_obs_builder(
+            exp.spec, result.plan_agents, bcfg.centralized
+        )
         save_policy(
             bcfg.save_path, result, bcfg,
-            obs_dim=int(exp.spec.obs_dims[0]),
+            obs_dim=int(policy_obs_dim),
             act_dim=int(exp.spec.act_dims[0]),
         )
         out["save_path"] = bcfg.save_path
@@ -341,6 +353,7 @@ def run(cfg_path: Optional[str], overrides) -> dict:
         actor = make_policy_actor(
             result.policy, result.params, exp.env, exp.spec,
             result.plan_agents, greedy=False,
+            centralized=bcfg.centralized,
         )
         idx = jnp.asarray(result.plan_agents)
         is_plan = jnp.zeros((exp.spec.n_agents,), bool).at[idx].set(True)

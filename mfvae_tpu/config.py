@@ -368,6 +368,15 @@ class BehaviorConfig:
     # mean over horizons.  Changes the critic input width (saved 'v'
     # params are not interchangeable across this flag)
     critic_time_feature: bool = False
+    # feed each plan agent's policy (and the AC critic) the FULL flattened
+    # joint observation alongside its own row, instead of the own row
+    # alone (decentralized default).  The causal probe for the measured
+    # amortization wall (PARITY.md last-mile chapter) and a legitimate
+    # centralized-execution serving mode — serving then needs the joint
+    # obs at execution time (make_policy_actor gets it; a deployed
+    # decentralized controller would not).  Saved policies record the
+    # flag in their sidecar meta and rebuild correctly
+    centralized: bool = False
     # distill (enumerated+CRN teacher)
     m_rollouts: int = 24
     continuation: str = "hold"  # 'hold' | 'random'

@@ -267,7 +267,7 @@ class ImaginationCollectPolicy:
         policy, params, meta = load_policy(path)
         self._actor = make_policy_actor(
             policy, params, env, spec, tuple(meta["plan_agents"]),
-            greedy=False,
+            greedy=False, centralized=bool(meta.get("centralized", False)),
         )
         self.epsilon = float(epsilon)
         self.hold = float(hold)

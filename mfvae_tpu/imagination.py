@@ -126,20 +126,61 @@ def _plan_prefix(spec: AgentSpec, plan_agents: Sequence[int]) -> int:
     return p
 
 
+def make_obs_builder(
+    spec: AgentSpec,
+    plan_agents: Sequence[int],
+    centralized: bool = False,
+) -> Tuple[Callable, int]:
+    """Policy-input builder: ``obs_fn(obs_g) -> [B, P, D]`` rows + D.
+
+    Decentralized (default, the CTDE execution contract): each plan
+    agent's own observation row, D = obs_dims[0].  ``centralized=True``
+    appends the FULL flattened joint observation (every agent's row, all
+    groups — the same information the planners' per-state search
+    conditions on) to each agent's own row, D = obs_dims[0] + Σ obs_dims.
+    The lever that causally separates the two halves of the measured
+    amortization wall (PARITY.md last-mile chapter): if a centralized
+    student closes the distill→search gap, the wall was the
+    decentralized observation INTERFACE; if it stays flat, the wall is
+    the per-state search computation itself.  Serving a centralized
+    policy requires the joint observation at execution time (a
+    centralized-execution deployment, or a communication channel)."""
+    P = _plan_prefix(spec, plan_agents)
+    od0 = int(spec.obs_dims[0])
+    if not centralized:
+        return (lambda obs_g: obs_g[0][:, :P]), od0
+    joint_dim = int(sum(spec.obs_dims))
+
+    def obs_fn(obs_g):
+        b = obs_g[0].shape[0]
+        joint = jnp.concatenate(
+            [o.reshape(b, -1) for o in obs_g], axis=-1
+        )  # [B, Σobs]
+        joint = jnp.broadcast_to(joint[:, None, :], (b, P, joint_dim))
+        return jnp.concatenate([obs_g[0][:, :P], joint], axis=-1)
+
+    return obs_fn, od0 + joint_dim
+
+
 def make_imagination_rollout(
     wm: WorldModel,
     env,
     spec: AgentSpec,
     plan_agents: Sequence[int],
     horizon: int = 8,
+    obs_fn: Optional[Callable] = None,
 ):
     """Policy-in-the-loop imagination.  Returns
     ``rollout(params, policy_apply, obs_g, key) ->
     (states [H, B, Σobs], rewards [H, B, A], logp [H, B, P], ent [H, B, P])``
     — fully scan-compiled; gradients reach ``params`` through ``logp``/
-    ``ent`` only (discrete actions)."""
+    ``ent`` only (discrete actions).  ``obs_fn`` maps the grouped obs
+    tuple to the policy's input rows [B, P, D] (default: each plan
+    agent's own row; see make_obs_builder)."""
     sample_actions, group_actions = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
+    if obs_fn is None:
+        obs_fn, _ = make_obs_builder(spec, plan_agents)
     discrete = getattr(env, "discrete_actions", True)
     if not discrete:
         lo, hi = _box_bounds(env)
@@ -150,7 +191,7 @@ def make_imagination_rollout(
         def step(carry_obs, k_t):
             k_plan, k_other = jax.random.split(k_t)
             if discrete:
-                logits = policy_apply(params, carry_obs[0][:, :P])  # [B,P,K]
+                logits = policy_apply(params, obs_fn(carry_obs))  # [B,P,K]
                 logits = jax.nn.log_softmax(logits, axis=-1)
                 acts_p = jax.random.categorical(k_plan, logits)  # [B, P]
                 logp = jnp.take_along_axis(
@@ -158,7 +199,7 @@ def make_imagination_rollout(
                 )[..., 0]  # [B, P]
                 ent = -jnp.sum(jnp.exp(logits) * logits, axis=-1)  # [B, P]
             else:
-                mu, log_std = policy_apply(params, carry_obs[0][:, :P])
+                mu, log_std = policy_apply(params, obs_fn(carry_obs))
                 acts_p, logp = tanh_gaussian_sample(mu, log_std, k_plan,
                                                     lo, hi)
                 ent = gaussian_entropy(log_std)
@@ -188,6 +229,7 @@ def make_imagination_trainer(
     learning_rate: float = 3e-4,
     entropy_coef: float = 1e-2,
     hidden: Tuple[int, ...] = (128, 128),
+    centralized: bool = False,
 ) -> Tuple[PolicyMLP, Callable, Callable]:
     """Build the compiled REINFORCE update over imagined futures.
 
@@ -213,7 +255,10 @@ def make_imagination_trainer(
         policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
     else:
         policy = GaussianPolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
-    rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
+    obs_fn, obs_dim = make_obs_builder(spec, plan_agents, centralized)
+    rollout = make_imagination_rollout(
+        wm, env, spec, plan_agents, horizon, obs_fn=obs_fn
+    )
     idx = jnp.arange(P)
     if score_fn is None:
         def score_fn(states, rewards):
@@ -222,6 +267,10 @@ def make_imagination_trainer(
     tx = optax.adam(learning_rate)
 
     def init_fn(key, example_obs_row):
+        if centralized:
+            # param shapes depend on the centralized input width, not the
+            # caller's per-agent example row (init values are row-agnostic)
+            example_obs_row = jnp.zeros((obs_dim,), jnp.float32)
         params = policy.init(key, example_obs_row[None, None, :])
         return params, tx.init(params)
 
@@ -501,6 +550,7 @@ def make_actor_critic_trainer(
     critic_symlog: bool = False,
     bootstrap_tail: bool = True,
     critic_time_feature: bool = False,
+    centralized: bool = False,
 ) -> Tuple[PolicyMLP, ValueMLP, Callable, Callable]:
     """Dreamer-style actor-critic entirely inside imagination.
 
@@ -571,6 +621,7 @@ def make_actor_critic_trainer(
     else:
         policy = GaussianPolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
     value = ValueMLP(hidden=tuple(hidden))
+    obs_fn, obs_dim = make_obs_builder(spec, plan_agents, centralized)
 
     def _critic_obs(obs_seq):
         # [H+1, B, P, od] -> optionally append normalized time remaining
@@ -583,7 +634,9 @@ def make_actor_critic_trainer(
             tr[:, None, None, None], obs_seq.shape[:-1] + (1,)
         )
         return jnp.concatenate([obs_seq, tr], axis=-1)
-    rollout = make_imagination_rollout(wm, env, spec, plan_agents, horizon)
+    rollout = make_imagination_rollout(
+        wm, env, spec, plan_agents, horizon, obs_fn=obs_fn
+    )
     if step_score_fn is None:
         idx = jnp.arange(P)
 
@@ -594,6 +647,8 @@ def make_actor_critic_trainer(
 
     def init_fn(key, example_obs_row):
         k_pi, k_v = jax.random.split(key)
+        if centralized:
+            example_obs_row = jnp.zeros((obs_dim,), jnp.float32)
         row = example_obs_row[None, None, :]
         v_row = row
         if critic_time_feature:
@@ -609,8 +664,10 @@ def make_actor_critic_trainer(
         return params, tx.init(params)
 
     def _plan_obs_rows(states_flat):
-        # [T*B, Σobs] -> plan agents' obs rows [T*B, P, od]
-        return wm._state_to_grouped(states_flat)[0][:, :P]
+        # [T*B, Σobs] -> plan agents' policy-input rows [T*B, P, D]
+        # (own row, or own row + flattened joint obs when centralized —
+        # a centralized CRITIC is the standard CTDE shape anyway)
+        return obs_fn(wm._state_to_grouped(states_flat))
 
     def loss_fn(params, obs_starts_g, key):
         states, rewards, logp, ent = rollout(
@@ -618,7 +675,7 @@ def make_actor_critic_trainer(
         )
         h, b = states.shape[:2]
         r = step_score_fn(states, rewards)  # [H, B, P]
-        obs0 = obs_starts_g[0][:, :P]  # [B, P, od]
+        obs0 = obs_fn(obs_starts_g)  # [B, P, D]
         obs_next = _plan_obs_rows(states.reshape(h * b, -1)).reshape(
             h, b, P, -1
         )
@@ -939,6 +996,7 @@ def make_distillation_trainer(
     teacher_mode: str = "cem",
     m_rollouts: int = 24,
     continuation: str = "hold",
+    centralized: bool = False,
 ) -> Tuple[PolicyMLP, Callable, Callable]:
     """DAgger-style planner distillation, entirely inside imagination.
 
@@ -980,7 +1038,10 @@ def make_distillation_trainer(
     P = _plan_prefix(spec, plan_agents)
     act_dim = int(spec.act_dims[0])
     policy = PolicyMLP(hidden=tuple(hidden), act_dim=act_dim)
-    rollout = make_imagination_rollout(wm, env, spec, plan_agents, visit_steps)
+    obs_fn, obs_dim = make_obs_builder(spec, plan_agents, centralized)
+    rollout = make_imagination_rollout(
+        wm, env, spec, plan_agents, visit_steps, obs_fn=obs_fn
+    )
     if teacher_mode == "enumerated":
         teacher = make_enumerated_teacher(
             wm, env, spec, plan_agents, score_fn=score_fn, horizon=horizon,
@@ -996,6 +1057,8 @@ def make_distillation_trainer(
     tx = optax.adam(learning_rate)
 
     def init_fn(key, example_obs_row):
+        if centralized:
+            example_obs_row = jnp.zeros((obs_dim,), jnp.float32)
         params = policy.init(key, example_obs_row[None, None, :])
         return params, tx.init(params)
 
@@ -1017,7 +1080,7 @@ def make_distillation_trainer(
 
         # 3. behavior cloning on (state, expert action/distribution)
         def loss_fn(p):
-            logits = policy.apply(p, all_obs_g[0][:, :P])  # [B, P, K]
+            logits = policy.apply(p, obs_fn(all_obs_g))  # [B, P, K]
             logp = jax.nn.log_softmax(logits, axis=-1)
             if target_mode == "argmax":
                 nll = -jnp.take_along_axis(
@@ -1049,29 +1112,35 @@ def make_policy_actor(
     spec: AgentSpec,
     plan_agents: Sequence[int],
     greedy: bool = True,
+    centralized: bool = False,
 ):
     """Serve the trained imagination policy with the planners' actor
     contract: ``act(stacked_obs, key) -> [A] joint actions`` (non-plan
     agents get uniform draws; callers overwrite them with the opponents'
     real policy) — drop-in for eval_joint_policy arms and ONE forward pass
-    per step where MPC pays n_candidates imagined rollouts."""
+    per step where MPC pays n_candidates imagined rollouts.
+    ``centralized`` must match the trainer flag: the policy input then
+    includes the full flattened joint observation (available here — the
+    actor already receives the joint stacked obs)."""
     sample_actions, _ = make_action_sampler(env, spec)
     P = _plan_prefix(spec, plan_agents)
+    obs_fn, _ = make_obs_builder(spec, plan_agents, centralized)
     discrete = getattr(env, "discrete_actions", True)
     if not discrete:
         lo, hi = _box_bounds(env)
 
     def act(stacked_obs, key):
         obs_g = stacked_to_grouped(spec, stacked_obs)
+        rows = obs_fn(tuple(o[None] for o in obs_g))  # [1, P, D]
         k_p, k_o = jax.random.split(key)
         if discrete:
-            logits = policy.apply(params, obs_g[0][:P][None])[0]  # [P, K]
+            logits = policy.apply(params, rows)[0]  # [P, K]
             if greedy:
                 acts_p = jnp.argmax(logits, axis=-1)
             else:
                 acts_p = jax.random.categorical(k_p, logits)
         else:
-            mu, log_std = policy.apply(params, obs_g[0][:P][None])
+            mu, log_std = policy.apply(params, rows)
             if greedy:
                 acts_p = _tanh_affine(mu[0], lo, hi)
             else:

@@ -159,6 +159,43 @@ class TestTrainAndServe:
         assert bool(jnp.all(acts >= 0))
 
 
+class TestCentralized:
+    def test_centralized_trains_saves_and_serves(self, tiny_exp, tmp_path):
+        """behavior.centralized=true end to end: the policy input width is
+        own row + flattened joint obs, the sidecar meta records the flag,
+        and the loaded policy serves through the joint stacked obs."""
+        from mfvae_tpu.imagination import make_obs_builder
+
+        bcfg = tiny_exp.cfg.behavior
+        bcfg.algo = "distill"
+        bcfg.centralized = True
+        try:
+            result = train_behavior(tiny_exp, key=jax.random.PRNGKey(0))
+            _, obs_dim = make_obs_builder(
+                tiny_exp.spec, result.plan_agents, centralized=True
+            )
+            assert obs_dim == int(tiny_exp.spec.obs_dims[0]) + sum(
+                tiny_exp.spec.obs_dims
+            )
+            path = str(tmp_path / "central.msgpack")
+            save_policy(path, result, bcfg, obs_dim=obs_dim,
+                        act_dim=int(tiny_exp.spec.act_dims[0]))
+            policy, params, meta = load_policy(path)
+            assert meta["centralized"] is True
+            assert meta["obs_dim"] == obs_dim
+            actor = make_policy_actor(
+                policy, params, tiny_exp.env, tiny_exp.spec,
+                result.plan_agents, centralized=True,
+            )
+            obs, _ = tiny_exp.env.reset_stacked(jax.random.PRNGKey(3))
+            acts = actor(obs, jax.random.PRNGKey(4))
+            assert acts.shape == (tiny_exp.spec.n_agents,)
+            assert bool(jnp.all(acts >= 0))
+        finally:
+            bcfg.centralized = False
+            bcfg.algo = "distill"
+
+
 class TestImaginationCollection:
     def test_collect_policy_closes_the_dreamer_loop(self, tiny_exp, tmp_path):
         """Save a behavior policy, then run a FRESH experiment collecting

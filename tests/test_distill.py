@@ -15,6 +15,7 @@ from mfvae_tpu.imagination import (
     PolicyMLP,
     make_cem_teacher,
     make_distillation_trainer,
+    make_obs_builder,
     make_policy_actor,
 )
 from mfvae_tpu.models.mavae import AgentSpec, agent_order_concat, state_to_grouped
@@ -221,6 +222,64 @@ class TestDistillation:
         )
         logits = policy.apply(params, obs_g[0][:, :3])
         assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+
+    def test_centralized_student_learns_and_serves(self):
+        """centralized=True: the student input carries the full joint obs;
+        the stub task is still learnable, the actor builds the same rows
+        at serving time (the causal probe for the amortization wall,
+        PARITY.md last-mile chapter)."""
+        spec = tag_like_spec()
+        wm = StubWM(spec)
+        policy, init_fn, update_fn = make_distillation_trainer(
+            wm, StubEnv(), spec, (0, 1, 2),
+            horizon=4, visit_steps=2, learning_rate=3e-3, hidden=(32,),
+            teacher_mode="enumerated", m_rollouts=8, temperature=0.5,
+            centralized=True,
+        )
+        obs_g = starts(spec, 16, jax.random.PRNGKey(0))
+        # init_fn ignores the (decentralized-width) example row and sizes
+        # the input from the centralized obs dim
+        params, opt = init_fn(jax.random.PRNGKey(1), obs_g[0][0, 0])
+        d_cen = 6 + (3 * 6 + 1 * 4)  # own row + flattened joint obs
+        assert params["params"]["LayerNorm_0"]["scale"].shape == (d_cen,)
+        key = jax.random.PRNGKey(2)
+        for i in range(120):
+            params, opt, m = update_fn(
+                params, opt, obs_g, jax.random.fold_in(key, i)
+            )
+        obs_fn, obs_dim = make_obs_builder(spec, (0, 1, 2), centralized=True)
+        assert obs_dim == d_cen
+        logits = policy.apply(params, obs_fn(obs_g))
+        assert bool(jnp.all(jnp.argmax(logits, axis=-1) == 3))
+        # serving builds identical rows from the joint stacked obs
+        actor = make_policy_actor(policy, params, StubEnv(), spec, (0, 1, 2),
+                                  centralized=True)
+        stacked = (obs_g[0][0], obs_g[1][0])
+        acts = actor(stacked, jax.random.PRNGKey(3))
+        assert acts.shape == (4,)
+        np.testing.assert_array_equal(np.asarray(acts[:3]), 3)
+
+    def test_obs_builder_centralized_rows(self):
+        spec = tag_like_spec()
+        obs_g = starts(spec, 2, jax.random.PRNGKey(7))
+        obs_fn, obs_dim = make_obs_builder(spec, (0, 1, 2), centralized=True)
+        rows = obs_fn(obs_g)
+        assert rows.shape == (2, 3, obs_dim)
+        joint = np.concatenate(
+            [np.asarray(obs_g[0]).reshape(2, -1),
+             np.asarray(obs_g[1]).reshape(2, -1)], axis=-1
+        )
+        for p in range(3):
+            np.testing.assert_allclose(
+                np.asarray(rows[:, p, :6]), np.asarray(obs_g[0][:, p])
+            )
+            np.testing.assert_allclose(np.asarray(rows[:, p, 6:]), joint)
+        # decentralized default: own rows only
+        dec_fn, dec_dim = make_obs_builder(spec, (0, 1, 2))
+        assert dec_dim == 6
+        np.testing.assert_allclose(
+            np.asarray(dec_fn(obs_g)), np.asarray(obs_g[0][:, :3])
+        )
 
     def test_serves_through_policy_actor(self):
         spec = tag_like_spec()
