@@ -35,6 +35,7 @@ from mfvae_tpu.imagination import (
     make_actor_critic_trainer,
     make_distillation_trainer,
     make_imagination_trainer,
+    make_obs_builder,
     make_policy_actor,
 )
 from mfvae_tpu.inference import WorldModel
@@ -333,8 +334,6 @@ def run(cfg_path: Optional[str], overrides) -> dict:
         "final": result.curve[-1] if result.curve else {},
     }
     if bcfg.save_path:
-        from mfvae_tpu.imagination import make_obs_builder
-
         _, policy_obs_dim = make_obs_builder(
             exp.spec, result.plan_agents, bcfg.centralized
         )

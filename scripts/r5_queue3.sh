@@ -13,7 +13,16 @@ START=${1:-0}
 BENCH_LOG=${2:-}
 
 if [ -n "$BENCH_LOG" ]; then
-  while ! grep -q "bench rc=" "$BENCH_LOG" 2>/dev/null; do sleep 30; done
+  # bounded wait: if the bench dies without writing its rc marker, start
+  # anyway after 90 min rather than idling the TPU forever
+  WAITED=0
+  while ! grep -q "bench rc=" "$BENCH_LOG" 2>/dev/null; do
+    if [ "$WAITED" -ge 5400 ]; then
+      echo "=== bench marker never appeared in $BENCH_LOG after ${WAITED}s; starting queue" | tee -a "$LOG"
+      break
+    fi
+    sleep 30; WAITED=$((WAITED + 30))
+  done
 fi
 
 declare -a JOBS=(
